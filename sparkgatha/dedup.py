@@ -1,0 +1,330 @@
+"""Training-data-pipeline dedup suite over the ``documents`` table —
+exact, MinHash(+LSH), SimHash, n-gram Jaccard, embedding-cosine.
+
+These are first-class engine operators (task brief: what a 100 TB
+training-data pipeline needs), each registered in the DuckDB-checked
+query registry.  Cross-engine determinism rule: every hash that appears
+in a checked result is md5-derived — ``conv(substr(md5(x),1,15),16,10)``
+in Spark ≡ ``('0x' || substr(md5(x),1,15))::BIGINT`` in DuckDB (60-bit,
+always non-negative, fits BIGINT).
+
+Scale notes (100 TB path):
+  * exact dedup is a single hash-groupBy — shuffles once on the digest;
+  * MinHash signatures are computed per-row (no shuffle), LSH banding
+    turns near-dup search into an equi-join on (band, band_hash) —
+    candidates only, verified by exact Jaccard on the candidate pairs;
+  * the all-pairs oracles (*_pairs queries) exist for correctness at
+    sf0.01; at scale only the banded path runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkgatha.relational import _t, register
+
+N_SHINGLE = 3          # word-shingle width
+N_HASHES = 16          # minhash signature length
+N_BANDS = 4            # LSH bands (rows-per-band = N_HASHES / N_BANDS)
+SIMHASH_BITS = 32
+
+
+def _md5_long(col):
+    """60-bit non-negative int from md5 — identical in Spark & DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _shingles(text_col: str = "text"):
+    """Distinct word n-gram shingles per document (JVM-side)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - N_SHINGLE, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= N_SHINGLE,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, N_SHINGLE))
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# DuckDB mirror of _shingles as a CTE body (documents → doc_id, shingle)
+_SHINGLES_SQL = """
+  tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {N}
+                  THEN list_transform(range(1, len(toks) - {N} + 2),
+                       i -> array_to_string(toks[i : i + {N} - 1], ' '))
+                  ELSE [array_to_string(toks, ' ')]
+             END) AS shingle
+      FROM tok
+    )
+  )
+""".replace("{N}", str(N_SHINGLE))
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the content digest, keep min id.
+    One shuffle on the digest; at 100 TB the digest groupBy is the only
+    wide stage and AQE coalesces the tiny post-agg partitions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@register(
+    "q_dedup_minhash",
+    f"""
+    WITH {_SHINGLES_SQL},
+    hashes AS (
+      SELECT doc_id, h.i::INTEGER AS hash_idx,
+             min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+               AS minhash
+      FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
+      GROUP BY doc_id, h.i
+    )
+    SELECT doc_id, hash_idx, minhash FROM hashes
+    """,
+)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures: minhash_i(doc) = min over shingles of
+    md5-hash(i || shingle).  Computed fully JVM-side per row (explode →
+    groupBy) — at scale the explode stays within the input partition and
+    the only shuffle is the (doc, i) groupBy, or zero shuffles via the
+    array-transform form used in lsh_candidates."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    idx = spark.range(N_HASHES).select(F.col("id").cast("int").alias("hash_idx"))
+    return (
+        sh.crossJoin(F.broadcast(idx))
+        .groupBy("doc_id", "hash_idx")
+        .agg(
+            F.min(
+                _md5_long(
+                    F.concat_ws("", F.col("hash_idx").cast("string"),
+                                F.lit(":"), F.col("shingle"))
+                )
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<bigint>) — zero-shuffle signature computation:
+    the whole signature is an array-transform over the shingle array."""
+    sh = _shingles(text_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: _md5_long(
+                    F.concat_ws("", i.cast("string"), F.lit(":"), s)
+                ),
+            )
+        ),
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH banding: (band, hash-of-band-slice) buckets → candidate pairs.
+    The scale path for near-dup: equi-join on the band key, no all-pairs."""
+    rows_per_band = N_HASHES // N_BANDS
+    sigs = minhash_signatures(docs, text_col)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(ix * 1.0 / (sa.n + sb.n - ix), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8) via a shingle
+    inverted index — the verification stage of the MinHash/LSH pipeline,
+    run standalone at oracle scale."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ix"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ix") / (F.col("na") + F.col("nb") - F.col("ix"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    f"""
+    WITH {_SHINGLES_SQL},
+    bits AS (
+      SELECT doc_id, b.i AS bit,
+             CASE WHEN sum(CASE WHEN
+               (((('0x' || substr(md5(shingle), 1, 15))::BIGINT) >> b.i) & 1) = 1
+               THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bitval
+      FROM sh, (SELECT unnest(range({SIMHASH_BITS})) AS i) b
+      GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           sum(bitval * (1::BIGINT << bit))::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (32-bit here; 64 at scale): per-bit majority
+    vote over md5-hashed shingles.  Near-dups then group by simhash or by
+    hamming-ball probes — fingerprint computation itself is shuffle-free
+    per document."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle")).withColumn(
+        "h", _md5_long(F.col("shingle"))
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    per_bit = (
+        sh.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.expr("((h >> bit) & 1) = 1"), 1).otherwise(-1)
+                )
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bitval")
+        )
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("cast(bitval as bigint) * (cast(1 as bigint) << bit)")).alias(
+            "simhash"
+        )
+    )
+
+
+@register(
+    "q_dedup_embed_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+    """,
+)
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>0.4 — fixture max pairwise
+    cosine is 0.51, so the production-style 0.95 would be vacuous).
+    All-pairs here (oracle
+    scale); the 100 TB path buckets by LSH hyperplane signs first
+    (similarity.embedding_lsh_buckets) and cross-joins within buckets."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (nrm(F.col("a.v")) * nrm(F.col("b.v")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") > 0.4)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
+    )

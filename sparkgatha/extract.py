@@ -1,0 +1,196 @@
+"""G1/G2 — co-occurrence edge extraction + node dictionary (SURVEY.md §2.11).
+
+Reference analog: AGATHA turns analyzed sentences into bipartite
+sentence↔{lemma, entity, n-gram, mesh} edges with TF-IDF-flavored weights
+(agatha/construct/graph_util.py: record_to_bipartite_edges — per SURVEY.md
+§2.11 G1) and hashes string keys to ints (agatha/util/misc_util.py:
+hash_str_to_int).  The graft extracts **within-document term-pair
+co-occurrence** edges ``(src, dst, weight)`` from a text/content column.
+
+Spark-first design:
+ * tokenization + stopword/frequency cutoffs are pure JVM expressions
+   (split / lower / array functions) so Catalyst keeps them in
+   whole-stage codegen;
+ * the 1-row→many-pairs expansion is the single sanctioned Python stage,
+   an Arrow-batched ``mapInPandas`` (F3) — pairs are generated *locally*
+   per input partition, so the only shuffle is the final groupBy(src,dst);
+ * ids are ``xxhash64`` (64-bit, JVM-side) with a collision assertion at
+   build time (SURVEY.md G2).
+
+The frequency cutoff (``max_df``) is the reference's own de-facto skew
+strategy — AGATHA caps hub-degree with stopword/min-frequency cutoffs
+before the graph is built (SURVEY.md §4.1) — and it survives here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_STOPWORDS = ("a", "the")
+
+PAIR_SCHEMA = "src string, dst string, weight double"
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Lower + whitespace-split + stopword removal, all JVM-side.
+
+    Adds a ``terms`` column: *distinct, sorted* tokens per document —
+    sorted so downstream pair generation emits (src < dst) canonically.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    terms = F.array_sort(
+        F.array_distinct(
+            F.filter(toks, lambda t: (t != "") & ~t.isin(*stopwords))
+        )
+    )
+    return df.withColumn("terms", terms)
+
+
+def _pair_expander(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """F3 mapInPandas kernel: terms array → canonical term pairs.
+
+    Vectorized: all terms in the batch are flattened once, pair index
+    arrays come from cached ``np.triu_indices`` per distinct-term count,
+    and the output columns are single fancy-indexing gathers — no
+    per-pair Python.
+    """
+    import numpy as np
+
+    triu_cache: dict[int, tuple] = {}
+    for pdf in batches:
+        flat: list = []
+        src_idx: list = []
+        dst_idx: list = []
+        offset = 0
+        for terms in pdf["terms"]:
+            k = len(terms)
+            flat.append(np.asarray(terms, dtype=object))
+            if k >= 2:
+                iu = triu_cache.get(k)
+                if iu is None:
+                    iu = np.triu_indices(k, 1)
+                    triu_cache[k] = iu
+                src_idx.append(iu[0] + offset)
+                dst_idx.append(iu[1] + offset)
+            offset += k
+        if not src_idx:
+            yield pd.DataFrame({"src": [], "dst": [], "weight": []})
+            continue
+        allt = np.concatenate(flat)
+        si = np.concatenate(src_idx)
+        di = np.concatenate(dst_idx)
+        yield pd.DataFrame(
+            {
+                "src": allt[si],
+                "dst": allt[di],
+                "weight": np.ones(len(si), dtype=np.float64),
+            }
+        )
+
+
+def extract_cooccurrence_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_weight: float = 0.0,
+    max_df: float | None = None,
+    symmetric: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """documents → canonical co-occurrence edges ``(src, dst, weight)``.
+
+    weight = number of documents in which the pair co-occurs.
+    ``max_df`` (fraction of docs) drops hub terms *before* pairing —
+    the reference's frequency-cutoff skew control.
+    ``symmetric=True`` additionally emits the reversed orientation
+    (U1 union) for algorithms that want both directions stored.
+
+    The pair expansion parallelizes per input partition; a small file
+    count must not serialize the Python stage, so inputs narrower than
+    the session's default parallelism are repartitioned first (at
+    100 TB the scan's own splits already provide the parallelism and
+    the repartition is a no-op branch).
+    """
+    spark = docs.sparkSession
+    target = num_partitions or spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    toks = tokenize(docs, text_col, stopwords).select("terms")
+
+    if max_df is not None:
+        n_docs = docs.count()
+        df_counts = (
+            toks.select(F.explode("terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df * n_docs)
+            .select("term")
+        )
+        # broadcast semi-join: term dictionary is tiny relative to corpus
+        allowed = F.broadcast(df_counts)
+        toks = (
+            toks.select(F.posexplode("terms").alias("pos", "term"), F.monotonically_increasing_id().alias("_rid"))
+            .join(allowed, "term", "left_semi")
+            .groupBy("_rid")
+            .agg(F.array_sort(F.collect_set("term")).alias("terms"))
+            .select("terms")
+        )
+
+    pairs = toks.mapInPandas(_pair_expander, schema=PAIR_SCHEMA)
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    if min_weight > 0:
+        edges = edges.filter(F.col("weight") >= min_weight)
+    if symmetric:
+        edges = symmetrize(edges)
+    return edges
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """U1: store both orientations of each undirected edge."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return edges.unionByName(rev)
+
+
+def node_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """G2: string keys → dense 64-bit ids via xxhash64.
+
+    Returns (nodes, id_edges):
+      nodes(id long, key string) — the dictionary;
+      id_edges(src long, dst long, weight double).
+
+    Collision check is the caller's job at build time via
+    ``assert_no_id_collisions`` (cheap distinct-count compare).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("key"))
+        .unionByName(edges.select(F.col("dst").alias("key")))
+        .distinct()
+        .select(F.xxhash64("key").alias("id"), "key")
+    )
+    id_edges = edges.select(
+        F.xxhash64("src").alias("src"),
+        F.xxhash64("dst").alias("dst"),
+        "weight",
+    )
+    return nodes, id_edges
+
+
+def assert_no_id_collisions(nodes: DataFrame) -> None:
+    n_keys = nodes.select("key").distinct().count()
+    n_ids = nodes.select("id").distinct().count()
+    if n_keys != n_ids:
+        raise RuntimeError(
+            f"xxhash64 id collision: {n_keys} keys -> {n_ids} ids"
+        )

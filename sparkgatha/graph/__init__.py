@@ -1,0 +1,20 @@
+"""Graph operator suite (SURVEY.md §2.11) — plain DataFrame join+agg
+supersteps; no GraphFrames/GraphX dependency."""
+
+from sparkgatha.graph.degrees import degrees, in_degrees, out_degrees
+from sparkgatha.graph.pagerank import pagerank
+from sparkgatha.graph.cc import connected_components
+from sparkgatha.graph.lpa import label_propagation
+from sparkgatha.graph.triangles import triangle_counts
+from sparkgatha.graph.paths import shortest_paths
+
+__all__ = [
+    "degrees",
+    "in_degrees",
+    "out_degrees",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_counts",
+    "shortest_paths",
+]

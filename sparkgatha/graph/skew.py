@@ -1,0 +1,113 @@
+"""G10/J9 — explicit skew handling: hot-vertex mirroring + salted joins
+(SURVEY.md §2.11 G10, §2.3 J9).
+
+Reference analog: AGATHA's hub terms (ubiquitous lemmas / common code
+identifiers in the graft) are super-nodes; the reference controls them
+*semantically* with frequency cutoffs before graph construction
+(SURVEY.md §4.1) — extract.extract_cooccurrence_edges(max_df=...) keeps
+that lever.  At 10^12-file scale cutoffs alone don't suffice, so the
+north rule adds *mechanical* mitigation: "degree-skew hot vertices are
+split via high-degree vertex mirroring before the shuffle".
+
+Two algebraically-exact tools (results identical with skew handling on
+or off — test layer L7):
+
+ * ``salted_agg`` — two-level aggregation: rows of a hot key first
+   aggregate under (key, salt) across K partitions, then the K partials
+   combine.  Exact for any algebraic agg (sum/min/max/count).  Note
+   Spark's own map-side partial aggregation already bounds reduce skew
+   for these; salting matters when the *map-side hash table* degrades
+   or for high-cardinality composite aggs.
+
+ * ``mirrored_join`` — broadcast the hot keys' build rows (they are few
+   keys × small payload), shuffle-join only the cold remainder, union.
+   The hot side never hits a shuffle partition at all — "mirroring": the
+   hub's state is replicated to every executor instead of gathering the
+   hub's edges onto one reducer.  AQE's skewJoin splits oversized
+   partitions too (enabled in session.py); this is the deterministic,
+   plan-visible variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
+    """Keys whose row count exceeds ``threshold`` (the mirror set)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") > threshold)
+        .select(key)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    agg: str = "sum",
+    num_salts: int = 16,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level exact aggregation: groupBy(key, salt) → groupBy(key).
+
+    ``agg`` ∈ {sum, min, max, count} (algebraic decompositions).
+    If ``hot`` is given, only those keys are salted; cold keys take the
+    one-level path and the two unions back together.
+    """
+    fns = {
+        "sum": (F.sum, F.sum),
+        "min": (F.min, F.min),
+        "max": (F.max, F.max),
+        "count": (F.count, F.sum),
+    }
+    partial_fn, final_fn = fns[agg]
+
+    def two_level(d: DataFrame) -> DataFrame:
+        salted = d.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+        )
+        partial = salted.groupBy(key, "_salt").agg(
+            partial_fn(value).alias("_p")
+        )
+        return partial.groupBy(key).agg(final_fn("_p").alias(value))
+
+    if hot is None:
+        return two_level(df)
+    hot_b = F.broadcast(hot)
+    hot_rows = df.join(hot_b, key, "left_semi")
+    cold_rows = df.join(hot_b, key, "left_anti")
+    one_level = cold_rows.groupBy(key).agg(partial_fn(value).alias(value))
+    return two_level(hot_rows).unionByName(one_level)
+
+
+def mirrored_join(
+    big: DataFrame,
+    state: DataFrame,
+    big_key: str,
+    state_key: str,
+    threshold: int = 100_000,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Equi-join ``big ⋈ state`` with hub keys replicated (broadcast)
+    instead of shuffled — exact same rows as a plain inner join.
+
+    ``hot`` overrides detection (pass the precomputed mirror set at
+    superstep time so detection isn't re-run per iteration).
+    """
+    if hot is None:
+        hot = hot_keys(big, big_key, threshold)
+    hot = hot.select(F.col(big_key).alias("_hk"))
+    hot_b = F.broadcast(hot)
+
+    big_hot = big.join(hot_b, big[big_key] == F.col("_hk"), "left_semi")
+    big_cold = big.join(hot_b, big[big_key] == F.col("_hk"), "left_anti")
+    state_hot = state.join(hot_b, state[state_key] == F.col("_hk"), "left_semi")
+
+    joined_hot = big_hot.join(
+        F.broadcast(state_hot), big_hot[big_key] == state_hot[state_key]
+    )
+    joined_cold = big_cold.join(state, big_cold[big_key] == state[state_key])
+    return joined_hot.unionByName(joined_cold)

@@ -1,0 +1,80 @@
+"""G7 — triangle counting via degree-ordered wedge join (SURVEY.md §2.11 G7).
+
+The classic MapReduce scheme (Suri & Vassilvitskii, "Counting Triangles
+and the Curse of the Last Reducer", WWW 2011): orient every undirected
+edge from the lower-(degree, id) endpoint to the higher one — hubs then
+have tiny out-degree, so the wedge self-join (J6) never explodes on a
+hot vertex.  Wedges (a→b, a→c) complete to triangles iff (b→c) is in the
+oriented edge set (U2 intersect, expressed as a semi-joinable inner join
+so each triangle is found exactly once).
+
+Exact bar: per-vertex counts match ``networkx.triangles`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edges oriented by (degree, id)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("vertex"))
+        .unionByName(und.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("vertex").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("vertex").alias("v"), F.col("deg").alias("dv"))
+    withdeg = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return withdeg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(vertex long, n_triangles long), exact, plus isolated endpoints 0.
+
+    Global triangle count = sum(n_triangles) / 3 (each triangle counted
+    once per corner here, not once per orientation).
+    """
+    o = _oriented(edges).localCheckpoint(eager=True)
+    # wedges at pivot a: (a→b, a→c) with b < c to canonicalize
+    e1 = o.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    e2 = o.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+    closing = o.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])  # one row per triangle
+    per_corner = (
+        tris.select(F.col("p").alias("vertex"))
+        .unionByName(tris.select(F.col("x").alias("vertex")))
+        .unionByName(tris.select(F.col("y").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    return vertices.join(per_corner, "vertex", "left").select(
+        "vertex", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def global_triangle_count(edges: DataFrame) -> int:
+    row = triangle_counts(edges).agg(F.sum("n_triangles").alias("s")).collect()[0]
+    return int((row["s"] or 0) // 3)

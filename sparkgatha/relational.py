@@ -1,0 +1,947 @@
+"""M6 — the relational operator surface (SURVEY.md §2.2–2.9) as a
+registry of (Spark callable, DuckDB oracle SQL) pairs.
+
+Every entry is checked by the driver at sf0.01: row-count + schema +
+order-insensitive value-hash of the Spark result vs the DuckDB result.
+Conventions that keep the hash comparison stable across engines:
+  * every computed column is aliased IDENTICALLY on both sides;
+  * double aggregates are rounded (round 4) — fp addition order differs
+    between engines and rounding absorbs the ~1e-12 noise;
+  * timestamps leave the result as epoch-second BIGINTs (no tz/format
+    ambiguity in the hash);
+  * cross-engine hashing uses md5/sha256 only (identical in both);
+    engine-internal ids may use xxhash64 but never in a checked output;
+  * arrays are serialized to strings (concat_ws / array_to_string).
+
+Reference analog: AGATHA has no SQL surface (Dask bags — SURVEY.md §2.3);
+this surface is the engine's own query capability over the same shapes,
+pinned by the driver's DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from sparkgatha.io import read_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None = not SQL-expressible → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / dedup / sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS disc_price
+    FROM lineitem
+    """,
+)
+def q_project(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "disc_price"
+        ),
+    )
+
+
+@register(
+    "q_filter",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F','P')
+      AND o_totalprice BETWEEN 1000 AND 100000
+      AND o_orderpriority LIKE '1-%'
+      AND NOT (o_custkey IS NULL)
+    """,
+)
+def q_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(1000, 100000)
+        & F.col("o_orderpriority").like("1-%")
+        & ~F.col("o_custkey").isNull()
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("total"),
+    )
+
+
+@register(
+    "q_dedup",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def q_dedup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_join_broadcast",
+    """
+    SELECT n.n_name, r.r_name, count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q_join_smj",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_smj(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # hint the shuffle side: both large → sort-merge
+    return (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_outer",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_selfjoin_cooc",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+      WHERE t.term NOT IN ('a','the') AND t.term <> ''
+    )
+    SELECT a.term AS src, b.term AS dst, count(*) AS weight
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+    """,
+)
+def q_selfjoin_cooc(spark, sf_dir):
+    """J6 self-join form of co-occurrence pairing — doubles as the DuckDB
+    oracle for G1 extraction semantics (same output as the mapInPandas
+    path, checked against it in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: (t != "") & ~t.isin("a", "the"),
+                )
+            )
+        ).alias("term"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("src"), F.col("b.term").alias("dst")
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+@register(
+    "q_join_range",
+    """
+    SELECT e1.event_id AS eid, count(*) AS n_following
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND epoch(e2.ts) <= epoch(e1.ts) + 600
+    WHERE e1.event_type = 'purchase'
+    GROUP BY e1.event_id
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """J7 theta/range join: events within 10 minutes after each purchase
+    by the same user (equi key bounds the blowup; the range predicate
+    refines)."""
+    e = _t(spark, sf_dir, "events")
+    e1 = e.filter(F.col("event_type") == "purchase").alias("e1")
+    e2 = e.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (
+                F.unix_timestamp("e2.ts")
+                <= F.unix_timestamp("e1.ts") + 600
+            ),
+        )
+        .groupBy(F.col("e1.event_id").alias("eid"))
+        .agg(F.count("*").alias("n_following"))
+    )
+
+
+@register(
+    "q_asof",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_view_value,
+             event_type
+      FROM events
+    )
+    SELECT event_id, round(coalesce(last_view_value, -1.0), 4) AS asof_view_value
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def q_asof(spark, sf_dir):
+    """J8 as-of join (nearest ≤ t): value of the most recent 'view'
+    event at or before each 'purchase', per user — union+window form,
+    not a native join (SURVEY.md §2.3 J8)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = e.withColumn(
+        "last_view_value",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.round(F.coalesce("last_view_value", F.lit(-1.0)), 4).alias(
+            "asof_view_value"
+        ),
+    )
+
+
+@register(
+    "q_crossjoin_knn",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_crossjoin_knn(spark, sf_dir):
+    """J10 guarded cartesian: brute-force cosine top-k against one query
+    vector (the baseline for similarity search; G8)."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    e = e.select("vec_id", emb_d.alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("v")) * norm(F.col("qv"))), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg(spark, sf_dir):
+    """A1: TPC-H Q1-shaped hash aggregate (partial+final via Catalyst)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark, sf_dir):
+    """A2 exact distinct agg. The scale path is approx_count_distinct
+    (HLL) — engine-specific sketches, so the *approximate* variant is
+    covered by pytest bounds, not the cross-engine hash (SURVEY.md A2)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT grouping_id(l_returnflag, l_linestatus) AS gid,
+           l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty")
+    )
+
+
+@register(
+    "q_cube",
+    """
+    SELECT grouping_id(o_orderstatus, o_orderpriority) AS gid,
+           o_orderstatus, o_orderpriority,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+        .select("gid", "o_orderstatus", "o_orderpriority", "n")
+    )
+
+
+@register(
+    "q_adjacency",
+    """
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(s_name)), ',') AS suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q_adjacency(spark, sf_dir):
+    """A4 collect-list adjacency packing (the reference's key→[neighbors]
+    SQLite export shape, SURVEY.md §2.4 A4) — serialized to a sorted
+    string for the cross-engine hash."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias(
+                "suppliers"
+            )
+        )
+    )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.col("O"), 2).alias("qty_O"),
+        F.round(F.col("F"), 2).alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_rank",
+    """
+    SELECT c_nationkey, c_custkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_window_lag",
+    """
+    SELECT event_id, user_id,
+           round(coalesce(lag(value)  OVER w, -1.0), 4) AS prev_value,
+           round(coalesce(lead(value) OVER w, -1.0), 4) AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 4).alias(
+            "prev_value"
+        ),
+        F.round(F.coalesce(F.lead("value").over(w), F.lit(-1.0)), 4).alias(
+            "next_value"
+        ),
+    )
+
+
+@register(
+    "q_window_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_window_frame(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT p_brand, p_partkey, round(p_retailprice, 4) AS price,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 4).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k   §2.7 set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sort",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def q_sort(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 4).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q_topk",
+    """
+    SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+        .orderBy(F.col("acctbal").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_union",
+    """
+    SELECT nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+)
+def q_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q_intersect",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "q_except",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.distinct().subtract(s.distinct())
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions (string / hash / date / math / array / json)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_string",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lc,
+           substr(p_type, 1, 5) AS type5,
+           length(p_name) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           trim(upper(p_brand)) AS brand_uc
+    FROM part
+    """,
+)
+def q_string(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.trim(F.upper("p_brand")).alias("brand_uc"),
+    )
+
+
+@register(
+    "q_hash_sha256",
+    """
+    SELECT doc_id, sha256(text) AS text_sha, md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def q_hash_sha256(spark, sf_dir):
+    """The BASELINE.json per-row invariant function (sha256 of content)
+    exercised as a checked query — Spark sha2 ≡ DuckDB sha256."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_sha"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@register(
+    "q_date",
+    """
+    SELECT o_orderkey,
+           epoch(date_trunc('month', o_orderdate))::BIGINT AS month_start_epoch,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mon,
+           (dayofweek(o_orderdate) + 1) AS dow,
+           datediff('day', timestamp '1995-01-01 00:00:00', o_orderdate) AS days_since
+    FROM orders
+    """,
+)
+def q_date(spark, sf_dir):
+    # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday → oracle +1
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
+            "month_start_epoch"
+        ),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since"),
+    )
+
+
+@register(
+    "q_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(ln(1 + l_discount), 6) AS log1p_disc,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(pow(l_tax, 2), 6) AS tax_sq,
+           round(abs(l_extendedprice - 1000.0), 4) AS abs_diff,
+           round(greatest(l_tax, l_discount), 4) AS max_rate,
+           round(least(l_tax, l_discount), 4) AS min_rate
+    FROM lineitem
+    """,
+)
+def q_math(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log1p("l_discount"), 6).alias("log1p_disc"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_tax", F.lit(2)), 6).alias("tax_sq"),
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_diff"),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 4).alias("min_rate"),
+    )
+
+
+@register(
+    "q_array_dot",
+    """
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6)
+             AS self_dot,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def q_array_dot(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(dot, 6).alias("self_dot"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "q_json_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    """,
+)
+def q_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.element_at(
+            F.from_json("props", "map<string,int>"), "k"
+        ).alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming window ops (batch-equivalent semantics; streaming-mode
+# execution is covered by tests/test_streaming.py over readStream)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_tumbling",
+    """
+    SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS win_start_epoch,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("win_start_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    """
+    SELECT (floor(epoch(ts) / 300) * 300 - o.off)::BIGINT AS win_start_epoch,
+           event_type, count(*) AS n
+    FROM events, (VALUES (0), (300)) o(off)
+    GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark, sf_dir):
+    # 10-minute windows sliding every 5: each event lands in exactly 2
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("win_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_window_session",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch(ts) AS ep,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+      FROM events
+    ), s AS (
+      SELECT user_id, ep,
+             sum(CASE WHEN pe IS NULL OR ep - pe >= 300 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ep, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM e
+    )
+    SELECT user_id, floor(min(ep))::BIGINT AS session_start_epoch, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_window_session(spark, sf_dir):
+    """ST3 session windows (5-minute gap) — the oracle is the classic
+    gaps-and-islands rewrite; a new session starts when the gap >= the
+    timeout (Spark's session end is exclusive: [start, last+gap))."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_epoch"),
+            "n_events",
+        )
+    )

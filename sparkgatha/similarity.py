@@ -1,0 +1,164 @@
+"""G8 + ANN similarity search over embedding columns (SURVEY.md §2.11 G8;
+task brief: similarity search as a first-class component).
+
+Reference analog: AGATHA builds sentence-kNN edges with FAISS over
+SciBERT vectors (agatha/construct/knn_util.py — SURVEY.md §2.11 G8).
+The Spark-native ladder:
+
+ * brute-force cosine top-k (q_knn_topk_per_vec / q_crossjoin_knn) —
+   exact baseline, crossJoin under a row-count guard;
+ * random-hyperplane LSH bucketing (embedding_lsh_buckets) — the scale
+   path: sign-pattern buckets turn all-pairs into within-bucket joins.
+   Hyperplanes are seeded-deterministic (NumPy PCG64), broadcast as
+   literals into a JVM-side expression — no Python in the probe path;
+ * ann_topk — bucket-probed top-k with a brute-force fallback column
+   layout identical to the exact path, so callers can A/B recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from sparkgatha.relational import _t, register
+
+N_PLANES = 8  # 2^8 buckets
+
+
+def _as_double(col="embedding"):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@register(
+    "q_knn_topk_per_vec",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    )
+    SELECT qid, nid, round(c, 4) AS cos FROM (
+      SELECT qid, nid, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def q_knn_topk_per_vec(spark, sf_dir):
+    """Exact kNN (k=5) for the first 20 query vectors: crossJoin +
+    cosine + W4 top-k-per-group.  The all-pairs side is the guarded
+    baseline; ann_topk is the scale path."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine(F.col("qv"), F.col("v")).alias("c"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "nid", F.round("c", 4).alias("cos"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def embedding_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket int) — random-hyperplane sign LSH.
+
+    The planes are driver-side constants baked into a JVM expression
+    (array literals + zip_with), so bucketing runs in whole-stage
+    codegen: no UDF, no shuffle.  Cosine-similar vectors share sign
+    patterns with high probability; near-dup search joins on bucket.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    v = _as_double(vec_col)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, plane_lit) >= 0, 1).otherwise(0)
+        bucket = bucket + bit * (1 << i)
+    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed approximate kNN: join within LSH buckets only, then
+    top-k per query.  Recall < 1 by construction (single probe); tested
+    against the exact path for recall ≥ threshold in tests."""
+    e = embeddings.select("vec_id", _as_double().alias("v"))
+    b = embedding_lsh_buckets(embeddings, dim, n_planes, seed)
+    eb = e.join(b, "vec_id")
+    a = eb.select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
+    pairs = (
+        a.join(eb, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"),
+                cosine(F.col("qv"), F.col("v")).alias("c"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", F.col("c").alias("cos"))
+    )
+
+
+@register(
+    "q_embed_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embed_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(_norm(_as_double()), 4).alias("l2_norm"),
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis suite over ``documents`` — language-ID heuristic,
+quality scoring, token counting, document fingerprinting (task brief:
+training-data pipeline operators, graded alongside SURVEY.md §2).
+
+Reference analog: AGATHA's text_util phase computes per-sentence token
+stats and filters short/low-quality sentences before graph construction
+(agatha/construct/text_util.py — SURVEY.md §2.2 P2); these operators are
+the same shape re-pointed at corpus curation.  Everything is JVM-side
+expression work (whole-stage codegen); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkgatha.relational import _t, register
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "q_token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_unique,
+           length(text) AS n_bytes
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+@register(
+    "q_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, x -> x IN ('the','a','of','and','to')))  AS s_en,
+             len(list_filter({_TOKS}, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter({_TOKS}, x -> x IN ('le','la','les','et','est')))  AS s_fr,
+             len(list_filter({_TOKS}, x -> x IN ('el','la','los','y','es')))   AS s_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-marker language ID (n-gram heuristic family): score each
+    language by marker-token hits, deterministic priority tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    s_en, s_de, s_fr, s_es = (scores[x] for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when(F.greatest(s_en, s_de, s_fr, s_es) == 0, "und")
+        .when(s_en >= F.greatest(s_de, s_fr, s_es), "en")
+        .when(s_de >= F.greatest(s_fr, s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "q_quality_score",
+    f"""
+    WITH stats AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tok,
+             length(text) AS n_chr,
+             len(list_filter({_TOKS}, x -> x IN ('a','the'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           round(n_chr * 1.0 / greatest(n_tok, 1), 4) AS avg_tok_len,
+           round(n_stop * 1.0 / greatest(n_tok, 1), 4) AS stop_ratio,
+           CASE WHEN n_tok >= 10 AND n_chr * 1.0 / greatest(n_tok, 1) BETWEEN 2 AND 12
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM stats
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length / avg-token-length / stopword-ratio gates
+    (the reference's min-length sentence filter, generalized)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    n_tok = F.size(toks)
+    n_chr = F.length("text")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    avg_len = n_chr / F.greatest(n_tok, F.lit(1))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.round(avg_len, 4).alias("avg_tok_len"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stop_ratio"),
+        F.when((n_tok >= 10) & avg_len.between(2, 12), 1)
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (rolling-hash family; md5 keeps it cross-engine-checkable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fp"
+        ),
+    )

@@ -1,0 +1,127 @@
+"""Shared golden-test helpers: seeded graphs + pure-Python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_graph(n=120, m=400, seed=42, weighted=True):
+    """Seeded undirected edge list [(u, v, w)], no self-loops, deduped."""
+    rng = np.random.default_rng(seed)
+    seen = {}
+    while len(seen) < m:
+        u = int(rng.integers(0, n))
+        v = int(rng.integers(0, n))
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        if (a, b) not in seen:
+            seen[(a, b)] = float(rng.uniform(0.1, 2.0)) if weighted else 1.0
+    return [(a, b, w) for (a, b), w in sorted(seen.items())]
+
+
+def powerlaw_graph(n=500, m=3000, seed=7, hub_frac=0.3):
+    """Power-law-ish graph with one designated hub ≈ hub_frac of edges."""
+    rng = np.random.default_rng(seed)
+    probs = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** 1.1
+    probs /= probs.sum()
+    seen = {}
+    # the hub can have at most n-1 distinct neighbors; cap below that so
+    # the distinct-pair rejection loop always terminates
+    n_hub = min(int(m * hub_frac), int(0.8 * (n - 1)))
+    while len(seen) < m:
+        if len(seen) < n_hub:
+            u = 0  # designated hub
+            v = int(rng.choice(n, p=probs))
+        else:
+            u = int(rng.choice(n, p=probs))
+            v = int(rng.choice(n, p=probs))
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        if (a, b) not in seen:
+            seen[(a, b)] = float(rng.uniform(0.1, 2.0))
+    return [(a, b, w) for (a, b), w in sorted(seen.items())]
+
+
+def to_spark_edges(spark, triples, symmetric=True):
+    """Directed Spark edge DF from undirected triples."""
+    rows = [(int(a), int(b), float(w)) for a, b, w in triples]
+    if symmetric:
+        rows = rows + [(b, a, w) for a, b, w in rows]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def nx_graph(triples):
+    import networkx as nx
+
+    g = nx.Graph()
+    for a, b, w in triples:
+        g.add_edge(a, b, weight=w)
+    return g
+
+
+def pagerank_oracle(directed_edges, alpha=0.85, tol=1e-12, max_iter=500):
+    """Pure-Python PageRank power iteration — the exact algorithm of
+    networkx.pagerank (scipy is absent in this sandbox): row-stochastic
+    by weighted out-degree, uniform teleport, dangling mass spread
+    uniformly, stop when L1 delta < N * tol.
+
+    ``directed_edges``: iterable of (u, v, w) — pass both orientations
+    for undirected graphs.
+    """
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v, w in directed_edges:
+        adj[u].append((v, float(w)))
+        nodes.add(u)
+        nodes.add(v)
+    n = len(nodes)
+    outw = {u: sum(w for _, w in nbrs) for u, nbrs in adj.items()}
+    dangling = [v for v in nodes if outw.get(v, 0.0) == 0.0]
+    x = {v: 1.0 / n for v in nodes}
+    for _ in range(max_iter):
+        xlast = x
+        x = {v: 0.0 for v in nodes}
+        danglesum = alpha * sum(xlast[v] for v in dangling)
+        for u, nbrs in adj.items():
+            for v, w in nbrs:
+                x[v] += alpha * xlast[u] * w / outw[u]
+        for v in nodes:
+            x[v] += danglesum / n + (1.0 - alpha) / n
+        if sum(abs(x[v] - xlast[v]) for v in nodes) < n * tol:
+            break
+    return x
+
+
+def undirected_both(triples):
+    return [(a, b, w) for a, b, w in triples] + [
+        (b, a, w) for a, b, w in triples
+    ]
+
+
+def lpa_oracle(triples, max_iter=20):
+    """Pure-Python synchronous min-label LPA — the pinned golden rule
+    (SURVEY.md §7.4.1): adopt the neighbor label with max total incident
+    weight, ties to smallest label; stop on zero changes."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b, w in triples:
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    labels = {v: v for v in adj}
+    for _ in range(max_iter):
+        new = {}
+        for v in adj:
+            votes = defaultdict(float)
+            for u, w in adj[v]:
+                votes[labels[u]] += w
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        if new == labels:
+            break
+        labels = new
+    return labels

@@ -1,0 +1,93 @@
+"""G1/G2 extraction + M1 corpus tests (L3 determinism, L4 sha invariant)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgatha.corpus import generate_corpus, sha_manifest, verify_sha256
+from sparkgatha.extract import (
+    assert_no_id_collisions,
+    extract_cooccurrence_edges,
+    node_ids,
+    symmetrize,
+)
+from sparkgatha.io import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extraction_matches_selfjoin_oracle(spark):
+    """The mapInPandas pair-expander must produce exactly the edges the
+    declarative self-join form produces (q_selfjoin_cooc semantics)."""
+    docs = read_table(spark, SF, "documents")
+    fast = extract_cooccurrence_edges(docs)
+    from sparkgatha.relational import REGISTRY
+    slow = REGISTRY["q_selfjoin_cooc"].fn(spark, SF).withColumnRenamed(
+        "weight", "w2"
+    )
+    joined = fast.join(slow, ["src", "dst"], "full_outer")
+    bad = joined.filter(
+        F.col("weight").isNull()
+        | F.col("w2").isNull()
+        | (F.col("weight") != F.col("w2"))
+    ).count()
+    assert bad == 0
+
+
+def test_extraction_deterministic_across_partitionings(spark):
+    docs = read_table(spark, SF, "documents")
+    e2 = extract_cooccurrence_edges(docs.repartition(2)).collect()
+    e16 = extract_cooccurrence_edges(docs.repartition(16)).collect()
+    assert sorted(map(tuple, e2)) == sorted(map(tuple, e16))
+
+
+def test_max_df_drops_hub_terms(spark):
+    docs = read_table(spark, SF, "documents")
+    full = extract_cooccurrence_edges(docs)
+    cut = extract_cooccurrence_edges(docs, max_df=0.5)
+    assert cut.count() < full.count()
+    # surviving terms all have df <= 0.5 * n_docs
+    from sparkgatha.extract import tokenize
+    n_docs = docs.count()
+    df_counts = (
+        tokenize(docs).select(F.explode("terms").alias("t"))
+        .groupBy("t").count()
+    )
+    hot = {r["t"] for r in df_counts.filter(F.col("count") > 0.5 * n_docs).collect()}
+    terms_used = {r["src"] for r in cut.select("src").distinct().collect()} | {
+        r["dst"] for r in cut.select("dst").distinct().collect()
+    }
+    assert not (hot & terms_used)
+
+
+def test_node_ids_no_collisions(spark):
+    docs = read_table(spark, SF, "documents")
+    edges = symmetrize(extract_cooccurrence_edges(docs))
+    nodes, id_edges = node_ids(edges)
+    assert_no_id_collisions(nodes)
+    assert id_edges.count() == edges.count()
+
+
+def test_corpus_deterministic_and_sha_verified(spark):
+    c1 = generate_corpus(spark, 200, num_partitions=4)
+    c2 = generate_corpus(spark, 200, num_partitions=13)
+    r1 = sorted(map(tuple, c1.collect()))
+    r2 = sorted(map(tuple, c2.collect()))
+    assert r1 == r2  # partition-count independent
+    m = sha_manifest(c1)
+    assert verify_sha256(c2, m) == 0  # L4 per-row sha256 invariant
+    # corrupting one row is detected
+    bad = c1.withColumn(
+        "content",
+        F.when(F.col("repo") == "org0/repo0", F.lit("tampered")).otherwise(
+            F.col("content")
+        ),
+    )
+    assert verify_sha256(bad, m) > 0
+
+
+def test_corpus_schema(spark):
+    c = generate_corpus(spark, 50, num_partitions=2)
+    assert [f.name for f in c.schema.fields] == [
+        "repo", "path", "commit", "lang", "content",
+    ]
+    assert c.count() == 50

@@ -1,0 +1,173 @@
+"""L2 — NetworkX-golden tests for the graph suite (SURVEY.md §5.2).
+
+Bars from BASELINE.json: PageRank allclose 1e-6; components / labels /
+triangle counts exact.
+"""
+
+import numpy as np
+import networkx as nx
+import pytest
+
+from graph_helpers import (
+    lpa_oracle,
+    nx_graph,
+    pagerank_oracle,
+    powerlaw_graph,
+    random_graph,
+    to_spark_edges,
+    undirected_both,
+)
+
+from sparkgatha.graph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    shortest_paths,
+    triangle_counts,
+)
+from sparkgatha.graph.triangles import global_triangle_count
+
+
+@pytest.fixture(scope="module")
+def triples():
+    return random_graph(n=120, m=400, seed=42)
+
+
+def test_pagerank_iterate_equivalence(spark, triples):
+    """Strict semantic check: after exactly k supersteps the engine's
+    iterate equals the oracle's k-th iterate to fp precision (1e-12) —
+    implies the allclose-1e-6 bar at convergence for any k."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    res = pagerank(edges, alpha=0.85, tol=0.0, max_iter=25)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(
+        undirected_both(triples), alpha=0.85, tol=0.0, max_iter=25
+    )
+    assert set(got) == set(want)
+    g = np.array([got[k] for k in sorted(got)])
+    w = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(g, w, atol=1e-12)
+    assert abs(g.sum() - 1.0) < 1e-9  # L3 invariant: ranks sum to 1
+
+
+def test_pagerank_converged_allclose_1e6(spark):
+    """BASELINE.json bar verbatim: converged scores allclose 1e-6 vs the
+    reference oracle run to 1e-12."""
+    triples = random_graph(n=60, m=150, seed=3)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    res = pagerank(edges, alpha=0.85, tol=1e-9, max_iter=150)
+    assert res.converged
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(undirected_both(triples), alpha=0.85, tol=1e-12)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+    # delta curve is monotone-ish decreasing: last delta far below first
+    assert res.deltas[-1] < res.deltas[0] * 1e-3
+
+
+def test_pagerank_dangling_mass(spark):
+    # directed chain with a dangling sink: 0→1→2, 3 isolated via edge 3→0
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (3, 0, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    res = pagerank(edges, alpha=0.85, tol=0.0, max_iter=30)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(rows, alpha=0.85, tol=0.0, max_iter=30)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_connected_components_exact(spark):
+    # three components, ids chosen so min-id labels are nontrivial
+    triples = [
+        (5, 9, 1.0), (9, 17, 1.0), (17, 3, 1.0),     # comp min 3
+        (100, 200, 1.0), (200, 150, 1.0),            # comp min 100
+        (7, 8, 1.0),                                 # comp min 7
+    ]
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    g = nx_graph(triples)
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            assert got[v] == m
+    assert len(got) == g.number_of_nodes()
+
+
+def test_connected_components_random(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    for comp in nx.connected_components(nx_graph(triples)):
+        m = min(comp)
+        for v in comp:
+            assert got[v] == m
+
+
+def test_cc_idempotent(spark, triples):
+    # L3 invariant: running CC on the star output changes nothing
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    labels1 = connected_components(edges)
+    star = labels1.selectExpr(
+        "vertex as src", "component as dst", "1.0 as weight"
+    ).filter("src != dst")
+    labels2 = connected_components(star)
+    diff = (
+        labels1.join(labels2, "vertex")
+        .filter(labels1.component != labels2.component)
+        .count()
+    )
+    assert diff == 0
+
+
+def test_triangles_match_networkx(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {
+        r["vertex"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+    want = nx.triangles(nx_graph(triples))
+    assert got == want
+    total = global_triangle_count(edges)
+    assert total == sum(want.values()) // 3
+
+
+def test_lpa_matches_pinned_oracle(spark):
+    # two dense cliques + one bridge: stable communities under sync LPA
+    clique1 = [(a, b, 1.0) for a in range(0, 6) for b in range(a + 1, 6)]
+    clique2 = [(a, b, 1.0) for a in range(10, 16) for b in range(a + 1, 16)]
+    triples = clique1 + clique2 + [(5, 10, 0.1)]
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {r["vertex"]: r["label"] for r in label_propagation(edges, 20).collect()}
+    want = lpa_oracle(triples, 20)
+    assert got == want
+
+
+def test_shortest_paths_match_networkx(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {
+        r["vertex"]: r["distance"]
+        for r in shortest_paths(edges, source=0).collect()
+    }
+    want = nx.single_source_dijkstra_path_length(
+        nx_graph(triples), 0, weight="weight"
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_pagerank_powerlaw_hub(spark):
+    # skew-shaped graph: results still match (L7 correctness side)
+    triples = powerlaw_graph(n=200, m=800, seed=7)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    res = pagerank(edges, alpha=0.85, tol=0.0, max_iter=25)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    want = pagerank_oracle(
+        undirected_both(triples), alpha=0.85, tol=0.0, max_iter=25
+    )
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12

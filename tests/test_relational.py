@@ -1,0 +1,34 @@
+"""L1 — every REGISTRY query vs its DuckDB oracle at sf0.01
+(the driver's correctness gate, replicated locally)."""
+
+import pytest
+
+from oracle_harness import compare, duck_con
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+REGISTRY = entrymod._registry()
+ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, con, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    problems = compare(df, con, spec.oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_all_queries_return_rows(spark):
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            assert spec.fn(spark, SF_DIR).limit(1).count() >= 0, name
