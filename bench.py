@@ -1,14 +1,18 @@
 """Benchmark harness — prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Headline: PageRank superstep throughput (edges-processed/sec, the
-BASELINE.json north-star metric) on the co-occurrence graph extracted
-from $SPARK_GRAFT_SF_DIR documents, plus wall-clock for representative
-relational/dedup/graph queries.
+Headline metric (BASELINE.json north-star): PageRank
+edges-processed/sec per superstep on bench input B — the seeded
+power-law graph (~10^7 edges, hub ≈ 30%, FIXTURES.md §B) — measured
+over 10 supersteps after a 3-superstep JIT warm-up (BASELINE.md
+protocol: warm-up discarded).
+
+Also timed: the co-occurrence extraction spine on input A
+($SPARK_GRAFT_SF_DIR documents), the other graph algorithms, and
+representative relational/dedup/similarity queries.
 
 Runs on local[$SPARK_GRAFT_CPUS] (default 32).  The two-parallelism
-scaling-efficiency protocol (local[8] vs local[32], BASELINE.md) lives
-in bench/scaling.py; this file is the driver's per-round feedback loop.
+scaling-efficiency protocol (local[8] vs local[32]) is bench/scaling.py.
 """
 
 from __future__ import annotations
@@ -22,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EDGES_B = int(os.environ.get("SPARK_GRAFT_EDGES", "10000000"))
+WARMUP_STEPS = 3
+MEASURED_STEPS = 10
 
 
 def main() -> None:
@@ -31,13 +38,14 @@ def main() -> None:
     from sparkgatha.graph.cc import connected_components
     from sparkgatha.graph.triangles import triangle_counts
     from sparkgatha.io import read_table
+    from sparkgatha.synthetic import powerlaw_edges
     import __spark_entry__ as entrymod
 
     spark = get_spark(
         "sparkgatha-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "12g"},
     )
 
     queries: dict[str, float] = {}
@@ -45,30 +53,41 @@ def main() -> None:
     def timed(name, fn):
         t0 = time.monotonic()
         out = fn()
-        dt = time.monotonic() - t0
-        queries[name] = round(dt, 3)
+        queries[name] = round(time.monotonic() - t0, 3)
         return out
 
-    # --- graph spine: extract → ids → PageRank ---------------------------
+    # --- input B: power-law graph, the north-star metric -----------------
+    edges_b = timed(
+        "b_generate_powerlaw",
+        lambda: powerlaw_edges(
+            spark, N_EDGES_B, num_partitions=CPUS
+        ).localCheckpoint(eager=True),
+    )
+    n_edges_b = edges_b.count()
+
+    pagerank(edges_b, tol=0.0, max_iter=WARMUP_STEPS, num_partitions=CPUS)  # warm-up
+    t0 = time.monotonic()
+    pr = pagerank(edges_b, tol=0.0, max_iter=MEASURED_STEPS, num_partitions=CPUS)
+    queries["b_pagerank_10_supersteps"] = round(time.monotonic() - t0, 3)
+    superstep_total = sum(pr.superstep_wall_s)
+    edges_per_sec = n_edges_b * pr.iterations / superstep_total
+
+    timed("b_connected_components", lambda: connected_components(edges_b).count())
+
+    # --- input A: extraction spine + algorithms on the documents graph ---
     docs = read_table(spark, SF_DIR, "documents")
-    edges_raw = timed(
+    edges_a = timed(
         "g1_extract_edges",
         lambda: symmetrize(
             extract_cooccurrence_edges(docs, text_col="text")
         ).localCheckpoint(eager=True),
     )
-    n_edges = edges_raw.count()
-    _, id_edges = node_ids(edges_raw)
-
-    t0 = time.monotonic()
-    pr = pagerank(id_edges, alpha=0.85, tol=0.0, max_iter=10, num_partitions=CPUS)
-    pr_wall = time.monotonic() - t0
-    queries["g4_pagerank_10_supersteps"] = round(pr_wall, 3)
-    superstep_total = sum(pr.superstep_wall_s) or pr_wall
-    edges_per_sec = n_edges * pr.iterations / superstep_total
-
-    timed("g5_connected_components", lambda: connected_components(id_edges).count())
-    timed("g7_triangle_counts", lambda: triangle_counts(id_edges).count())
+    _, id_edges = node_ids(edges_a)
+    timed(
+        "a_pagerank_converged",
+        lambda: pagerank(id_edges, tol=1e-9, max_iter=60).ranks.count(),
+    )
+    timed("a_triangle_counts", lambda: triangle_counts(id_edges).count())
 
     # --- representative registry queries ---------------------------------
     reg = entrymod.queries()
@@ -79,8 +98,11 @@ def main() -> None:
         "q_selfjoin_cooc",
         "q_dedup_exact",
         "q_dedup_minhash",
+        "q_dedup_ngram_jaccard",
         "q_window_session",
         "q_knn_topk_per_vec",
+        "q_rollup",
+        "q_asof",
     ):
         if name in reg:
             fn = reg[name]
@@ -90,14 +112,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "pagerank_edges_processed_per_sec_per_superstep",
+                "metric": "pagerank_edges_per_sec_per_superstep",
                 "value": round(edges_per_sec, 1),
                 "unit": "sec",
                 "queries": queries,
                 "sf": SF_DIR,
                 "total_sec": total,
-                "n_edges": n_edges,
+                "n_edges_b": n_edges_b,
                 "supersteps": pr.iterations,
+                "superstep_walls_s": [round(w, 3) for w in pr.superstep_wall_s],
+                "strategy": pr.strategy,
+                "cpus": CPUS,
             }
         )
     )

@@ -8,23 +8,39 @@ when the L1 delta < N * tol (NetworkX's stopping rule).  Float64
 throughout; fp-addition-order noise across partitionings is absorbed by
 the 1e-6 tolerance (SURVEY.md §4.3.4).
 
-Superstep shape (SURVEY.md §3.4) — exactly one action per iteration:
+Two physical strategies, one semantics (chosen by ``strategy``):
 
-    contrib   = edges_norm ⋈ ranks ON src = vertex      (SMJ/SHJ; the
-                edge side is hash-partitioned once by G11 and never
-                re-shuffles — only the small rank state moves)
-    gathered  = contrib.groupBy(dst).sum                (partial+final agg;
-                map-side combine bounds reduce-side skew at sum())
-    new_ranks = vertices ⟕ gathered                     (dangling keep mass)
-    one collect returns (delta_l1, active, next danglesum) together.
+``broadcast`` (default while the rank vector fits executor memory —
+  the 10^6–10^7-vertex regime):
+    * edges are hash-partitioned by **dst** once (G11 layout) and
+      never move again;
+    * each superstep broadcasts the rank vector into a
+      BroadcastHashJoin, and the groupBy(dst) aggregation is
+      **partition-local** (child partitioning already hash(dst)) —
+      a zero-shuffle superstep;
+    * the vertex table is hash(vertex)-partitioned, so the
+      rank-update join and the stats join are co-partitioned too.
 
-Checkpointing (G12) doubles as lineage truncation so the plan stays O(1)
-per superstep; resume continues from the largest complete iteration.
+``shuffle`` (the 10^12-file regime, rank vector too big to broadcast):
+    * edges hash-partitioned by **src**, normalized in place via a
+      window (no extra shuffle — the window's required distribution
+      IS the layout);
+    * per superstep only the small rank state shuffles into a
+      sort-merge join; contributions shuffle once into groupBy(dst).
+
+Superstep actions: exactly ONE Spark job — the stats collect returns
+(delta_l1, active count, next danglesum) together and materializes the
+lazily local-checkpointed next state as a side effect.  Checkpointing
+(G12) doubles as lineage truncation so the plan stays O(1) per
+superstep; resume continues from the largest complete iteration.
+
+AQE is scoped off inside the loop (sparkgatha/util.py:no_aqe — measured
+15-30x superstep regression with it on).
 
 Reference analog: AGATHA itself never runs PageRank — its iterative
 analog is PyTorch-BigGraph training over the same graph (out of scope,
-SURVEY.md §2.12); the north rule substitutes the four classic link-graph
-algorithms over the co-occurrence graph.
+SURVEY.md §2.12); the north rule substitutes the four classic
+link-graph algorithms over the co-occurrence graph.
 """
 
 from __future__ import annotations
@@ -32,12 +48,15 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sparkgatha.graph.checkpoint import CheckpointManager
 from sparkgatha.graph.metrics import MetricsSink, partition_fingerprints, state_fingerprint
-from sparkgatha.graph.partitioning import layout_edges
 from sparkgatha.util import no_aqe
+
+#: above this vertex count the rank vector stops being broadcastable
+BROADCAST_MAX_VERTICES = 20_000_000
 
 
 @dataclass
@@ -49,30 +68,85 @@ class PageRankResult:
     superstep_wall_s: list[float] = field(default_factory=list)
     n_vertices: int = 0
     n_edges: int = 0
+    strategy: str = "broadcast"
 
 
-def _prepare(edges: DataFrame, num_partitions: int):
-    """Static per-run tables: normalized edges (G11 layout) + vertex set
-    with dangling flags.  Both persisted; edges never re-shuffle."""
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    edges_norm = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("w"))
+def _vertices(edges: DataFrame) -> DataFrame:
+    """(vertex, has_out) in ONE shuffle: explode both endpoints with an
+    out-flag and max-aggregate."""
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("vertex"), F.lit(1).alias("f")),
+                F.struct(F.col("dst").alias("vertex"), F.lit(0).alias("f")),
+            )
+        ).alias("e")
+    ).select("e.vertex", "e.f")
+    return (
+        both.groupBy("vertex")
+        .agg((F.max("f") == 1).alias("has_out"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges_norm = layout_edges(edges_norm, num_partitions, key="src")
 
-    srcs = edges.select(F.col("src").alias("vertex")).distinct()
-    vertices = (
-        edges.select(F.col("src").alias("vertex"))
-        .unionByName(edges.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .join(srcs.withColumn("_has_out", F.lit(True)), "vertex", "left")
-        .select(
-            "vertex", F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out")
+
+def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
+             hot_threshold: int | None = None):
+    """Static per-run tables.  Edge tables are laid out ONCE (G11) and
+    never re-shuffle inside the loop.
+
+    Broadcast mode applies G10 hot-vertex mirroring at layout time: a
+    vertex whose in-degree exceeds ``hot_threshold`` (default
+    max(edges/partitions/4, 16384)) would otherwise put all its edges
+    in one hash(dst) partition and cap scaling at that straggler.  Hot
+    vertices' edges are spread across ALL partitions by an src-derived
+    salt; their per-partition partial sums re-combine through a tiny
+    (#hot x P rows) exchange in the superstep — algebraically exact
+    two-level aggregation (SURVEY.md §2.11 G10).
+
+    Returns (cold_edges, hot_edges_or_None).
+    """
+    n_edges = edges.count()
+    if hot_threshold is None:
+        hot_threshold = max(n_edges // num_partitions // 4, 16384)
+    if strategy == "broadcast":
+        out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+        deg_in = edges.groupBy("dst").agg(F.count("*").alias("ind"))
+        hot_ids = [
+            r["dst"]
+            for r in deg_in.filter(F.col("ind") > hot_threshold)
+            .select("dst").limit(10000).collect()
+        ]
+        norm = lambda df: df.join(F.broadcast(out_w), "src").select(  # noqa: E731
+            "src", "dst", (F.col("weight") / F.col("out_w")).alias("w")
         )
-        .persist()
-    )
-    return edges_norm, vertices
+        if hot_ids:
+            cold = norm(
+                edges.filter(~F.col("dst").isin(hot_ids))
+                .repartition(num_partitions, "dst")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # row-content salt: src alone is itself Zipf-skewed (a hot
+            # dst's in-edges can share one hub src), so salt on the full
+            # row — deterministic, and exact under two-level sum
+            salt = F.pmod(F.xxhash64("src", "dst", "weight"), F.lit(num_partitions))
+            hot = norm(
+                edges.filter(F.col("dst").isin(hot_ids))
+                .repartition(num_partitions, F.col("dst"), salt)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            cold = norm(
+                edges.repartition(num_partitions, "dst")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            hot = None
+        return cold, hot
+    # shuffle mode: window over the layout's own partitioning: zero extra shuffle
+    layout = edges.repartition(num_partitions, "src")
+    w_out = W.partitionBy("src")
+    edges_norm = layout.select(
+        "src",
+        "dst",
+        (F.col("weight") / F.sum("weight").over(w_out)).alias("w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return edges_norm, None
 
 
 def pagerank(
@@ -87,6 +161,8 @@ def pagerank(
     run_id: str = "pagerank",
     metrics_sink: MetricsSink | None = None,
     with_lineage: bool = False,
+    strategy: str = "auto",
+    hot_threshold: int | None = None,
 ) -> PageRankResult:
     """PageRank over directed weighted ``edges(src, dst, weight)``.
 
@@ -94,7 +170,7 @@ def pagerank(
     Stops when delta_l1 < N * tol (NetworkX rule) or at max_iter.
     ``checkpoint_dir`` enables durable per-superstep checkpoints and
     resume; otherwise localCheckpoint truncates lineage only.
-    ``with_lineage`` additionally records per-partition shas (slower).
+    ``strategy``: 'auto' | 'broadcast' | 'shuffle' (see module doc).
     """
     spark = edges.sparkSession
     ckpt = CheckpointManager(checkpoint_dir, run_id)
@@ -104,21 +180,26 @@ def pagerank(
         return _pagerank_loop(
             spark, edges, alpha, tol, max_iter, num_partitions,
             checkpoint_dir, checkpoint_every, resume, ckpt, sink,
-            with_lineage,
+            with_lineage, strategy, hot_threshold,
         )
 
 
 def _pagerank_loop(
     spark, edges, alpha, tol, max_iter, num_partitions,
     checkpoint_dir, checkpoint_every, resume, ckpt, sink, with_lineage,
+    strategy, hot_threshold=None,
 ) -> PageRankResult:
-    edges_norm, vertices = _prepare(edges, num_partitions)
+    vertices = _vertices(edges)
     n = vertices.count()
-    n_edges = edges_norm.count()  # also materializes the layout cache
     if n == 0:
         return PageRankResult(
             spark.createDataFrame([], "vertex long, rank double"), 0, True
         )
+    if strategy == "auto":
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
+
+    cold, hot = _prepare(edges, num_partitions, strategy, hot_threshold)
+    n_edges = cold.count() + (hot.count() if hot is not None else 0)
 
     teleport = (1.0 - alpha) / n
 
@@ -135,6 +216,7 @@ def _pagerank_loop(
         ranks = vertices.select(
             "vertex", F.lit(1.0 / n).alias("rank"), "has_out"
         ).localCheckpoint(eager=True)
+    vertices.unpersist()
 
     # danglesum for the upcoming iteration = sum of rank on dangling vertices
     dangle = float(
@@ -147,41 +229,52 @@ def _pagerank_loop(
         it += 1
         t0 = time.monotonic()
 
-        gathered = (
-            edges_norm.join(ranks, edges_norm.src == ranks.vertex)
-            .select("dst", (F.col("w") * F.col("rank")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("c"))
-        )
-        base = alpha * dangle / n + teleport
-        new_ranks = (
-            vertices.join(gathered, vertices.vertex == gathered.dst, "left")
-            .select(
-                "vertex",
-                (alpha * F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(base)).alias(
-                    "rank"
-                ),
-                "has_out",
+        state = ranks.select("vertex", "rank")
+        if strategy == "broadcast":
+            state = F.broadcast(state)
+
+        def gather(part):
+            # cold branch: hash(dst) layout -> the agg is partition-local;
+            # hot branch: hash(dst, salt) layout -> partial sums are local,
+            # the final combine exchanges only (#hot x P) rows (G10)
+            return (
+                part.join(state, part.src == state.vertex)
+                .select("dst", (F.col("w") * F.col("rank")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("c"))
             )
+
+        base = alpha * dangle / n + teleport
+        upd = ranks.join(
+            gather(cold).withColumnRenamed("c", "c_cold").withColumnRenamed("dst", "d1"),
+            ranks.vertex == F.col("d1"),
+            "left",
+        )
+        if hot is not None:
+            upd = upd.join(
+                gather(hot).withColumnRenamed("c", "c_hot").withColumnRenamed("dst", "d2"),
+                ranks.vertex == F.col("d2"),
+                "left",
+            )
+            contrib = F.coalesce(F.col("c_cold"), F.lit(0.0)) + F.coalesce(
+                F.col("c_hot"), F.lit(0.0)
+            )
+        else:
+            contrib = F.coalesce(F.col("c_cold"), F.lit(0.0))
+        new_rank = alpha * contrib + F.lit(base)
+        new_ranks = upd.select(
+            "vertex",
+            new_rank.alias("rank"),
+            "has_out",
+            F.abs(new_rank - F.col("rank")).alias("d"),
         )
 
         # lazy lineage truncation: the checkpoint materializes inside the
-        # stats job below — exactly ONE Spark job per superstep
+        # stats job below — exactly ONE Spark job per superstep, and the
+        # delta travels in the state so stats needs NO extra join
         next_ranks = new_ranks.localCheckpoint(eager=False)
-
-        # single action: delta-L1 + active count + next danglesum together
-        j = next_ranks.alias("nw").join(
-            ranks.alias("old").select("vertex", F.col("rank").alias("rank_old")),
-            "vertex",
-        )
         stats = (
-            j.select(
-                "vertex",
-                F.col("nw.rank").alias("rank"),
-                F.col("nw.has_out").alias("has_out"),
-                F.abs(F.col("nw.rank") - F.col("rank_old")).alias("d"),
-            )
-            .agg(
+            next_ranks.agg(
                 F.sum("d").alias("delta_l1"),
                 F.sum(F.when(F.col("d") > tol, 1).otherwise(0)).alias("active"),
                 F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias(
@@ -202,14 +295,14 @@ def _pagerank_loop(
             parts = partition_fingerprints(next_ranks) if with_lineage else None
             ranks = ckpt.save(
                 it,
-                next_ranks,
+                next_ranks.select("vertex", "rank", "has_out"),
                 sha,
                 metrics={"delta_l1": delta, "active": int(stats["active"])},
                 partitions=parts,
             )
         else:
             sha = ""
-            ranks = next_ranks
+            ranks = next_ranks.select("vertex", "rank", "has_out")
 
         deltas.append(delta)
         walls.append(wall)
@@ -219,8 +312,9 @@ def _pagerank_loop(
             converged = True
             break
 
-    edges_norm.unpersist()
-    vertices.unpersist()
+    cold.unpersist()
+    if hot is not None:
+        hot.unpersist()
     return PageRankResult(
         ranks.select("vertex", "rank"),
         it,
@@ -229,4 +323,5 @@ def _pagerank_loop(
         walls,
         n,
         n_edges,
+        strategy,
     )

@@ -1,0 +1,86 @@
+"""Multimodal plumbing tests — schemas, batch shapes, determinism; the
+decode kernels are stubs (no codecs in container) but the Spark side is
+real (task brief)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgatha.multimodal import (
+    FEATURE_DIM,
+    decode_images,
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, 60, num_partitions=4).localCheckpoint(eager=True)
+
+
+def test_media_schema_and_metadata_pruning(spark, media, tmp_path):
+    assert media.count() == 60
+    # metadata-only query over the parquet-persisted table never reads
+    # the payload column (column pruning reaches the scan)
+    path = str(tmp_path / "media")
+    media.write.mode("overwrite").parquet(path)
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("modality") == "image")
+        .select("media_id", "width")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "payload" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_decode_images_fake(spark, media):
+    out = decode_images(media, decode="fake")
+    rows = out.collect()
+    assert len(rows) == media.filter("modality = 'image'").count()
+    for r in rows:
+        assert len(r["pixels"]) == max(r["width"] * r["height"], 1)
+
+
+def test_decode_real_raises(spark, media):
+    with pytest.raises(Exception) as ei:
+        decode_images(media.limit(3), decode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(
+        ei.value
+    )
+
+
+def test_features_compose_with_similarity(spark, media):
+    feats = extract_features(media, decode="fake")
+    rows = feats.collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    for r in rows:
+        assert r["feature"] == again[r["media_id"]]
+    # composes with the cosine operator (array<float> contract)
+    emb = feats.select(F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    norms = emb.select(dot.alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-5 for r in norms)  # unit-normalized
+
+
+def test_frame_sampling_cadence(spark, media):
+    frames = sample_frames(media, every_s=1.0, decode="fake")
+    per = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    vids = media.filter("modality = 'video'").select("media_id", "dur_s").collect()
+    for v in vids:
+        expect = int(v["dur_s"] / 1.0)
+        assert per.get(v["media_id"], 0) == expect
