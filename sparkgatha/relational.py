@@ -945,3 +945,241 @@ def q_window_session(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# subqueries / having / conditional — extra Catalyst coverage (§4.2:
+# subquery decorrelation is exercised by the oracle side too)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 12 AND sum(o_totalprice) > 100000
+    """,
+)
+def q_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 100000))
+        .select("o_custkey", "n_orders", F.round("_spend", 2).alias("spend"))
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    """
+    SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_q_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+        FROM _q_cust
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _q_cust)
+        """
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates to an
+    aggregate + join (SURVEY.md §4.2)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM _q_orders o
+        WHERE o_totalprice > (
+          SELECT 1.5 * avg(o2.o_totalprice) FROM _q_orders o2
+          WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "q_case_when",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END AS band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders
+    """,
+)
+def q_case_when(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_norm"),
+    )
+
+
+@register(
+    "q_degrees",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+      WHERE t.term NOT IN ('a','the') AND t.term <> ''
+    ),
+    edges AS (
+      SELECT a.term AS src, b.term AS dst, count(*) AS weight
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term <> b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT src AS vertex, count(*) AS out_degree,
+           round(sum(weight), 2) AS out_weight
+    FROM edges GROUP BY src
+    """,
+)
+def q_degrees(spark, sf_dir):
+    """G3 degrees over the extracted co-occurrence graph, oracle-checked
+    end-to-end (extraction → symmetrize → degree agg)."""
+    from sparkgatha.extract import extract_cooccurrence_edges, symmetrize
+    from sparkgatha.graph.degrees import out_degrees
+
+    d = _t(spark, sf_dir, "documents")
+    edges = symmetrize(extract_cooccurrence_edges(d, text_col="text"))
+    return out_degrees(edges).select(
+        "vertex", "out_degree", F.round("out_weight", 2).alias("out_weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph / sampling / approx operators — not SQL-expressible (iterative or
+# engine-specific): registered with oracle=None → driver rows-only check
+# ---------------------------------------------------------------------------
+
+
+def _doc_graph(spark, sf_dir):
+    from sparkgatha.extract import (
+        extract_cooccurrence_edges,
+        node_ids,
+        symmetrize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    edges = symmetrize(extract_cooccurrence_edges(d, text_col="text"))
+    nodes, id_edges = node_ids(edges)
+    return nodes, id_edges
+
+
+@register("q_g4_pagerank", None)
+def q_g4_pagerank(spark, sf_dir):
+    from sparkgatha.graph.pagerank import pagerank
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    r = pagerank(id_edges, tol=0.0, max_iter=12)
+    return (
+        r.ranks.join(nodes, r.ranks.vertex == nodes.id)
+        .select("key", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("key"))
+    )
+
+
+@register("q_g5_connected_components", None)
+def q_g5_connected_components(spark, sf_dir):
+    from sparkgatha.graph.cc import connected_components
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    cc = connected_components(id_edges)
+    return cc.join(nodes, cc.vertex == nodes.id).select("key", "component")
+
+
+@register("q_g6_label_propagation", None)
+def q_g6_label_propagation(spark, sf_dir):
+    from sparkgatha.graph.lpa import label_propagation
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    lp = label_propagation(id_edges, max_iter=10)
+    return lp.join(nodes, lp.vertex == nodes.id).select("key", "label")
+
+
+@register("q_g7_triangles", None)
+def q_g7_triangles(spark, sf_dir):
+    from sparkgatha.graph.triangles import triangle_counts
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    t = triangle_counts(id_edges)
+    return t.join(nodes, t.vertex == nodes.id).select("key", "n_triangles")
+
+
+@register("q_g9_shortest_paths", None)
+def q_g9_shortest_paths(spark, sf_dir):
+    from sparkgatha.graph.paths import shortest_paths
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    src = nodes.orderBy("key").limit(1).collect()[0]["id"]
+    d = shortest_paths(id_edges, source=int(src), max_iter=20)
+    return d.join(nodes, d.vertex == nodes.id).select(
+        "key", F.round("distance", 6).alias("distance")
+    )
+
+
+@register("q_minhash_lsh_pairs", None)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH-banded near-dup candidates (the 100 TB dedup path)."""
+    from sparkgatha.dedup import lsh_candidates
+
+    return lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@register("q_ann_topk", None)
+def q_ann_topk(spark, sf_dir):
+    """Bucketed approximate kNN (the 100 TB similarity path)."""
+    from sparkgatha.similarity import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk(e, k=5).select(
+        "qid", "nid", F.round("cos", 6).alias("cos")
+    )
+
+
+@register("q_sample", None)
+def q_sample(spark, sf_dir):
+    """P4 seeded sampling — deterministic per partitioning, but the
+    sample set is engine-specific, so rows-only."""
+    return _t(spark, sf_dir, "lineitem").sample(0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register("q_approx_count_distinct", None)
+def q_approx_count_distinct(spark, sf_dir):
+    """A2 HLL sketch — engine-specific estimate; bounds asserted in
+    pytest (tests/test_invariants.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )

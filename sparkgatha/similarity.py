@@ -120,23 +120,38 @@ def ann_topk(
     embeddings: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = N_PLANES,
+    n_planes: int = 3,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Bucketed approximate kNN: join within LSH buckets only, then
-    top-k per query.  Recall < 1 by construction (single probe); tested
-    against the exact path for recall ≥ threshold in tests."""
+    """Bucketed approximate kNN — multi-table random-hyperplane LSH
+    (standard recall amplification: L independent tables of b planes; a
+    pair is a candidate if it collides in ANY table).  Cosine runs only
+    on candidates; top-k per query.  Size b with the corpus: collision
+    prob per table is (1 - theta/pi)^b, so b grows ~log2(n/bucket_size)
+    at scale; the defaults suit the small low-cosine fixture and the
+    recall bound is asserted in tests."""
+    cands = None
+    for t in range(n_tables):
+        b = embedding_lsh_buckets(embeddings, dim, n_planes, seed + 1009 * t)
+        a = b.alias("a")
+        c = b.alias("b")
+        p = (
+            a.join(c, F.col("a.bucket") == F.col("b.bucket"))
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid")
+            )
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
     e = embeddings.select("vec_id", _as_double().alias("v"))
-    b = embedding_lsh_buckets(embeddings, dim, n_planes, seed)
-    eb = e.join(b, "vec_id")
-    a = eb.select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
-    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    nn = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
     pairs = (
-        a.join(eb, "bucket")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"),
-                cosine(F.col("qv"), F.col("v")).alias("c"))
+        cands.join(q, "qid")
+        .join(nn, "nid")
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("c"))
     )
     w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid").asc())
     return (

@@ -1,0 +1,144 @@
+"""L3 — invariants and physical-plan assertions (SURVEY.md §5.2 L3,
+§4.2 'partitioning reuse', §4.3 'plan bloat')."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graph_helpers import random_graph, to_spark_edges
+
+from sparkgatha.graph.pagerank import pagerank
+from sparkgatha.io import read_table
+from sparkgatha.synthetic import powerlaw_edges
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ranks_sum_to_one(spark):
+    triples = random_graph(n=100, m=300, seed=21)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    r = pagerank(edges, tol=0.0, max_iter=10)
+    s = r.ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(s - 1.0) < 1e-9
+
+
+def test_pagerank_results_partition_count_invariant(spark):
+    triples = random_graph(n=100, m=300, seed=22)
+    got = {}
+    for p in (4, 16):
+        edges = to_spark_edges(spark, triples, symmetric=True).repartition(p)
+        r = pagerank(edges, tol=0.0, max_iter=8, num_partitions=p)
+        got[p] = {x["vertex"]: x["rank"] for x in r.ranks.collect()}
+    diffs = [abs(got[4][k] - got[16][k]) for k in got[4]]
+    assert max(diffs) < 1e-12
+
+
+def test_plan_size_bounded_across_supersteps(spark):
+    """Lineage truncation works: the optimized plan of the rank state
+    does not grow with the iteration count (SURVEY.md §7.4.4)."""
+    triples = random_graph(n=60, m=150, seed=23)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    r2 = pagerank(edges, tol=0.0, max_iter=2)
+    r8 = pagerank(edges, tol=0.0, max_iter=8)
+    p2 = len(r2.ranks._jdf.queryExecution().optimizedPlan().toString())
+    p8 = len(r8.ranks._jdf.queryExecution().optimizedPlan().toString())
+    assert p8 <= p2 * 1.5, (p2, p8)
+
+
+def test_edge_exchange_reused_across_superstep(spark):
+    """§4.2 partitioning reuse: the persisted edge layout's exchange is
+    not re-planned inside the superstep — the gather plan shows the
+    InMemoryTableScan with NO Exchange above it on the edge side."""
+    from sparkgatha.graph.pagerank import _prepare
+    from sparkgatha.util import no_aqe
+
+    e = powerlaw_edges(spark, 50_000, n_vertices=2_000, num_partitions=8)
+    with no_aqe(spark):
+        cold, hot = _prepare(e, 8, "broadcast", hot_threshold=10**9)
+        assert hot is None
+        cold.count()
+        state = F.broadcast(
+            spark.range(2_000).select(
+                F.col("id").alias("vertex"), F.lit(1.0).alias("rank")
+            )
+        )
+        gathered = (
+            cold.join(state, cold.src == state.vertex)
+            .select("dst", (F.col("w") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        plan = gathered._jdf.queryExecution().executedPlan().toString()
+    cold.unpersist()
+    assert "InMemoryTableScan" in plan
+    # partition-local agg: no shuffle Exchange ABOVE the cached edge scan
+    # (the InMemoryRelation subtree retains its one-time layout Exchange;
+    # BroadcastExchange for the rank vector is expected and allowed)
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange hashpartitioning" not in above_cache, above_cache[:2000]
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    lineitem = read_table(spark, SF, "lineitem")
+    q = lineitem.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    assert "l_extendedprice" not in plan  # column pruning
+
+
+def test_broadcast_join_selected_for_small_dim(spark):
+    c = read_table(spark, SF, "customer")
+    n = read_table(spark, SF, "nation")
+    plan = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_approx_count_distinct_bounds(spark):
+    e = read_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 0.1 * v), (k, v, approx[k])
+
+
+def test_extraction_weights_are_doc_counts(spark):
+    """Semantic invariant: edge weight == number of docs containing the
+    pair — so no weight can exceed the doc count."""
+    from sparkgatha.extract import extract_cooccurrence_edges
+
+    docs = read_table(spark, SF, "documents")
+    n_docs = docs.count()
+    edges = extract_cooccurrence_edges(docs)
+    mx = edges.agg(F.max("weight")).collect()[0][0]
+    assert 0 < mx <= n_docs
+    # canonical orientation: src < dst always
+    assert edges.filter(F.col("src") >= F.col("dst")).count() == 0
+
+
+def test_lsh_recall_against_exact(spark):
+    """Bucketed ANN finds most of the exact top-5 neighbours (recall
+    bound documents the approximation, not exactness)."""
+    from sparkgatha.similarity import ann_topk
+    import __spark_entry__ as m
+
+    exact = m.queries()["q_knn_topk_per_vec"](spark, SF)
+    e = read_table(spark, SF, "embeddings")
+    approx = ann_topk(e, k=5)
+    ex = {(r["qid"], r["nid"]) for r in exact.collect()}
+    ap = {(r["qid"], r["nid"]) for r in approx.collect() if r["qid"] < 20}
+    recall = len(ex & ap) / len(ex)
+    # multi-table LSH on this low-cosine fixture measured ~0.88; 0.5 is
+    # the regression floor
+    assert recall >= 0.5, recall
