@@ -1,0 +1,129 @@
+"""spark-submit entry point (north rule: "ships via spark-submit
+--py-files").
+
+    spark-submit --py-files sparkgatha.zip -m sparkgatha construct \
+        --corpus /data/corpus --out /data/graph [--max-df 0.5]
+    spark-submit ... pagerank --graph /data/graph --out /data/ranks \
+        [--checkpoint-dir /data/ckpt --resume]
+    spark-submit ... query --graph /data/graph --a join --b filter
+
+Reference analog: ``python -m agatha.construct`` / ``python -m
+agatha.topic_query`` (SURVEY.md §3.1–3.2); protobuf configs are plain
+argparse + dataclasses here (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sparkgatha")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("construct", help="build the co-occurrence graph")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--text-col", default="content")
+    c.add_argument("--fmt", default="parquet", choices=("parquet", "iceberg"))
+    c.add_argument("--max-df", type=float, default=None)
+    c.add_argument("--min-weight", type=float, default=0.0)
+    c.add_argument("--partitions", type=int, default=32)
+    c.add_argument("--force", action="store_true")
+
+    p = sub.add_parser("pagerank", help="PageRank over a built graph")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--strategy", default="auto",
+                   choices=("auto", "broadcast", "shuffle"))
+
+    q = sub.add_parser("query", help="two-term topic query")
+    q.add_argument("--graph", required=True)
+    q.add_argument("--a", required=True)
+    q.add_argument("--b", required=True)
+    q.add_argument("--max-hops", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from sparkgatha.session import get_spark
+
+    pre_existing = SparkSession.getActiveSession()
+    spark = get_spark(f"sparkgatha-{args.cmd}")
+
+    if args.cmd == "construct":
+        from sparkgatha.construct import ConstructConfig, build_graph
+
+        cfg = ConstructConfig(
+            corpus_path=args.corpus,
+            out_dir=args.out,
+            text_col=args.text_col,
+            fmt=args.fmt,
+            max_df=args.max_df,
+            min_weight=args.min_weight,
+            num_partitions=args.partitions,
+            force=args.force,
+        )
+        r = build_graph(spark, cfg)
+        print(json.dumps({
+            "edges": r.n_edges, "nodes": r.n_nodes,
+            "adjacency": r.adjacency_path, "skipped": r.skipped,
+        }))
+
+    elif args.cmd == "pagerank":
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.pagerank import pagerank
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        r = pagerank(
+            edges,
+            alpha=args.alpha,
+            tol=args.tol,
+            max_iter=args.max_iter,
+            num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+            strategy=args.strategy,
+        )
+        out = r.ranks.join(nodes, r.ranks.vertex == nodes.id).select("key", "rank")
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "iterations": r.iterations, "converged": r.converged,
+            "n_vertices": r.n_vertices, "n_edges": r.n_edges,
+            "strategy": r.strategy,
+            "deltas": [round(d, 10) for d in r.deltas[-3:]],
+        }))
+
+    elif args.cmd == "query":
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.query import topic_query
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        r = topic_query(spark, nodes, edges, args.a, args.b, args.max_hops)
+        top = [
+            {"key": x["key"], "detour": x["detour"]}
+            for x in r.ranked_terms.limit(15).collect()
+        ]
+        print(json.dumps({
+            "a": r.term_a, "b": r.term_b, "distance": r.distance,
+            "near_path_terms": top,
+        }))
+
+    if pre_existing is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,22 +126,30 @@ def extract_cooccurrence_edges(
 
     if max_df is not None:
         n_docs = docs.count()
-        df_counts = (
-            toks.select(F.explode("terms").alias("term"))
-            .groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df * n_docs)
-            .select("term")
+        hot_terms = sorted(
+            r["term"]
+            for r in (
+                toks.select(F.explode("terms").alias("term"))
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_df * n_docs)
+                .select("term")
+                .collect()
+            )
         )
-        # broadcast semi-join: term dictionary is tiny relative to corpus
-        allowed = F.broadcast(df_counts)
-        toks = (
-            toks.select(F.posexplode("terms").alias("pos", "term"), F.monotonically_increasing_id().alias("_rid"))
-            .join(allowed, "term", "left_semi")
-            .groupBy("_rid")
-            .agg(F.array_sort(F.collect_set("term")).alias("terms"))
-            .select("terms")
-        )
+        # the hot set is provably small (at most avg-distinct-terms-per-doc
+        # / max_df terms can exceed the df threshold), so it rides into a
+        # JVM-side array_except — shuffle-free per-row filtering; the
+        # allowed set (the whole vocabulary) would NOT be collectable at
+        # corpus scale
+        if hot_terms:
+            toks = toks.select(
+                F.array_sort(
+                    F.array_except(
+                        F.col("terms"), F.array(*[F.lit(t) for t in hot_terms])
+                    )
+                ).alias("terms")
+            )
 
     pairs = toks.mapInPandas(_pair_expander, schema=PAIR_SCHEMA)
     edges = (

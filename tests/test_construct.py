@@ -1,0 +1,106 @@
+"""Entry-point parity tests: construct pipeline (checkpoint-skip),
+topic query, pair features (SURVEY.md §3.1–3.3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgatha.construct import ConstructConfig, build_graph, load_adjacency
+from sparkgatha.corpus import generate_corpus
+from sparkgatha.query import pair_features, topic_query
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("graph"))
+    corpus_dir = out + "/corpus"
+    generate_corpus(spark, 300, num_partitions=4).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir)
+    cfg = ConstructConfig(
+        corpus_path=corpus_dir,
+        out_dir=out + "/g",
+        text_col="content",
+        max_df=0.9,
+        num_partitions=8,
+    )
+    r1 = build_graph(spark, cfg)
+    return spark, cfg, r1
+
+
+def test_build_graph_phases(built):
+    spark, cfg, r1 = built
+    assert r1.n_edges > 0 and r1.n_nodes > 0
+    assert r1.skipped == []
+    nodes, edges = load_adjacency(spark, cfg.out_dir)
+    # adjacency is symmetrized: both orientations present
+    a = edges.select("src", "dst")
+    b = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert a.exceptAll(b).count() == 0
+    assert nodes.count() == r1.n_nodes
+
+
+def test_build_graph_checkpoint_skip(built):
+    spark, cfg, r1 = built
+    r2 = build_graph(spark, cfg)  # re-run: all phases skipped
+    assert set(r2.skipped) == {"edges", "nodes", "adjacency"}
+    assert r2.n_edges == r1.n_edges and r2.n_nodes == r1.n_nodes
+
+
+def test_topic_query(built):
+    spark, cfg, _ = built
+    nodes, edges = load_adjacency(spark, cfg.out_dir)
+    # two vocabulary terms guaranteed present (corpus vocab)
+    r = topic_query(spark, nodes, edges, "util", "test")
+    assert r.distance is not None and r.distance > 0
+    ranked = r.ranked_terms.collect()
+    assert len(ranked) >= 2
+    # endpoints are near-path by definition
+    keys = {x["key"] for x in ranked}
+    assert {"util", "test"} <= keys
+    assert r.path_neighborhood.count() > 0
+
+
+def test_topic_query_unknown_term(built):
+    spark, cfg, _ = built
+    nodes, edges = load_adjacency(spark, cfg.out_dir)
+    with pytest.raises(KeyError):
+        topic_query(spark, nodes, edges, "util", "no_such_term_xyz")
+
+
+def test_pair_features(built):
+    spark, cfg, _ = built
+    nodes, edges = load_adjacency(spark, cfg.out_dir)
+    pairs = spark.createDataFrame(
+        [("util", "test"), ("config", "core")], "term_a string, term_b string"
+    )
+    f = pair_features(spark, nodes, edges, pairs, max_iter=10).collect()
+    assert len(f) == 2
+    for r in f:
+        assert r["rank_a"] > 0 and r["rank_b"] > 0
+        assert r["degree_a"] > 0
+        assert r["same_component"] in (True, False)
+
+
+def test_cli_construct_and_query(spark, tmp_path):
+    """__main__ surface — the spark-submit command shape."""
+    corpus_dir = str(tmp_path / "c")
+    generate_corpus(spark, 150, num_partitions=2).write.parquet(corpus_dir)
+    import sparkgatha.__main__ as cli
+
+    assert (
+        cli.main(
+            ["construct", "--corpus", corpus_dir, "--out", str(tmp_path / "g"),
+             "--partitions", "4"]
+        )
+        == 0
+    )
+    assert (
+        cli.main(
+            ["pagerank", "--graph", str(tmp_path / "g"), "--out",
+             str(tmp_path / "r"), "--max-iter", "5", "--partitions", "4"]
+        )
+        == 0
+    )
+    ranks = spark.read.parquet(str(tmp_path / "r"))
+    assert ranks.count() > 0
+    assert abs(ranks.agg(F.sum("rank")).collect()[0][0] - 1.0) < 1e-9
