@@ -100,7 +100,7 @@ def main() -> None:
 
 Protocol (BASELINE.md): same seeded power-law graph ({args.edges:,} edges,
 seed=42, hub vertex ≈ 30-40% of edges) at local[8] and local[32]; fresh
-JVM per run; 3-superstep warm-up discarded; 10 measured supersteps;
+JVM per run; 8-superstep JIT warm-up discarded; 10 measured supersteps;
 {args.runs} runs per cell, median reported.
 
 Sandbox proxy for the N→4N-executor rule: efficiency =
