@@ -47,6 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry():
     # importing these modules populates sparkgatha.relational.REGISTRY
     import sparkgatha.dedup  # noqa: F401
+    import sparkgatha.functions  # noqa: F401
     import sparkgatha.similarity  # noqa: F401
     import sparkgatha.textan  # noqa: F401
     from sparkgatha.relational import REGISTRY
