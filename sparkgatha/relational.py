@@ -1183,3 +1183,29 @@ def q_approx_count_distinct(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users")
     )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT grouping_id(l_returnflag, l_linestatus) AS gid,
+           l_returnflag, l_linestatus,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """A3 explicit grouping sets (rollup/cube cover the Expand plan;
+    this pins the arbitrary-sets form)."""
+    l = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("_q_lineitem")
+    return spark.sql(
+        """
+        SELECT grouping_id(l_returnflag, l_linestatus) AS gid,
+               l_returnflag, l_linestatus,
+               count(*) AS n
+        FROM _q_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
