@@ -3,9 +3,17 @@
 
 Headline metric (BASELINE.json north-star): PageRank
 edges-processed/sec per superstep on bench input B — the seeded
-power-law graph (~10^7 edges, hub ≈ 30%, FIXTURES.md §B) — measured
-over 10 supersteps after a 3-superstep JIT warm-up (BASELINE.md
-protocol: warm-up discarded).
+power-law graph (2x10^7 edges, hub ≈ 30%, FIXTURES.md §B).
+
+Protocol (matches BENCH/BASELINE.md):
+  * the edge layout is prepared ONCE (prepare_pagerank: G11 layout +
+    G10 mirroring, persisted and materialized) — layout cost is
+    reported separately as b_pagerank_prepare, never inside a
+    superstep wall;
+  * a 3-superstep JIT warm-up run is discarded;
+  * 3 measured runs x 10 supersteps on the warm layout; the headline
+    is the MEDIAN per-run throughput (edges x supersteps / sum of
+    superstep walls).
 
 Also timed: the co-occurrence extraction spine on input A
 ($SPARK_GRAFT_SF_DIR documents), the other graph algorithms, and
@@ -26,15 +34,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EDGES_B = int(os.environ.get("SPARK_GRAFT_EDGES", "10000000"))
+N_EDGES_B = int(os.environ.get("SPARK_GRAFT_EDGES", "20000000"))
 WARMUP_STEPS = 3
 MEASURED_STEPS = 10
+MEASURED_RUNS = 3
 
 
 def main() -> None:
     from sparkgatha.session import get_spark
     from sparkgatha.extract import extract_cooccurrence_edges, node_ids, symmetrize
-    from sparkgatha.graph.pagerank import pagerank
+    from sparkgatha.graph.pagerank import pagerank, prepare_pagerank
     from sparkgatha.graph.cc import connected_components
     from sparkgatha.graph.triangles import triangle_counts
     from sparkgatha.io import read_table
@@ -65,12 +74,23 @@ def main() -> None:
     )
     n_edges_b = edges_b.count()
 
-    pagerank(edges_b, tol=0.0, max_iter=WARMUP_STEPS, num_partitions=CPUS)  # warm-up
-    t0 = time.monotonic()
-    pr = pagerank(edges_b, tol=0.0, max_iter=MEASURED_STEPS, num_partitions=CPUS)
-    queries["b_pagerank_10_supersteps"] = round(time.monotonic() - t0, 3)
-    superstep_total = sum(pr.superstep_wall_s)
-    edges_per_sec = n_edges_b * pr.iterations / superstep_total
+    prep = timed(
+        "b_pagerank_prepare",
+        lambda: prepare_pagerank(edges_b, num_partitions=CPUS),
+    )
+    pagerank(prepared=prep, tol=0.0, max_iter=WARMUP_STEPS)  # JIT warm-up, discarded
+    runs = []
+    for _ in range(MEASURED_RUNS):
+        t0 = time.monotonic()
+        r = pagerank(prepared=prep, tol=0.0, max_iter=MEASURED_STEPS)
+        runs.append((time.monotonic() - t0, r))
+    prep.unpersist()
+    tput = lambda r: n_edges_b * r.iterations / sum(r.superstep_wall_s)  # noqa: E731
+    runs.sort(key=lambda wr: tput(wr[1]))
+    wall_med, pr = runs[len(runs) // 2]  # median-throughput run
+    queries["b_pagerank_10_supersteps"] = round(wall_med, 3)
+    edges_per_sec = tput(pr)
+    run_tputs = [round(tput(r), 1) for _, r in runs]
 
     timed("b_connected_components", lambda: connected_components(edges_b).count())
 
@@ -120,6 +140,8 @@ def main() -> None:
                 "total_sec": total,
                 "n_edges_b": n_edges_b,
                 "supersteps": pr.iterations,
+                "measured_runs": MEASURED_RUNS,
+                "run_tputs_edges_per_sec": run_tputs,
                 "superstep_walls_s": [round(w, 3) for w in pr.superstep_wall_s],
                 "strategy": pr.strategy,
                 "cpus": CPUS,

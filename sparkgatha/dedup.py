@@ -148,19 +148,31 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH banding: (band, hash-of-band-slice) buckets → candidate pairs.
-    The scale path for near-dup: equi-join on the band key, no all-pairs."""
+#: LSH buckets larger than this are dropped from candidate generation — a
+#: degenerate bucket (e.g. empty docs sharing one signature) would
+#: otherwise put O(cap^2) pair rows in one join partition.  Dropped
+#: buckets are over-full precisely because their members are near-dups of
+#: *many* docs; they should be routed to exact-dedup, not pairwise LSH.
+DEFAULT_BUCKET_CAP = 64
+
+
+def lsh_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band int, sig string) — per-document LSH band signatures.
+
+    sig = md5 of the comma-joined minhash slice, so the band join key is
+    identical in Spark and the DuckDB oracle (md5 is the cross-engine
+    hash rule; production could swap xxhash64 for compactness since the
+    sig never appears in a checked output by itself)."""
     rows_per_band = N_HASHES // N_BANDS
     sigs = minhash_signatures(docs, text_col)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
+                    b.cast("int").alias("band"),
+                    F.md5(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -168,18 +180,37 @@ def lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
                                 lambda x: x.cast("string"),
                             ),
                         )
-                    ).alias("bucket"),
+                    ).alias("sig"),
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.sig")
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """LSH banding: (band, band-signature) buckets → candidate pairs
+    (doc_a < doc_b).  The scale path for near-dup: equi-join on the band
+    key, no all-pairs; buckets above ``bucket_cap`` are excluded (see
+    DEFAULT_BUCKET_CAP)."""
+    bands = lsh_bands(docs, text_col)
+    ok = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("k"))
+        .filter((F.col("k") >= 2) & (F.col("k") <= bucket_cap))
+        .select("band", "sig")
+    )
+    bands = bands.join(ok, ["band", "sig"])
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -187,6 +218,120 @@ def lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .distinct()
     )
+
+
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH candidates verified by EXACT n-gram
+    Jaccard computed only on the candidate pairs (never all-pairs)."""
+    d = docs.select("doc_id", F.col(text_col).alias("text"))
+    cand = lsh_candidates(d, "text", bucket_cap)
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ix"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ix") / (F.col("na") + F.col("nb") - F.col("ix"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """End-to-end near-dup operator: (dup_doc_id, keep_doc_id) — the
+    pipeline composition a training-data user actually calls:
+
+        LSH banding (bucketed equi-join, capped)
+          → exact-Jaccard verification on candidates only
+          → canonical keep-min (a dup maps to its smallest verified
+            partner)
+
+    Anti-joining documents against the dup side of the result is the
+    dedup filter.  Keep-min is per-pair, not transitive; fully
+    transitive canonicalization is connected_components (G5) over the
+    verified-pair graph — compose when chains matter.  Every stage here
+    is a bucketed equi-join or a partial-aggregable groupBy — no
+    all-pairs anywhere, 100 TB safe."""
+    pairs = verified_near_dup_pairs(docs, text_col, threshold, bucket_cap)
+    return pairs.groupBy(F.col("doc_b").alias("dup_doc_id")).agg(
+        F.min("doc_a").alias("keep_doc_id")
+    )
+
+
+_RPB = N_HASHES // N_BANDS
+
+
+@register(
+    "q_near_duplicates",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    hashes AS (
+      SELECT doc_id, h.i::INTEGER AS hash_idx,
+             min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+               AS minhash
+      FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
+      GROUP BY doc_id, h.i
+    ),
+    bands AS (
+      SELECT doc_id, (hash_idx // {_RPB})::INTEGER AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS sig
+      FROM hashes GROUP BY doc_id, hash_idx // {_RPB}
+    ),
+    ok AS (
+      SELECT band, sig FROM bands GROUP BY band, sig
+      HAVING count(*) BETWEEN 2 AND {DEFAULT_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN ok USING (band, sig)
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ix
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_b AS dup_doc_id, min(doc_a) AS keep_doc_id
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+    GROUP BY doc_b
+    """,
+)
+def q_near_duplicates(spark, sf_dir):
+    """The composed near-dup pipeline, end-to-end value-checked: the
+    oracle replays LSH banding (same md5-derived minhashes and band
+    signatures, same bucket cap) + exact-Jaccard verify + keep-min in
+    pure SQL."""
+    return near_duplicates(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -58,16 +58,16 @@ def token_count_udf():
     def token_count(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import re
 
-        splitter = re.compile(r"\s+")        # stand-in for heavy init
-        stop = frozenset(("a", "the"))
+        # heavy init ONCE per worker, before the batch loop
+        tok_re = re.compile(r"\S+")
+        # a stopword token = stopword preceded by start/whitespace and
+        # followed by whitespace/end; the lookahead keeps consecutive
+        # stopwords ("a a a") all matching
+        stop_re = re.compile(r"(?:^|\s)(?:a|the)(?=\s|$)")
         for s in it:
-            yield s.map(
-                lambda t: sum(
-                    1
-                    for w in splitter.split(t.lower().strip())
-                    if w and w not in stop
-                )
-            ).astype("int32")
+            low = s.str.strip().str.lower()
+            n = low.str.count(tok_re) - low.str.count(stop_re)
+            yield n.fillna(0).astype("int32")
 
     return token_count
 

@@ -12,10 +12,30 @@ Each round is two DataFrame supersteps over the current parent-edge set:
   small-star: with neighbors v ≤ u only, m = min(N≤(u) ∪ {u});
       link u and all those neighbors to m.
 
-Both are groupBy(min) + join re-link — algebraic, map-side combinable,
-and convergence (edge set fixpoint) is detected with an order-insensitive
-xxhash64/bit_xor fingerprint, one scalar action per round.  Lineage is
-truncated per round via localCheckpoint (SURVEY.md §4.2).
+Physical discipline (the G11 treatment PageRank gets):
+  * the per-vertex minimum is a partial-aggregable ``groupBy().min()``
+    — the map-side combine collapses the hub vertex's neighbor list
+    BEFORE the exchange, so the min shuffle carries ~|V| tiny rows and
+    degree skew never concentrates (measured: the WindowExec
+    formulation of the same min spent 300+ s executor time and ~30%
+    GC on a 3.6M-row round — per-group buffer machinery over ~10^6
+    tiny groups — versus ~5 s for groupBy+join; a window is the wrong
+    physical shape when groups are numerous and tiny);
+  * the join back (neighbor row ⋈ its group min) is a sort-merge join
+    whose build side has exactly one row per key, so the hub partition
+    streams linearly — no buffering, no blowup;
+  * intermediate duplicate links ride through (min is idempotent,
+    dupes don't change it) — exactly one ``distinct`` per round, at
+    the end, where it also canonicalizes the fingerprint;
+  * one Spark action per round: the order-insensitive
+    xxhash64/bit_xor fingerprint materializes the lazily
+    local-checkpointed next edge set (lineage truncation) and detects
+    the fixpoint in the same job.
+
+A round is therefore 2 neighbor-list exchanges (one per star's join)
+plus the final distinct, with the min tables riding as tiny
+partial-agg shuffles; at 10^12 scale every exchange carries only the
+shrinking parent-link set.
 """
 
 from __future__ import annotations
@@ -37,37 +57,46 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect all strictly-larger neighbors of u to min(N(u) ∪ {u})."""
+    """Connect all strictly-larger neighbors of a to min(N(a) ∪ {a}).
+
+    Output links (b, m) keep the canonical first > second orientation
+    (m ≤ a < b).  May contain duplicates — the round's final distinct
+    owns dedup."""
     nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    m = nbrs.groupBy("a").agg(F.min("b").alias("mb")).select(
-        "a", F.least("mb", F.col("a")).alias("m")
-    )
+    mins = nbrs.groupBy("a").agg(F.min("b").alias("mb"))
     return (
-        nbrs.join(m, "a")
+        nbrs.join(mins, "a")
         .filter(F.col("b") > F.col("a"))
-        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .select(
+            F.col("b").alias("u"),
+            F.least("mb", F.col("a")).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """With neighbors v ≤ u (canonical orientation is exactly that),
-    link u and each such neighbor to the minimum."""
-    m = e.groupBy("u").agg(F.min("v").alias("m"))
-    relink_nbrs = (
-        e.join(m, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    link u and each such neighbor to the minimum.
+
+    Emits both (v, m) and (u, m) per row — the (u, m) self-link rides
+    on every row; duplicates collapse in the final distinct."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    pairs = (
+        e.join(mins, "u")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("p1"), F.col("m").alias("p2")),
+                    F.struct(F.col("u").alias("p1"), F.col("m").alias("p2")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.p1").alias("u"), F.col("p.p2").alias("v"))
     )
-    relink_self = m.select(F.col("u"), F.col("m").alias("v"))
-    return (
-        relink_nbrs.unionByName(relink_self)
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    return pairs.filter(F.col("u") != F.col("v")).distinct()
 
 
 def _fingerprint(e: DataFrame):

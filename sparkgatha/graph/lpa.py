@@ -14,63 +14,91 @@ convergence, so every source of nondeterminism is pinned:
 NetworkX's own asynchronous LPA is order-sensitive, so the golden is a
 pure-Python implementation of this exact rule in the test suite
 (tests/test_graph_golden.py), per SURVEY.md §7.4.1.
+
+Physical discipline (the same G11/PageRank treatment):
+  * edges are hash(dst)-partitioned and persisted ONCE — they never
+    move again; each superstep broadcasts the label vector into a
+    BroadcastHashJoin, so the vote aggregation's map-side combine runs
+    against stationary edges and the exchanges carry only the
+    (dst, label) partials and the |V|-row best-label table;
+  * the mode-agg tie-break is max(struct(wsum, -label)) — an ordinary
+    hash aggregation, not a row_number window (no per-dst sort);
+  * one Spark action per superstep: the changed-vertex count
+    materializes the lazily local-checkpointed next state.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sparkgatha.util import no_aqe
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame, max_iter: int = 20, num_partitions: int = 32
 ) -> DataFrame:
     """(vertex long, label long) over symmetrized ``edges(src,dst,weight)``.
 
     Pass both orientations (extract.symmetrize) for undirected graphs:
     messages flow src → dst only.
     """
-    vertices = (
-        edges.select(F.col("src").alias("vertex"))
-        .unionByName(edges.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = vertices.select("vertex", F.col("vertex").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    with no_aqe(edges.sparkSession):
+        layout = (
+            edges.select("src", "dst", "weight")
+            .repartition(num_partitions, "dst")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        layout.count()  # materialize the one-time layout
+        vertices = (
+            layout.select(F.col("src").alias("vertex"))
+            .unionByName(layout.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = vertices.select("vertex", F.col("vertex").alias("label"))
+        labels = labels.localCheckpoint(eager=True)
 
-    pick = Window.partitionBy("dst").orderBy(
-        F.col("wsum").desc(), F.col("label").asc()
-    )
-    aqe = no_aqe(edges.sparkSession)
-    aqe.__enter__()
-    for _ in range(max_iter):
-        # gather: total incident weight per (vertex, neighbor label)
-        votes = (
-            edges.join(labels, edges.src == labels.vertex)
-            .groupBy("dst", "label")
-            .agg(F.sum("weight").alias("wsum"))
-        )
-        best = (
-            votes.withColumn("rn", F.row_number().over(pick))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("vertex"), F.col("label").alias("new_label"))
-        )
-        new_labels = (
-            labels.join(best, "vertex", "left")
-            .select(
-                "vertex",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label")).alias(
-                    "_changed"
-                ),
+        for _ in range(max_iter):
+            state = F.broadcast(labels)
+            # gather: total incident weight per (vertex, neighbor label);
+            # partial agg is partition-local against the stationary layout
+            votes = (
+                layout.join(state, layout.src == state.vertex)
+                .groupBy("dst", "label")
+                .agg(F.sum("weight").alias("wsum"))
             )
-        )
-        new_labels = new_labels.localCheckpoint(eager=False)
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.select("vertex", "label")
-        if changed == 0:
-            break
-    aqe.__exit__(None, None, None)
+            # A7 mode-agg: greatest wsum, ties to smallest label —
+            # field-wise struct max, no sort
+            best = (
+                votes.groupBy("dst")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("wsum").alias("w"),
+                            (-F.col("label")).alias("nl"),
+                            F.col("label").alias("label"),
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    F.col("dst").alias("vertex"), F.col("b.label").alias("new_label")
+                )
+            )
+            new_labels = (
+                labels.join(best, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.coalesce("new_label", "label").alias("label"),
+                    (F.coalesce("new_label", "label") != F.col("label")).alias(
+                        "_changed"
+                    ),
+                )
+            )
+            new_labels = new_labels.localCheckpoint(eager=False)
+            changed = new_labels.filter(F.col("_changed")).count()
+            labels = new_labels.select("vertex", "label")
+            if changed == 0:
+                break
+        layout.unpersist()
     return labels

@@ -85,21 +85,31 @@ def decode_images(media: DataFrame, decode: str = "fake") -> DataFrame:
     derived from the payload digest; real: PIL seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar over the Arrow batch: sizes vectorized in numpy; the
+        # only per-value work is the digest/tile over the opaque binary
+        # payloads (a real codec is inherently per-image at this seam
+        # too) — no pandas row iteration
         for pdf in batches:
             if decode == "real":
                 _require_real_codec("image")
-            out = {"media_id": [], "width": [], "height": [], "pixels": []}
-            for _, r in pdf.iterrows():
-                h = hashlib.sha256(bytes(r["payload"])).digest()
-                w, ht = int(r["width"]), int(r["height"])
-                # deterministic fake decode: tile the digest to w*h bytes
-                n = max(w * ht, 1)
-                buf = (h * (n // len(h) + 1))[:n]
-                out["media_id"].append(r["media_id"])
-                out["width"].append(w)
-                out["height"].append(ht)
-                out["pixels"].append(buf)
-            yield pd.DataFrame(out)
+            sizes = np.maximum(
+                pdf["width"].to_numpy(dtype=np.int64)
+                * pdf["height"].to_numpy(dtype=np.int64),
+                1,
+            )
+            # deterministic fake decode: tile the digest to w*h bytes
+            pixels = [
+                (hashlib.sha256(bytes(p)).digest() * (int(n) // 32 + 1))[: int(n)]
+                for p, n in zip(pdf["payload"].to_numpy(), sizes)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixels": pixels,
+                }
+            )
 
     return (
         media.filter(F.col("modality") == "image")
@@ -116,20 +126,31 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     and dedup.q_dedup_embed_cosine compose directly."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # digest-seeded rows must stay per-row deterministic, so the
+        # seeds come from a comprehension over the payload column; the
+        # vector math is one batched numpy matrix op — no row iteration
         for pdf in batches:
             if decode == "real":
                 _require_real_codec("feature extraction")
-            ids, feats = [], []
-            for _, r in pdf.iterrows():
-                h = hashlib.sha256(bytes(r["payload"])).digest()
-                rng = np.random.default_rng(
-                    np.random.PCG64(int.from_bytes(h[:8], "little"))
-                )
-                v = rng.standard_normal(FEATURE_DIM).astype(np.float32)
-                v /= np.linalg.norm(v) or 1.0
-                ids.append(r["media_id"])
-                feats.append(v)
-            yield pd.DataFrame({"media_id": ids, "feature": feats})
+            seeds = [
+                int.from_bytes(hashlib.sha256(bytes(p)).digest()[:8], "little")
+                for p in pdf["payload"].to_numpy()
+            ]
+            if seeds:
+                mat = np.stack(
+                    [
+                        np.random.default_rng(np.random.PCG64(s)).standard_normal(
+                            FEATURE_DIM
+                        )
+                        for s in seeds
+                    ]
+                ).astype(np.float32)
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                mat /= np.where(norms == 0, 1.0, norms)
+                feats = list(mat)
+            else:
+                feats = []
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=FEATURES_SCHEMA
@@ -143,20 +164,36 @@ def sample_frames(
     tokens at the real cadence math; real: ffmpeg seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # cadence math (frame counts, row expansion) is vectorized
+        # numpy (repeat/arange); only the digest runs per payload
         for pdf in batches:
             if decode == "real":
                 _require_real_codec("video frame sampling")
-            out = {"media_id": [], "frame_idx": [], "frame": []}
-            for _, r in pdf.iterrows():
-                n_frames = int(float(r["dur_s"]) / every_s)
-                h = hashlib.sha256(bytes(r["payload"])).digest()
-                for k in range(n_frames):
-                    out["media_id"].append(r["media_id"])
-                    out["frame_idx"].append(k)
-                    out["frame"].append(
-                        hashlib.sha256(h + k.to_bytes(4, "little")).digest()
-                    )
-            yield pd.DataFrame(out)
+            n_frames = (
+                pdf["dur_s"].to_numpy(dtype=np.float64) / every_s
+            ).astype(np.int64)
+            if n_frames.sum() == 0:
+                yield pd.DataFrame(
+                    {"media_id": [], "frame_idx": [], "frame": []}
+                ).astype({"media_id": "int64", "frame_idx": "int32"})
+                continue
+            digests = [
+                hashlib.sha256(bytes(p)).digest()
+                for p in pdf["payload"].to_numpy()
+            ]
+            row_idx = np.repeat(np.arange(len(n_frames)), n_frames)
+            frame_idx = np.concatenate([np.arange(k) for k in n_frames if k > 0])
+            frames = [
+                hashlib.sha256(digests[d] + int(k).to_bytes(4, "little")).digest()
+                for d, k in zip(row_idx, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_idx],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame": frames,
+                }
+            )
 
     return (
         media.filter(F.col("modality") == "video")

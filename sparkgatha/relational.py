@@ -199,14 +199,51 @@ def q_join_semi(spark, sf_dir):
     "q_join_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
     """,
 )
 def q_join_anti(spark, sf_dir):
+    """J5: customers with no high-value order — the right side is
+    filtered so BOTH sides are non-empty at every fixture scale (an
+    anti-join against an empty/world set verifies nothing)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_full_outer",
+    """
+    SELECT coalesce(a.ck, b.ck) AS custkey, a.n AS n_urgent, b.n AS n_low
+    FROM (SELECT o_custkey AS ck, count(*) AS n FROM orders
+          WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS ck, count(*) AS n FROM orders
+          WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey) b
+      ON a.ck = b.ck
+    """,
+)
+def q_join_full_outer(spark, sf_dir):
+    """J3 full outer, value-checked with real null rows on BOTH sides
+    (customers with only urgent or only low-priority orders) — the
+    left-only q_join_outer never exercised the full_outer path the
+    graph metrics join (G13) relies on."""
+    o = _t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("ck_a"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    b = (
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_custkey").alias("ck_b"))
+        .agg(F.count("*").alias("n_low"))
+    )
+    return a.join(b, a.ck_a == b.ck_b, "full_outer").select(
+        F.coalesce("ck_a", "ck_b").alias("custkey"), "n_urgent", "n_low"
     )
 
 
@@ -697,15 +734,23 @@ def q_intersect(spark, sf_dir):
 @register(
     "q_except",
     """
-    SELECT c_nationkey AS nk FROM customer
+    SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 100000
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
     """,
 )
 def q_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.distinct().subtract(s.distinct())
+    """U3: customers with a high-value order but no finished order —
+    non-empty at every fixture scale (the nationkey form returned 0
+    rows and verified nothing)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("ck")
+    )
+    fin = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("ck")
+    )
+    return hi.distinct().subtract(fin.distinct())
 
 
 # ---------------------------------------------------------------------------
