@@ -30,7 +30,7 @@ from sparkgatha.extract import (
     DEFAULT_STOPWORDS,
     assert_no_id_collisions,
     extract_cooccurrence_edges,
-    node_ids,
+    node_ids_safe,
     symmetrize,
 )
 from sparkgatha.graph.metrics import state_fingerprint
@@ -49,9 +49,17 @@ class ConstructConfig:
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
     min_weight: float = 0.0
     max_df: float | None = None        # the reference's frequency cutoff
+    weight_mode: str = "count"         # 'idf' = TF-IDF-flavored (G1)
     num_partitions: int = 32
     phases: tuple[str, ...] = ("edges", "nodes", "adjacency")
     force: bool = False                # ignore existing checkpoints
+    # G8 similarity phase (AGATHA's sentence-kNN edges): when an
+    # embeddings table (vec_id, embedding) is given, ann_topk adds
+    # kNN similarity edges between '<sim_node_prefix><vec_id>' nodes —
+    # the heterogeneous-graph analog of the reference's FAISS edges.
+    embeddings_path: str | None = None
+    knn_k: int = 5
+    sim_node_prefix: str = "v:"
 
 
 @dataclass
@@ -61,6 +69,7 @@ class ConstructResult:
     adjacency_path: str
     n_edges: int = 0
     n_nodes: int = 0
+    n_sim_edges: int = 0
     skipped: list[str] = field(default_factory=list)
 
 
@@ -101,6 +110,7 @@ def build_graph(spark: SparkSession, cfg: ConstructConfig) -> ConstructResult:
             min_weight=cfg.min_weight,
             max_df=cfg.max_df,
             num_partitions=cfg.num_partitions,
+            weight_mode=cfg.weight_mode,
         )
         edges.write.mode("overwrite").parquet(edges_path)
         result.n_edges = _finish_phase(edges_path, spark.read.parquet(edges_path), "edges")
@@ -109,9 +119,42 @@ def build_graph(spark: SparkSession, cfg: ConstructConfig) -> ConstructResult:
         result.n_edges = read_manifest(os.path.join(edges_path, "_MANIFEST.json"))["rows"]
     edges = spark.read.parquet(edges_path)
 
-    # phase 2: node dictionary + id-space edges
+    # phase 1b (optional): G8 kNN similarity edges over embeddings —
+    # the reference adds FAISS sentence-kNN edges to the same multigraph
+    # (agatha/construct/knn_util.py per SURVEY.md §2.11 G8); here the
+    # bucketed multi-table hyperplane LSH (similarity.ann_topk) supplies
+    # the candidate-bounded equivalent, merged as string-keyed edges so
+    # the graph stays heterogeneous exactly like the reference's.
+    if cfg.embeddings_path is not None:
+        sim_path = os.path.join(cfg.out_dir, "sim_edges")
+        if cfg.force or not _phase_done(sim_path):
+            from sparkgatha.similarity import ann_topk
+
+            emb = spark.read.parquet(cfg.embeddings_path)
+            dim = len(emb.select("embedding").first()["embedding"])
+            knn = ann_topk(emb, k=cfg.knn_k, dim=dim).filter(F.col("cos") > 0)
+            sim_edges = knn.select(
+                F.concat(F.lit(cfg.sim_node_prefix), F.col("qid")).alias("src"),
+                F.concat(F.lit(cfg.sim_node_prefix), F.col("nid")).alias("dst"),
+                F.col("cos").alias("weight"),
+            )
+            sim_edges.write.mode("overwrite").parquet(sim_path)
+            result.n_sim_edges = _finish_phase(
+                sim_path, spark.read.parquet(sim_path), "similarity"
+            )
+        else:
+            result.skipped.append("similarity")
+            result.n_sim_edges = read_manifest(
+                os.path.join(sim_path, "_MANIFEST.json")
+            )["rows"]
+        edges = edges.unionByName(spark.read.parquet(sim_path))
+
+    # phase 2: node dictionary + id-space edges (collision-HANDLED: at
+    # 10^12-key cardinality xxhash64 collisions are a certainty, so the
+    # dictionary deterministically re-salts colliding keys instead of
+    # dying; the assert is the post-condition, not the strategy)
     if cfg.force or not _phase_done(nodes_path):
-        nodes, _ = node_ids(edges)
+        nodes, _ = node_ids_safe(edges)
         assert_no_id_collisions(nodes)
         nodes.write.mode("overwrite").parquet(nodes_path)
         result.n_nodes = _finish_phase(nodes_path, spark.read.parquet(nodes_path), "nodes")

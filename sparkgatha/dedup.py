@@ -403,12 +403,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints (32-bit here; 64 at scale): per-bit majority
     vote over md5-hashed shingles.  Near-dups then group by simhash or by
-    hamming-ball probes — fingerprint computation itself is shuffle-free
-    per document."""
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle")).withColumn(
-        "h", _md5_long(F.col("shingle"))
-    )
+    hamming-ball probes (simhash_near_dups) — fingerprint computation
+    itself is shuffle-free per document."""
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint) — per-bit majority vote over md5-hashed
+    shingles (the oracle-checkable explode+groupBy form)."""
+    spark = docs.sparkSession
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(text_col)).alias("shingle")
+    ).withColumn("h", _md5_long(F.col("shingle")))
     bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
     per_bit = (
         sh.crossJoin(F.broadcast(bits))
@@ -430,6 +436,112 @@ def q_dedup_simhash(spark, sf_dir):
             "simhash"
         )
     )
+
+
+#: hamming-probe block layout for 32-bit simhash at max distance 2:
+#: d+1 = 3 blocks — by pigeonhole any pair within hamming distance 2
+#: shares at least one block EXACTLY, so candidates come from equi-joins
+#: on (block_idx, block_value), never an all-pairs scan
+_HAMMING_BLOCKS = ((0, 11), (11, 11), (22, 10))  # (shift, width)
+MAX_HAMMING = 2
+
+
+def simhash_near_dups(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-dup pairs within ``max_hamming``
+    bits of simhash, via the blocked probe join (the scale path the
+    exact-fingerprint-match form lacked): split the fingerprint into
+    d+1 blocks, equi-join per block, verify popcount(xor) on candidates
+    only.  The block layout above is sized for max_hamming=2."""
+    fps = simhash_fingerprints(docs, text_col)
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.expr(
+                            f"(simhash >> {shift}) & {(1 << width) - 1}"
+                        ).alias("val"),
+                    )
+                    for i, (shift, width) in enumerate(_HAMMING_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+_SIMHASH_FPS_SQL = f"""
+    bits AS (
+      SELECT doc_id, b.i AS bit,
+             CASE WHEN sum(CASE WHEN
+               (((('0x' || substr(md5(shingle), 1, 15))::BIGINT) >> b.i) & 1) = 1
+               THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bitval
+      FROM sh, (SELECT unnest(range({SIMHASH_BITS})) AS i) b
+      GROUP BY doc_id, b.i
+    ),
+    fps AS (
+      SELECT doc_id,
+             sum(bitval * (1::BIGINT << bit))::BIGINT AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q_simhash_hamming",
+    f"""
+    WITH {_SHINGLES_SQL},
+    {_SIMHASH_FPS_SQL},
+    blocks AS (
+      SELECT doc_id, simhash, b.i AS blk,
+             CASE b.i
+               WHEN 0 THEN (simhash >> 0) & 2047
+               WHEN 1 THEN (simhash >> 11) & 2047
+               ELSE (simhash >> 22) & 1023
+             END AS val
+      FROM fps, (SELECT unnest(range(3)) AS i) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INTEGER AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {MAX_HAMMING}
+    """,
+)
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash hamming-ball near-dup probe (blocked candidate join +
+    popcount verify), end-to-end oracle-checked."""
+    return simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
 @register(

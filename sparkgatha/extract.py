@@ -103,10 +103,20 @@ def extract_cooccurrence_edges(
     max_df: float | None = None,
     symmetric: bool = False,
     num_partitions: int | None = None,
+    weight_mode: str = "count",
 ) -> DataFrame:
     """documents → canonical co-occurrence edges ``(src, dst, weight)``.
 
-    weight = number of documents in which the pair co-occurs.
+    ``weight_mode='count'`` (default): weight = number of documents in
+    which the pair co-occurs.
+    ``weight_mode='idf'``: weight = co-count x mean(idf(src), idf(dst))
+    with idf(t) = ln(n_docs / df(t)) — the reference's TF-IDF-flavored
+    term-edge weighting (AGATHA's term↔sentence edges are TF-IDF-ish,
+    SURVEY.md §2.11 G1): hub terms that co-occur everywhere carry less
+    weight.  The document-frequency table is vocabulary-sized (an A2
+    aggregation), so the idf joins shuffle edges against a table orders
+    of magnitude smaller than the edge set; ``min_weight`` always
+    applies to the raw co-count, before idf scaling.
     ``max_df`` (fraction of docs) drops hub terms *before* pairing —
     the reference's frequency-cutoff skew control.
     ``symmetric=True`` additionally emits the reversed orientation
@@ -158,6 +168,32 @@ def extract_cooccurrence_edges(
     )
     if min_weight > 0:
         edges = edges.filter(F.col("weight") >= min_weight)
+    if weight_mode == "idf":
+        n_docs = docs.count()
+        dfreq = (
+            toks.select(F.explode("terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        idf = lambda alias: dfreq.select(  # noqa: E731
+            F.col("term").alias(alias),
+            F.log(F.lit(float(n_docs)) / F.col("df")).alias(f"idf_{alias}"),
+        )
+        edges = (
+            edges.join(idf("src"), "src")
+            .join(idf("dst"), "dst")
+            .select(
+                "src",
+                "dst",
+                (
+                    F.col("weight")
+                    * (F.col("idf_src") + F.col("idf_dst"))
+                    / 2.0
+                ).alias("weight"),
+            )
+        )
+    elif weight_mode != "count":
+        raise ValueError(f"unknown weight_mode: {weight_mode!r}")
     if symmetric:
         edges = symmetrize(edges)
     return edges
@@ -202,3 +238,90 @@ def assert_no_id_collisions(nodes: DataFrame) -> None:
         raise RuntimeError(
             f"xxhash64 id collision: {n_keys} keys -> {n_ids} ids"
         )
+
+
+def _default_hash(key, salt: int):
+    return F.xxhash64(key, F.lit(salt))
+
+
+def node_ids_safe(
+    edges: DataFrame,
+    hash_fn=None,
+    max_rehash: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """G2 with collision HANDLING (not just detection): the build path
+    for key cardinalities where 64-bit collisions are expected — the
+    birthday bound puts xxhash64 at ~50% collision probability around
+    5x10^9 keys, so at the 10^12 scale a detect-and-die build is a
+    guaranteed death (the round-1 ``assert_no_id_collisions`` behavior).
+
+    Strategy, fully deterministic:
+      1. id = hash(key, salt=0) for every distinct key;
+      2. while any id is shared by >1 key: rehash ALL keys in colliding
+         buckets with the next salt (the colliding set is birthday-tiny,
+         so the per-round work is one count-per-id aggregation plus a
+         broadcast-joined fix-up of a handful of rows);
+      3. if collisions survive (injective dictionary): edges map through
+         the dictionary join; if salt 0 was already injective, edges map
+         by direct hashing — zero joins, the fast path.
+
+    ``hash_fn(col, salt) -> Column`` is pluggable so tests can force
+    collisions with a deliberately narrow hash.
+    Returns (nodes(id, key), id_edges(src, dst, weight)).
+    """
+    h = hash_fn or _default_hash
+    keys = (
+        edges.select(F.col("src").alias("key"))
+        .unionByName(edges.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    nodes = keys.select(h(F.col("key"), 0).alias("id"), "key").localCheckpoint(
+        eager=True
+    )
+    rehashed = False
+    for salt in range(1, max_rehash + 1):
+        dup_ids = (
+            nodes.groupBy("id")
+            .agg(F.count("*").alias("k"))
+            .filter(F.col("k") > 1)
+            .select(F.col("id").alias("dup_id"))
+        )
+        if dup_ids.limit(1).count() == 0:
+            break
+        rehashed = True
+        nodes = nodes.join(
+            F.broadcast(dup_ids), nodes.id == dup_ids.dup_id, "left"
+        ).select(
+            F.when(
+                F.col("dup_id").isNotNull(), h(F.col("key"), salt)
+            )
+            .otherwise(F.col("id"))
+            .alias("id"),
+            "key",
+        ).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"node id dictionary still has collisions after {max_rehash} "
+            "salted rehash rounds — the hash is too narrow for the key "
+            "cardinality"
+        )
+
+    if not rehashed:
+        id_edges = edges.select(
+            h(F.col("src"), 0).alias("src"),
+            h(F.col("dst"), 0).alias("dst"),
+            "weight",
+        )
+    else:
+        src_map = nodes.select(F.col("key").alias("src"), F.col("id").alias("src_id"))
+        dst_map = nodes.select(F.col("key").alias("dst"), F.col("id").alias("dst_id"))
+        id_edges = (
+            edges.join(src_map, "src")
+            .join(dst_map, "dst")
+            .select(
+                F.col("src_id").alias("src"),
+                F.col("dst_id").alias("dst"),
+                "weight",
+            )
+        )
+    return nodes, id_edges

@@ -38,7 +38,13 @@ def layout_edges(
 
 
 def assert_no_edge_exchange(plan: str) -> bool:
-    """Heuristic check used by tests: after layout, the edge side of the
-    superstep join must show InMemoryTableScan *not* preceded by its own
-    Exchange in the physical plan string."""
-    return "InMemoryTableScan" in plan
+    """True iff the physical plan reads the persisted edge layout with NO
+    shuffle Exchange above it: the plan must contain an
+    InMemoryTableScan, and the plan text ABOVE the InMemoryRelation
+    subtree must contain no ``Exchange hashpartitioning`` (the one-time
+    layout Exchange lives INSIDE the InMemoryRelation and is expected;
+    BroadcastExchange for the small state side is allowed)."""
+    if "InMemoryTableScan" not in plan:
+        return False
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    return "Exchange hashpartitioning" not in above_cache

@@ -1121,6 +1121,42 @@ def q_degrees(spark, sf_dir):
     )
 
 
+@register(
+    "q_edges_idf",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+      WHERE t.term NOT IN ('a','the') AND t.term <> ''
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    e AS (
+      SELECT a.term AS src, b.term AS dst, count(*) AS cnt
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT e.src, e.dst,
+           round(e.cnt * (ln(nd.n * 1.0 / ds.df) + ln(nd.n * 1.0 / dd.df)) / 2,
+                 4) AS weight
+    FROM e
+    CROSS JOIN nd
+    JOIN dfreq ds ON ds.term = e.src
+    JOIN dfreq dd ON dd.term = e.dst
+    """,
+)
+def q_edges_idf(spark, sf_dir):
+    """G1 with TF-IDF-flavored weights (weight_mode='idf') — the
+    reference's term-edge weighting (SURVEY.md §2.11 G1), oracle-checked
+    end-to-end: co-count x mean idf of the endpoints."""
+    from sparkgatha.extract import extract_cooccurrence_edges
+
+    d = _t(spark, sf_dir, "documents")
+    e = extract_cooccurrence_edges(d, text_col="text", weight_mode="idf")
+    return e.select("src", "dst", F.round("weight", 4).alias("weight"))
+
+
 # ---------------------------------------------------------------------------
 # graph / sampling / approx operators — not SQL-expressible (iterative or
 # engine-specific): registered with oracle=None → driver rows-only check

@@ -89,49 +89,108 @@ def dedup_within_watermark(events: DataFrame, late: str = "1 hour") -> DataFrame
 
 class IncrementalGraphBuilder:
     """ST6 — foreachBatch incremental co-occurrence graph (SURVEY.md
-    §2.9 ST6): each micro-batch of documents appends new edges, merges
-    them into the running edge table (weight addition), and the next
-    PageRank warm-starts from the previous ranks — the reference's
-    "extend the graph with the new MEDLINE release" flow without a full
-    rebuild.
+    §2.9 ST6): each micro-batch of documents appends new edges as a
+    DELTA, and the merged view is reconstructed lazily — the
+    reference's "extend the graph with the new MEDLINE release" flow
+    without a full rebuild.
+
+    Storage layout (the sandbox stand-in for Iceberg MERGE, manifest
+    emulating the snapshot pointer — SURVEY.md §4.4)::
+
+        work_dir/edges/base_v<N>/      compacted parquet (optional)
+        work_dir/edges/delta_<K>/      one parquet dir per micro-batch
+        work_dir/edges/_COMMIT.json    written LAST via os.replace —
+                                       the atomic commit: lists the
+                                       live base + deltas
+
+    Per-batch work is O(batch): ``merge_batch`` writes ONLY the new
+    delta and swaps the commit manifest — it never reads or rewrites
+    the accumulated table (the round-1 design rewrote the whole edge
+    table per batch and swapped it with a crash-unsafe rmtree+rename).
+    ``edges()`` unions the live base + deltas and groupBy-sums weights
+    lazily.  When the delta count reaches ``compact_every`` the merged
+    table is compacted into a new base dir; the manifest swap commits
+    it, and superseded dirs are removed only AFTER the swap (a crash
+    mid-compaction leaves garbage dirs, never a corrupt view).
     """
 
-    def __init__(self, spark: SparkSession, work_dir: str):
+    EDGE_SCHEMA = "src string, dst string, weight double"
+
+    def __init__(self, spark: SparkSession, work_dir: str, compact_every: int = 8):
         self.spark = spark
         self.work_dir = work_dir
-        self.edges_path = os.path.join(work_dir, "edges")
-        os.makedirs(work_dir, exist_ok=True)
-        self._have_edges = os.path.isdir(self.edges_path)
+        self.edges_dir = os.path.join(work_dir, "edges")
+        self.compact_every = compact_every
+        os.makedirs(self.edges_dir, exist_ok=True)
 
+    # -- commit manifest ---------------------------------------------------
+    @property
+    def _commit_path(self) -> str:
+        return os.path.join(self.edges_dir, "_COMMIT.json")
+
+    def _state(self) -> dict:
+        if not os.path.exists(self._commit_path):
+            return {"base": None, "deltas": [], "next_id": 0}
+        import json
+
+        with open(self._commit_path) as f:
+            return json.load(f)
+
+    def _commit(self, state: dict) -> None:
+        """Manifest-last atomic commit (same pattern as graph/checkpoint)."""
+        import json
+
+        tmp = self._commit_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._commit_path)
+
+    # -- read side ----------------------------------------------------------
     def edges(self) -> DataFrame:
-        if not self._have_edges:
-            return self.spark.createDataFrame(
-                [], "src string, dst string, weight double"
-            )
-        return self.spark.read.parquet(self.edges_path)
+        state = self._state()
+        parts = ([state["base"]] if state["base"] else []) + state["deltas"]
+        if not parts:
+            return self.spark.createDataFrame([], self.EDGE_SCHEMA)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.edges_dir, p) for p in parts]
+        )
+        if len(parts) == 1:
+            return df
+        return df.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
 
+    # -- write side ---------------------------------------------------------
     def merge_batch(self, batch_docs: DataFrame) -> None:
-        """Append a document micro-batch: extract its edges and
-        weight-merge with the persisted edge table (delta merge =
-        groupBy-sum of the union — pure DataFrame ops)."""
+        """Append a document micro-batch as a delta (O(batch) work)."""
         from sparkgatha.extract import extract_cooccurrence_edges
 
-        new_edges = extract_cooccurrence_edges(batch_docs, text_col="text")
-        merged = (
-            self.edges()
-            .unionByName(new_edges)
-            .groupBy("src", "dst")
-            .agg(F.sum("weight").alias("weight"))
-        )
-        tmp = self.edges_path + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.edges_path
-        if os.path.isdir(final):
-            import shutil
+        state = self._state()
+        delta = f"delta_{state['next_id']:06d}"
+        extract_cooccurrence_edges(batch_docs, text_col="text").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.edges_dir, delta))
+        state["deltas"].append(delta)
+        state["next_id"] += 1
+        self._commit(state)
+        if len(state["deltas"]) >= self.compact_every:
+            self.compact()
 
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        self._have_edges = True
+    def compact(self) -> None:
+        """Fold base + deltas into a fresh base dir; commit, then clean."""
+        import shutil
+
+        state = self._state()
+        old_dirs = ([state["base"]] if state["base"] else []) + state["deltas"]
+        if not old_dirs:
+            return
+        new_base = f"base_v{state['next_id']:06d}"
+        self.edges().write.mode("overwrite").parquet(
+            os.path.join(self.edges_dir, new_base)
+        )
+        self._commit(
+            {"base": new_base, "deltas": [], "next_id": state["next_id"] + 1}
+        )
+        for d in old_dirs:  # post-commit cleanup; crash here leaves garbage only
+            shutil.rmtree(os.path.join(self.edges_dir, d), ignore_errors=True)
 
     def foreach_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         self.merge_batch(batch_docs)

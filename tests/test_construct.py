@@ -81,6 +81,38 @@ def test_pair_features(built):
         assert r["same_component"] in (True, False)
 
 
+def test_build_graph_with_similarity_edges(spark, tmp_path):
+    """G8 wired into construction: with an embeddings table the build
+    adds kNN similarity edges between v:<vec_id> nodes (the reference's
+    FAISS sentence-kNN edges), the graph stays heterogeneous, and the
+    checkpoint-skip covers the new phase."""
+    corpus_dir = str(tmp_path / "c")
+    generate_corpus(spark, 200, num_partitions=4).write.parquet(corpus_dir)
+    cfg = ConstructConfig(
+        corpus_path=corpus_dir,
+        out_dir=str(tmp_path / "g"),
+        text_col="content",
+        num_partitions=4,
+        embeddings_path="/root/testdata/sf0.001/embeddings.parquet",
+        knn_k=3,
+    )
+    r1 = build_graph(spark, cfg)
+    assert r1.n_sim_edges > 0
+    nodes, edges = load_adjacency(spark, cfg.out_dir)
+    sim_nodes = nodes.filter(F.col("key").startswith("v:"))
+    term_nodes = nodes.filter(~F.col("key").startswith("v:"))
+    assert sim_nodes.count() > 0 and term_nodes.count() > 0  # heterogeneous
+    # per-query cap respected: at most k out-edges per v: node pre-symmetrize
+    sim_raw = spark.read.parquet(cfg.out_dir + "/sim_edges")
+    per_q = sim_raw.groupBy("src").count()
+    assert per_q.agg(F.max("count")).collect()[0][0] <= cfg.knn_k
+    # weights are positive cosines
+    assert sim_raw.filter(F.col("weight") <= 0).count() == 0
+    r2 = build_graph(spark, cfg)
+    assert set(r2.skipped) == {"edges", "similarity", "nodes", "adjacency"}
+    assert r2.n_sim_edges == r1.n_sim_edges
+
+
 def test_cli_construct_and_query(spark, tmp_path):
     """__main__ surface — the spark-submit command shape."""
     corpus_dir = str(tmp_path / "c")

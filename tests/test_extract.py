@@ -68,6 +68,48 @@ def test_node_ids_no_collisions(spark):
     assert id_edges.count() == edges.count()
 
 
+def test_node_ids_safe_handles_forced_collision(spark):
+    """G2 collision HANDLING: a hash whose salt-0 round maps every key
+    to the same id (total collision) must still yield an injective
+    dictionary via the deterministic salted rehash, and the id-space
+    edges must round-trip to the original string edges."""
+    from sparkgatha.extract import node_ids_safe
+
+    def bad_then_good(col, salt):
+        if salt == 0:
+            return F.lit(0).cast("long")
+        return F.xxhash64(col, F.lit(salt))
+
+    docs = read_table(spark, SF, "documents")
+    edges = symmetrize(extract_cooccurrence_edges(docs))
+    nodes, id_edges = node_ids_safe(edges, hash_fn=bad_then_good)
+    assert_no_id_collisions(nodes)
+    assert id_edges.count() == edges.count()
+    # round-trip: mapping ids back through the dictionary reproduces the
+    # exact string edge multiset — the graph is correct despite the
+    # collision storm
+    src_m = nodes.select(F.col("id").alias("src"), F.col("key").alias("src_key"))
+    dst_m = nodes.select(F.col("id").alias("dst"), F.col("key").alias("dst_key"))
+    back = id_edges.join(src_m, "src").join(dst_m, "dst").select(
+        F.col("src_key").alias("src"), F.col("dst_key").alias("dst"), "weight"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, edges.collect())
+    )
+
+
+def test_node_ids_safe_fast_path_no_join(spark):
+    """Without collisions the id mapping must stay a pure projection —
+    no join in the physical plan (the 100 TB fast path)."""
+    from sparkgatha.extract import node_ids_safe
+
+    docs = read_table(spark, SF, "documents")
+    edges = symmetrize(extract_cooccurrence_edges(docs))
+    _, id_edges = node_ids_safe(edges)
+    plan = id_edges._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_corpus_deterministic_and_sha_verified(spark):
     c1 = generate_corpus(spark, 200, num_partitions=4)
     c2 = generate_corpus(spark, 200, num_partitions=13)

@@ -69,12 +69,12 @@ def test_edge_exchange_reused_across_superstep(spark):
         )
         plan = gathered._jdf.queryExecution().executedPlan().toString()
     cold.unpersist()
-    assert "InMemoryTableScan" in plan
     # partition-local agg: no shuffle Exchange ABOVE the cached edge scan
     # (the InMemoryRelation subtree retains its one-time layout Exchange;
     # BroadcastExchange for the rank vector is expected and allowed)
-    above_cache = plan.split("InMemoryRelation", 1)[0]
-    assert "Exchange hashpartitioning" not in above_cache, above_cache[:2000]
+    from sparkgatha.graph.partitioning import assert_no_edge_exchange
+
+    assert assert_no_edge_exchange(plan), plan[:2000]
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):

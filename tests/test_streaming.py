@@ -87,6 +87,144 @@ def test_stateful_dedup(spark, events):
     assert set(dedup_within_watermark(events).columns) == set(events.columns)
 
 
+def test_incremental_merge_is_delta_only_and_compacts(spark, tmp_path):
+    """ST6 scale contract: merge_batch writes ONLY the new delta (the
+    accumulated table is never rewritten per batch), the commit manifest
+    is swapped atomically, and compaction folds deltas into a base
+    without changing the merged view."""
+    from sparkgatha.extract import extract_cooccurrence_edges
+
+    docs = read_table(spark, SF, "documents")
+    b = IncrementalGraphBuilder(spark, str(tmp_path / "inc2"), compact_every=100)
+    b.merge_batch(docs.filter(F.col("doc_id") < 150))
+    d0 = os.path.join(b.edges_dir, "delta_000000")
+    files_before = sorted(os.listdir(d0))
+    mtimes_before = {f: os.path.getmtime(os.path.join(d0, f)) for f in files_before}
+
+    b.merge_batch(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 320)))
+    b.merge_batch(docs.filter(F.col("doc_id") >= 320))
+    # earlier delta untouched by later merges — O(batch) writes only
+    assert sorted(os.listdir(d0)) == files_before
+    assert {
+        f: os.path.getmtime(os.path.join(d0, f)) for f in files_before
+    } == mtimes_before
+    state = b._state()
+    assert state["base"] is None and len(state["deltas"]) == 3
+
+    full = extract_cooccurrence_edges(docs)
+
+    def same(df):
+        return (
+            df.join(full.withColumnRenamed("weight", "w2"), ["src", "dst"], "full_outer")
+            .filter(
+                F.col("weight").isNull()
+                | F.col("w2").isNull()
+                | (F.col("weight") != F.col("w2"))
+            )
+            .count()
+            == 0
+        )
+
+    assert same(b.edges())
+    b.compact()
+    state = b._state()
+    assert state["base"] is not None and state["deltas"] == []
+    assert same(b.edges())
+    # auto-compaction at threshold
+    b2 = IncrementalGraphBuilder(spark, str(tmp_path / "inc3"), compact_every=2)
+    b2.merge_batch(docs.filter(F.col("doc_id") < 150))
+    b2.merge_batch(docs.filter(F.col("doc_id") >= 150))
+    state = b2._state()
+    assert state["base"] is not None and state["deltas"] == []
+    assert same(b2.edges())
+
+
+def _stream_files(spark, tmp_path, transform, *batches):
+    """Drive an N-micro-batch stream (file order pinned via mtime) through
+    ``transform`` in APPEND mode; returns the sink table.
+
+    NOTE (empirically verified): the watermark computed from batch N's
+    data becomes effective for late-row filtering one batch LATER than
+    naively expected, so a late event must arrive >= 2 batches after the
+    event that pushed the watermark past it."""
+    import shutil
+
+    from sparkgatha.streaming import EVENTS_SCHEMA
+
+    src = str(tmp_path / "wmsrc")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    name = f"wm_sink_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _ev(eid, ts, uid=1, etype="a", value=1.0):
+    from datetime import datetime
+
+    return (eid, datetime.fromisoformat(ts), uid, etype, value, "{}")
+
+
+def test_tumbling_late_data_dropped_under_moving_watermark(spark, tmp_path):
+    """ST4 in true streaming mode: batch 1 advances the watermark past
+    the 10:00 window; a later batch's late row for that window is
+    DROPPED, and append mode emits the finalized window with the on-time
+    count only."""
+    batch1 = [_ev(1, "2024-01-01 10:00:30"), _ev(2, "2024-01-01 12:00:00")]
+    batch2 = [_ev(3, "2024-01-01 12:10:00")]  # filler: lets the wm land
+    batch3 = [_ev(4, "2024-01-01 10:01:00"),  # late: window end < watermark
+              _ev(5, "2024-01-01 12:30:00")]
+    out = _stream_files(
+        spark, tmp_path,
+        lambda s: tumbling_counts(s.withWatermark("ts", "30 minutes")),
+        batch1, batch2, batch3,
+    )
+    rows = {(r["win_start"].isoformat(), r["event_type"]): r["n"] for r in out.collect()}
+    assert rows.get(("2024-01-01T10:00:00", "a")) == 1  # late event excluded
+
+
+def test_session_window_stream_mode_with_watermark(spark, tmp_path):
+    """ST3 in true streaming mode: a session finalized by the moving
+    watermark is emitted with its on-time events only; a late event that
+    would have extended it is dropped."""
+    batch1 = [
+        _ev(1, "2024-01-01 10:00:00", uid=1),
+        _ev(2, "2024-01-01 10:02:00", uid=1),
+        _ev(3, "2024-01-01 12:00:00", uid=2),  # watermark pusher
+    ]
+    batch2 = [_ev(4, "2024-01-01 12:10:00", uid=2)]  # filler: wm lands
+    batch3 = [
+        _ev(5, "2024-01-01 10:03:00", uid=1),  # late: session already closed
+        _ev(6, "2024-01-01 12:40:00", uid=2),
+    ]
+    out = _stream_files(
+        spark, tmp_path,
+        lambda s: session_counts(s.withWatermark("ts", "30 minutes")),
+        batch1, batch2, batch3,
+    )
+    u1 = [r for r in out.collect() if r["user_id"] == 1]
+    assert len(u1) == 1
+    assert u1[0]["session_start"].isoformat() == "2024-01-01T10:00:00"
+    assert u1[0]["n_events"] == 2  # late event 4 did not extend the session
+
+
 def test_incremental_graph_matches_full_rebuild(spark, tmp_path):
     """ST6: merging documents in 3 micro-batches produces exactly the
     edge table a full rebuild produces, and PageRank over it matches."""
