@@ -84,6 +84,12 @@ def main() -> None:
         t0 = time.monotonic()
         r = pagerank(prepared=prep, tol=0.0, max_iter=MEASURED_STEPS)
         runs.append((time.monotonic() - t0, r))
+    # second half of the north-star metric: iterations to the 1e-6
+    # NetworkX stopping rule on the same warm layout
+    conv = timed(
+        "b_pagerank_converge_1e6",
+        lambda: pagerank(prepared=prep, tol=1e-6, max_iter=100),
+    )
     prep.unpersist()
     tput = lambda r: n_edges_b * r.iterations / sum(r.superstep_wall_s)  # noqa: E731
     runs.sort(key=lambda wr: tput(wr[1]))
@@ -140,6 +146,8 @@ def main() -> None:
                 "total_sec": total,
                 "n_edges_b": n_edges_b,
                 "supersteps": pr.iterations,
+                "iterations_to_1e6": conv.iterations,
+                "converged": conv.converged,
                 "measured_runs": MEASURED_RUNS,
                 "run_tputs_edges_per_sec": run_tputs,
                 "superstep_walls_s": [round(w, 3) for w in pr.superstep_wall_s],

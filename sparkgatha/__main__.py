@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     c.add_argument("--fmt", default="parquet", choices=("parquet", "iceberg"))
     c.add_argument("--max-df", type=float, default=None)
     c.add_argument("--min-weight", type=float, default=0.0)
+    c.add_argument("--weight-mode", default="count", choices=("count", "idf"))
+    c.add_argument("--embeddings", default=None,
+                   help="parquet (vec_id, embedding) → kNN similarity edges")
+    c.add_argument("--knn-k", type=int, default=5)
     c.add_argument("--partitions", type=int, default=32)
     c.add_argument("--force", action="store_true")
 
@@ -45,6 +49,18 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--strategy", default="auto",
                    choices=("auto", "broadcast", "shuffle"))
+
+    for name, helptext in (
+        ("cc", "connected components over a built graph"),
+        ("lpa", "label propagation over a built graph"),
+    ):
+        g = sub.add_parser(name, help=helptext)
+        g.add_argument("--graph", required=True)
+        g.add_argument("--out", required=True)
+        g.add_argument("--max-iter", type=int, default=50 if name == "cc" else 20)
+        g.add_argument("--partitions", type=int, default=32)
+        g.add_argument("--checkpoint-dir", default=None)
+        g.add_argument("--resume", action="store_true")
 
     q = sub.add_parser("query", help="two-term topic query")
     q.add_argument("--graph", required=True)
@@ -71,12 +87,16 @@ def main(argv=None) -> int:
             fmt=args.fmt,
             max_df=args.max_df,
             min_weight=args.min_weight,
+            weight_mode=args.weight_mode,
+            embeddings_path=args.embeddings,
+            knn_k=args.knn_k,
             num_partitions=args.partitions,
             force=args.force,
         )
         r = build_graph(spark, cfg)
         print(json.dumps({
             "edges": r.n_edges, "nodes": r.n_nodes,
+            "sim_edges": r.n_sim_edges,
             "adjacency": r.adjacency_path, "skipped": r.skipped,
         }))
 
@@ -103,6 +123,30 @@ def main(argv=None) -> int:
             "n_vertices": r.n_vertices, "n_edges": r.n_edges,
             "strategy": r.strategy,
             "deltas": [round(d, 10) for d in r.deltas[-3:]],
+        }))
+
+    elif args.cmd in ("cc", "lpa"):
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.cc import connected_components
+        from sparkgatha.graph.lpa import label_propagation
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        if args.cmd == "cc":
+            labels = connected_components(
+                edges, max_iter=args.max_iter,
+                checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            ).withColumnRenamed("component", "label")
+        else:
+            labels = label_propagation(
+                edges, max_iter=args.max_iter,
+                num_partitions=args.partitions,
+                checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            )
+        out = labels.join(nodes, labels.vertex == nodes.id).select("key", "label")
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "vertices": out.count(),
+            "groups": out.select("label").distinct().count(),
         }))
 
     elif args.cmd == "query":

@@ -40,8 +40,12 @@ shrinking parent-link set.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
+from sparkgatha.graph.checkpoint import CheckpointManager
+from sparkgatha.graph.metrics import MetricsSink
 from sparkgatha.util import no_aqe
 
 
@@ -111,26 +115,62 @@ def _fingerprint(e: DataFrame):
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    run_id: str = "cc",
+    metrics_sink: MetricsSink | None = None,
 ) -> DataFrame:
     """(vertex long, component long) — component = min vertex id, exact.
 
     Isolated vertices never appear in an edge table; callers with a
     separate vertex set should left-join and coalesce(component, vertex).
+    With ``checkpoint_dir`` each round durably checkpoints the parent-link
+    edge set + manifest (G12); ``resume=True`` continues from the largest
+    complete round (the algorithm state IS the link set, so restarting on
+    it is exact).  Per-round link counts/fingerprints go to the S6 sink.
     """
-    with no_aqe(edges.sparkSession):
+    spark = edges.sparkSession
+    ckpt = CheckpointManager(checkpoint_dir, run_id)
+    sink = metrics_sink or MetricsSink(checkpoint_dir, run_id)
+    with no_aqe(spark):
         vertices = (
             edges.select(F.col("src").alias("vertex"))
             .unionByName(edges.select(F.col("dst").alias("vertex")))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        e = _canonical(edges).localCheckpoint(eager=True)
+        n = vertices.count()
+        e = None
+        start_it = 0
+        if resume and checkpoint_dir:
+            last = ckpt.latest_complete()
+            if last is not None:
+                e = ckpt.load(spark, last)
+                start_it = last
+        if e is None:
+            e = _canonical(edges).localCheckpoint(eager=True)
         prev_fp = _fingerprint(e)
-        for _ in range(max_iter):
+        it = start_it
+        while it < max_iter:
+            it += 1
+            t0 = time.monotonic()
             e = _small_star(_large_star(e)).localCheckpoint(eager=False)
             fp = _fingerprint(e)
-            if fp == prev_fp:
+            wall = time.monotonic() - t0
+            converged = fp == prev_fp
+            durable = checkpoint_dir is not None and (
+                it % checkpoint_every == 0 or converged or it >= max_iter
+            )
+            sha = f"{(fp[0] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{fp[1]}"
+            if durable:
+                e = ckpt.save(it, e, sha, metrics={"links": fp[1]})
+            sink.record(
+                it, float(abs(fp[1] - prev_fp[1])), fp[1], n, wall * 1000.0, sha
+            )
+            if converged:
                 break
             prev_fp = fp
     # fixpoint: e is a star forest (u → component min)

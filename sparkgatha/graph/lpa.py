@@ -29,20 +29,37 @@ Physical discipline (the same G11/PageRank treatment):
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from sparkgatha.graph.checkpoint import CheckpointManager
+from sparkgatha.graph.metrics import MetricsSink, state_fingerprint
 from sparkgatha.util import no_aqe
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 20, num_partitions: int = 32
+    edges: DataFrame,
+    max_iter: int = 20,
+    num_partitions: int = 32,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    run_id: str = "lpa",
+    metrics_sink: MetricsSink | None = None,
 ) -> DataFrame:
     """(vertex long, label long) over symmetrized ``edges(src,dst,weight)``.
 
     Pass both orientations (extract.symmetrize) for undirected graphs:
-    messages flow src → dst only.
+    messages flow src → dst only.  With ``checkpoint_dir`` every
+    ``checkpoint_every``-th superstep writes a durable label checkpoint +
+    manifest (G12) and ``resume=True`` continues from the largest complete
+    one; convergence metrics (changed-vertex count per superstep) go to
+    the S6 sink either way.
     """
+    ckpt = CheckpointManager(checkpoint_dir, run_id)
+    sink = metrics_sink or MetricsSink(checkpoint_dir, run_id)
     with no_aqe(edges.sparkSession):
         layout = (
             edges.select("src", "dst", "weight")
@@ -56,10 +73,23 @@ def label_propagation(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        labels = vertices.select("vertex", F.col("vertex").alias("label"))
-        labels = labels.localCheckpoint(eager=True)
+        n = vertices.count()
+        labels = None
+        start_it = 0
+        if resume and checkpoint_dir:
+            last = ckpt.latest_complete()
+            if last is not None:
+                labels = ckpt.load(edges.sparkSession, last)
+                start_it = last
+        if labels is None:
+            labels = vertices.select(
+                "vertex", F.col("vertex").alias("label")
+            ).localCheckpoint(eager=True)
 
-        for _ in range(max_iter):
+        it = start_it
+        while it < max_iter:
+            it += 1
+            t0 = time.monotonic()
             state = F.broadcast(labels)
             # gather: total incident weight per (vertex, neighbor label);
             # partial agg is partition-local against the stationary layout
@@ -97,7 +127,18 @@ def label_propagation(
             )
             new_labels = new_labels.localCheckpoint(eager=False)
             changed = new_labels.filter(F.col("_changed")).count()
-            labels = new_labels.select("vertex", "label")
+            wall = time.monotonic() - t0
+            durable = checkpoint_dir is not None and (
+                it % checkpoint_every == 0 or changed == 0 or it >= max_iter
+            )
+            if durable:
+                state = new_labels.select("vertex", "label")
+                sha = state_fingerprint(state)
+                labels = ckpt.save(it, state, sha, metrics={"changed": changed})
+            else:
+                sha = ""
+                labels = new_labels.select("vertex", "label")
+            sink.record(it, float(changed), changed, n, wall * 1000.0, sha)
             if changed == 0:
                 break
         layout.unpersist()

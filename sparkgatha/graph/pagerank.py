@@ -231,6 +231,7 @@ def pagerank(
     strategy: str = "auto",
     hot_threshold: int | None = None,
     prepared: PreparedGraph | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """PageRank over directed weighted ``edges(src, dst, weight)``.
 
@@ -241,6 +242,10 @@ def pagerank(
     ``strategy``: 'auto' | 'broadcast' | 'shuffle' (see module doc).
     ``prepared``: pass a :func:`prepare_pagerank` result to reuse the
     edge layout across calls (the caller then owns its unpersist).
+    ``init_ranks`` (vertex, rank): warm-start vector, e.g. the previous
+    ranks after an incremental graph extension (ST6) — the fixpoint is
+    init-independent, a warm start just converges in fewer supersteps;
+    vertices absent from it start at 1/N.
     """
     if prepared is None and edges is None:
         raise ValueError("pass edges or prepared")
@@ -256,7 +261,7 @@ def pagerank(
             return _pagerank_loop(
                 spark, prepared, alpha, tol, max_iter,
                 checkpoint_dir, checkpoint_every, resume, ckpt, sink,
-                with_lineage,
+                with_lineage, init_ranks,
             )
     finally:
         if owned:
@@ -266,6 +271,7 @@ def pagerank(
 def _pagerank_loop(
     spark, prepared, alpha, tol, max_iter,
     checkpoint_dir, checkpoint_every, resume, ckpt, sink, with_lineage,
+    init_ranks=None,
 ) -> PageRankResult:
     vertices = prepared.vertices
     n = prepared.n
@@ -287,6 +293,17 @@ def _pagerank_loop(
         if last is not None:
             ranks = ckpt.load(spark, last)
             start_it = last
+    if ranks is None and init_ranks is not None:
+        prev = init_ranks.select("vertex", F.col("rank").alias("rank0"))
+        ranks = (
+            vertices.join(prev, "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("rank0", F.lit(1.0 / n)).alias("rank"),
+                "has_out",
+            )
+            .localCheckpoint(eager=True)
+        )
     if ranks is None:
         ranks = vertices.select(
             "vertex", F.lit(1.0 / n).alias("rank"), "has_out"

@@ -136,3 +136,14 @@ def test_cli_construct_and_query(spark, tmp_path):
     ranks = spark.read.parquet(str(tmp_path / "r"))
     assert ranks.count() > 0
     assert abs(ranks.agg(F.sum("rank")).collect()[0][0] - 1.0) < 1e-9
+    for cmd in ("cc", "lpa"):
+        assert (
+            cli.main(
+                [cmd, "--graph", str(tmp_path / "g"), "--out",
+                 str(tmp_path / cmd), "--partitions", "4"]
+            )
+            == 0
+        )
+        labels = spark.read.parquet(str(tmp_path / cmd))
+        assert labels.count() > 0
+        assert set(labels.columns) == {"key", "label"}

@@ -61,6 +61,56 @@ def test_manifest_and_metrics_written(spark, tmp_path):
     assert len(lines) == 3
 
 
+def test_lpa_resume_equals_uninterrupted(spark, tmp_path):
+    """G12 now covers LPA: interrupt after 2 supersteps, resume, final
+    labels fingerprint-identical to the uninterrupted run."""
+    from sparkgatha.graph.lpa import label_propagation
+
+    triples = random_graph(n=80, m=240, seed=12)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    full = label_propagation(
+        edges, max_iter=6, num_partitions=4,
+        checkpoint_dir=str(tmp_path / "lf"),
+    )
+    part_dir = str(tmp_path / "lp")
+    label_propagation(edges, max_iter=2, num_partitions=4, checkpoint_dir=part_dir)
+    res = label_propagation(
+        edges, max_iter=6, num_partitions=4, checkpoint_dir=part_dir, resume=True
+    )
+    assert state_fingerprint(full) == state_fingerprint(res)
+
+
+def test_cc_resume_equals_uninterrupted(spark, tmp_path):
+    """G12 now covers CC: the link-set state resumes exactly."""
+    from sparkgatha.graph.cc import connected_components
+
+    triples = random_graph(n=120, m=200, seed=13)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    full = connected_components(edges, checkpoint_dir=str(tmp_path / "cf"))
+    part_dir = str(tmp_path / "cp")
+    connected_components(edges, max_iter=1, checkpoint_dir=part_dir)
+    res = connected_components(edges, checkpoint_dir=part_dir, resume=True)
+    assert state_fingerprint(full) == state_fingerprint(res)
+
+
+def test_warm_start_same_fixpoint_fewer_supersteps(spark):
+    """ST6 warm start: init_ranks from a converged run reaches the same
+    fixpoint (init-independence) in one confirming superstep."""
+    from pyspark.sql import functions as F
+
+    triples = random_graph(n=80, m=240, seed=14)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    cold = pagerank(edges, tol=1e-9, max_iter=200)
+    assert cold.converged
+    warm = pagerank(edges, tol=1e-9, max_iter=200, init_ranks=cold.ranks)
+    assert warm.converged and warm.iterations <= 2 < cold.iterations
+    j = cold.ranks.alias("c").join(warm.ranks.alias("w"), "vertex")
+    mx = j.agg(
+        F.max(F.abs(F.col("c.rank") - F.col("w.rank")))
+    ).collect()[0][0]
+    assert mx < 1e-8
+
+
 def test_lineage_sha_stable_across_partitionings(spark):
     triples = random_graph(n=50, m=150, seed=9)
     e4 = to_spark_edges(spark, triples, symmetric=True).repartition(4)
