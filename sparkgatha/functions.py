@@ -166,3 +166,49 @@ def q_udf_weighted_mean(spark, sf_dir):
             weighted_mean_udf()("l_extendedprice", "l_quantity"), 4
         ).alias("wmean_price")
     )
+
+
+@lru_cache(maxsize=None)
+def split_terms_udtf():
+    """F6 Python UDTF (Spark 4 ``udtf``): one input row → one output row
+    per whitespace token, with its 1-based position.
+
+    This closes the last §2.10 surface.  It is deliberately NOT the
+    production exploder — row-at-a-time ``eval`` is the UDTF contract, so
+    the hot path stays F3 ``mapInPandas`` (extract.py, batch-vectorized
+    numpy); the UDTF exists for the lateral-join query shape the
+    reference's per-record generators map to (SURVEY.md §2.10 F6)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, pos int")
+    class SplitTerms:
+        def eval(self, text: str):
+            import re
+
+            for i, t in enumerate(re.split(r"\s+", (text or "").strip().lower())):
+                yield t, i + 1
+
+    return SplitTerms
+
+
+@register(
+    "q_udtf_split_terms",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM documents
+    )
+    SELECT s.doc_id, s.l[CAST(g.i AS INT)] AS term, CAST(g.i AS INT) AS pos
+    FROM s, unnest(generate_series(1, len(s.l))) AS g(i)
+    """,
+)
+def q_udtf_split_terms(spark, sf_dir):
+    """F6 UDTF exercised through a LATERAL join, value-checked against
+    the DuckDB list-unnest equivalent."""
+    d = _t(spark, sf_dir, "documents")
+    spark.udtf.register("split_terms", split_terms_udtf())
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.term, s.pos "
+        "FROM _udtf_docs d, LATERAL split_terms(d.text) s"
+    )

@@ -1189,13 +1189,47 @@ def q_g4_pagerank(spark, sf_dir):
     )
 
 
-@register("q_g5_connected_components", None)
+#: the q_degrees token/edge CTE, shared by the graph-query oracles below
+_GRAPH_CTE = """
+    toks AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+      WHERE t.term NOT IN ('a','the') AND t.term <> ''
+    ),
+    e AS (
+      SELECT DISTINCT a.term AS src, b.term AS dst
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term <> b.term
+    )
+"""
+
+
+@register(
+    "q_g5_connected_components",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    )
+    SELECT a AS key, least(a, min(b)) AS component_key
+    FROM reach GROUP BY a
+    """,
+)
 def q_g5_connected_components(spark, sf_dir):
+    """G5 small-star/large-star CC, value-checked end-to-end against a
+    DuckDB recursive-CTE transitive closure (component = min key reachable
+    — key-space labels so hash node ids never enter the comparison)."""
     from sparkgatha.graph.cc import connected_components
 
     nodes, id_edges = _doc_graph(spark, sf_dir)
     cc = connected_components(id_edges)
-    return cc.join(nodes, cc.vertex == nodes.id).select("key", "component")
+    keyed = cc.join(nodes, cc.vertex == nodes.id).select("key", "component")
+    comp_key = keyed.groupBy("component").agg(
+        F.min("key").alias("component_key")
+    )
+    return keyed.join(comp_key, "component").select("key", "component_key")
 
 
 @register("q_g6_label_propagation", None)
@@ -1207,8 +1241,31 @@ def q_g6_label_propagation(spark, sf_dir):
     return lp.join(nodes, lp.vertex == nodes.id).select("key", "label")
 
 
-@register("q_g7_triangles", None)
+@register(
+    "q_g7_triangles",
+    f"""
+    WITH {_GRAPH_CTE},
+    und AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+    tri AS (
+      SELECT t1.a AS x, t1.b AS y, t2.b AS z
+      FROM und t1
+      JOIN und t2 ON t2.a = t1.b
+      JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+    ),
+    corners AS (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    verts AS (SELECT DISTINCT src AS v FROM e)
+    SELECT verts.v AS key, count(corners.v) AS n_triangles
+    FROM verts LEFT JOIN corners ON corners.v = verts.v
+    GROUP BY verts.v
+    """,
+)
 def q_g7_triangles(spark, sf_dir):
+    """G7 degree-oriented triangle counting, value-checked end-to-end
+    against DuckDB's canonical x<y<z three-way join enumeration."""
     from sparkgatha.graph.triangles import triangle_counts
 
     nodes, id_edges = _doc_graph(spark, sf_dir)
@@ -1226,6 +1283,34 @@ def q_g9_shortest_paths(spark, sf_dir):
     return d.join(nodes, d.vertex == nodes.id).select(
         "key", F.round("distance", 6).alias("distance")
     )
+
+
+@register(
+    "q_g9_hop_distance",
+    f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    s AS (SELECT min(term) AS v FROM toks),
+    walk(v, d) AS (
+      SELECT v, 0 FROM s
+      UNION
+      SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 10
+    )
+    SELECT v AS key, CAST(min(d) AS DOUBLE) AS distance
+    FROM walk GROUP BY v
+    """,
+)
+def q_g9_hop_distance(spark, sf_dir):
+    """G9 frontier supersteps on a unit-weight graph = BFS hop distance,
+    value-checked against a bounded DuckDB recursive CTE (the weighted
+    form stays rows-only: SQL path enumeration diverges on weighted
+    cycles).  Hop bound 10 >> the sf0.01 token graph's diameter."""
+    from sparkgatha.graph.paths import shortest_paths
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    src = nodes.orderBy("key").limit(1).collect()[0]["id"]
+    unit = id_edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    d = shortest_paths(unit, source=int(src), max_iter=20)
+    return d.join(nodes, d.vertex == nodes.id).select("key", "distance")
 
 
 @register("q_minhash_lsh_pairs", None)

@@ -119,3 +119,31 @@ def test_lineage_sha_stable_across_partitionings(spark):
     r16 = pagerank(e16, tol=0.0, max_iter=5, num_partitions=16)
     # partitioning-insensitive fingerprint: same logical state, same sha
     assert state_fingerprint(r4.ranks) == state_fingerprint(r16.ranks)
+
+
+def test_fused_blocks_bit_identical_and_converge(spark, tmp_path):
+    """check_every=k fuses k supersteps into one job with bit-identical
+    numerics; convergence overshoots by < k supersteps; durable
+    checkpoints force block boundaries so resume still works."""
+    from pyspark.sql import functions as F
+
+    triples = random_graph(n=120, m=480, seed=21)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    a = pagerank(edges, tol=0.0, max_iter=12)
+    b = pagerank(edges, tol=0.0, max_iter=12, check_every=5)  # non-divisor
+    assert a.iterations == b.iterations == 12
+    j = a.ranks.alias("a").join(b.ranks.alias("b"), "vertex")
+    mx = j.agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank")))).collect()[0][0]
+    assert mx == 0.0
+
+    c = pagerank(edges, tol=1e-9, max_iter=200)
+    d = pagerank(edges, tol=1e-9, max_iter=200, check_every=8)
+    assert d.converged and d.iterations < c.iterations + 8
+
+    # fused + durable checkpoints: boundaries forced at checkpoint_every
+    e = pagerank(
+        edges, tol=0.0, max_iter=6, check_every=4, checkpoint_every=2,
+        checkpoint_dir=str(tmp_path / "fc"),
+    )
+    f = pagerank(edges, tol=0.0, max_iter=6)
+    assert state_fingerprint(e.ranks) == state_fingerprint(f.ranks)
