@@ -48,6 +48,7 @@ def _registry():
     # importing these modules populates sparkgatha.relational.REGISTRY
     import sparkgatha.dedup  # noqa: F401
     import sparkgatha.functions  # noqa: F401
+    import sparkgatha.pipeline  # noqa: F401
     import sparkgatha.similarity  # noqa: F401
     import sparkgatha.textan  # noqa: F401
     from sparkgatha.relational import REGISTRY

@@ -1,0 +1,164 @@
+"""Composed corpus-curation pipeline — the operator chain a 100 TB
+training-data user actually calls (task brief: dedup / quality / text
+analysis as first-class components; SURVEY.md §2 extras).
+
+``clean_corpus`` = quality gates (textan) → exact dedup keep-min →
+near-dup removal (LSH-banded, verified — dedup.near_duplicates), each
+stage a partial-aggregable groupBy or a bucketed equi-join: no
+all-pairs work anywhere, so the composition inherits the scale story of
+its parts.  Reference analog: AGATHA filters short/low-quality
+sentences and dedups by hashed key before graph construction
+(agatha/construct/text_util.py — SURVEY.md §2.2 P2/P3); this is that
+phase generalized to corpus curation.
+
+The registered query replays the WHOLE composition in DuckDB SQL —
+quality CTE, md5 keep-min, LSH banding, Jaccard verify, anti-join — so
+the pipeline is value-checked end-to-end, not just its stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkgatha.dedup import (
+    DEFAULT_BUCKET_CAP,
+    N_BANDS,
+    N_HASHES,
+    _SHINGLES_SQL,
+    near_duplicates,
+)
+from sparkgatha.relational import _t, register
+from sparkgatha.textan import _TOKS
+
+
+def quality_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents passing the textan quality gates (same rules as
+    q_quality_score: ≥10 tokens, avg token length in [2, 12])."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n_tok = F.size(toks)
+    avg_len = F.length(text_col) / F.greatest(n_tok, F.lit(1))
+    return docs.withColumn("n_tok", n_tok).filter(
+        (n_tok >= 10) & avg_len.between(2, 12)
+    )
+
+
+def exact_dedup_keep_min(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: the smallest id wins (single
+    hash-groupBy on the digest — shuffles once, 100 TB safe)."""
+    keep = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_digest")
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Quality gates → exact dedup keep-min → near-dup removal.
+
+    Returns the surviving documents (original columns + ``n_tok``).
+    Stage order matters and is part of the contract: near-dup search
+    runs on the already-quality-filtered, exactly-deduped set, so its
+    LSH join sees the smallest candidate universe.
+    """
+    q = quality_survivors(docs, text_col)
+    ex = exact_dedup_keep_min(q, text_col)
+    dups = near_duplicates(ex, text_col, threshold, bucket_cap).select(
+        F.col("dup_doc_id").alias("doc_id")
+    )
+    return ex.join(dups, "doc_id", "left_anti")
+
+
+_QUALITY_SQL = f"""
+  qstats AS (
+    SELECT doc_id, len({_TOKS}) AS n_tok, length(text) AS n_chr
+    FROM documents
+  ),
+  q AS (
+    SELECT doc_id, n_tok FROM qstats
+    WHERE n_tok >= 10
+      AND n_chr * 1.0 / greatest(n_tok, 1) BETWEEN 2 AND 12
+  ),
+  ex AS (
+    SELECT min(d.doc_id) AS doc_id
+    FROM documents d JOIN q USING (doc_id)
+    GROUP BY md5(d.text)
+  ),
+  docs_f AS (
+    SELECT d.doc_id, d.lang, d.text, q.n_tok
+    FROM documents d JOIN ex USING (doc_id) JOIN q USING (doc_id)
+  )
+"""
+
+_RPB = N_HASHES // N_BANDS
+
+# the near-dup replay from dedup.q_near_duplicates, re-pointed at docs_f
+_NEARDUP_SQL = (
+    _SHINGLES_SQL.replace("FROM documents", "FROM docs_f")
+    + f""",
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  hashes AS (
+    SELECT doc_id, h.i::INTEGER AS hash_idx,
+           min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+             AS minhash
+    FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
+    GROUP BY doc_id, h.i
+  ),
+  bands AS (
+    SELECT doc_id, (hash_idx // {_RPB})::INTEGER AS band,
+           md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS sig
+    FROM hashes GROUP BY doc_id, hash_idx // {_RPB}
+  ),
+  ok AS (
+    SELECT band, sig FROM bands GROUP BY band, sig
+    HAVING count(*) BETWEEN 2 AND {DEFAULT_BUCKET_CAP}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN ok USING (band, sig)
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                AND a.doc_id < b.doc_id
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS ix
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  dups AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+  )
+"""
+)
+
+
+@register(
+    "q_clean_corpus",
+    f"""
+    WITH {_QUALITY_SQL},
+    {_NEARDUP_SQL}
+    SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok
+    FROM docs_f
+    WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+)
+def q_clean_corpus(spark, sf_dir):
+    """The full curation composition, value-checked end-to-end against a
+    pure-SQL replay of every stage."""
+    d = _t(spark, sf_dir, "documents")
+    return clean_corpus(d).select("doc_id", "lang", "n_tok")

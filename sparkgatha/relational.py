@@ -1341,6 +1341,32 @@ def q_sample(spark, sf_dir):
     )
 
 
+@register(
+    "q_sample_hash",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),
+                 1, 2) < '1a'
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """P4, deterministic variant: ~10% hash-sample (md5-prefix rule).
+    Unlike rate-based sample() the membership rule is engine-independent,
+    so the sampled SET itself is value-checked cross-engine; at scale it
+    is a pushed-down scan filter — no shuffle, reproducible across
+    partitionings and engines (the property training-data splits need)."""
+    l = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return l.filter(F.substring(F.md5(key), 1, 2) < "1a").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
 @register("q_approx_count_distinct", None)
 def q_approx_count_distinct(spark, sf_dir):
     """A2 HLL sketch — engine-specific estimate; bounds asserted in

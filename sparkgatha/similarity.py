@@ -177,3 +177,133 @@ def q_embed_norms(spark, sf_dir):
         "label",
         F.round(_norm(_as_double()), 4).alias("l2_norm"),
     )
+
+
+@register(
+    "q_embed_centroid",
+    """
+    SELECT label, CAST(pos AS INTEGER) AS pos, round(avg(v), 6) AS c
+    FROM (
+      SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+    """,
+)
+def q_embed_centroid(spark, sf_dir):
+    """Per-label embedding centroid (posexplode → partial+final avg per
+    (label, dim)) — the building block of IVF coarse quantizers and
+    class prototypes; one shuffle keyed (label, pos), value-checked
+    against DuckDB's unnest/generate_subscripts equivalent."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode(_as_double()).alias("pos0", "v"))
+    return x.groupBy(
+        "label", (F.col("pos0") + 1).cast("int").alias("pos")
+    ).agg(F.round(F.avg("v"), 6).alias("c"))
+
+
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """(cid int, cv array<double>) — deterministic coarse quantizer:
+    seed centroids are an md5-hash-sample of the corpus (engine- and
+    partitioning-independent), refined by ONE Lloyd step (assign all
+    vectors to the nearest seed, recompute element-wise means).  One
+    crossJoin against a broadcast n_centroids-row table + one (cid, pos)
+    shuffle — no iteration at scale; good enough for list routing."""
+    e = embeddings.select("vec_id", _as_double(vec_col).alias("v"))
+    w = W.orderBy(F.md5(F.col("vec_id").cast("string")))
+    seeds = (
+        e.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_centroids)
+        .select((F.col("_r") - 1).cast("int").alias("cid"), F.col("v").alias("cv"))
+    )
+    assigned = _assign_nearest(e, seeds)
+    return (
+        assigned.join(e, "vec_id")
+        .select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("x"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                lambda s: s.x,
+            ).alias("cv")
+        )
+    )
+
+
+def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid by cosine (broadcast crossJoin —
+    the centroid table is tiny by construction)."""
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("s")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate kNN (the FAISS IndexIVFFlat shape, SURVEY.md §2.11
+    G8): route every vector to its nearest coarse centroid (inverted
+    lists = an equi-join key), probe the ``nprobe`` nearest lists per
+    query, exact cosine only within probed lists.  Candidate volume ≈
+    n·nprobe/n_centroids per query — tune n_centroids ~ sqrt(n) at
+    scale.  All joins are equi-joins on cid; the only crossJoins touch
+    the tiny centroid table."""
+    e = embeddings.select("vec_id", _as_double(vec_col).alias("v"))
+    cents = ivf_centroids(embeddings, n_centroids, vec_col)
+    cents = cents.localCheckpoint(eager=True)  # reused 2x below
+    lists = _assign_nearest(e, cents)  # (vec_id, cid) inverted lists
+
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("s")
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cid").asc())
+    probes = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = (
+        probes.join(
+            lists.select(F.col("vec_id").alias("nid"), "cid"), "cid"
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    nn = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    pairs = (
+        cand.join(q, "qid")
+        .join(nn, "nid")
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("c"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", F.col("c").alias("cos"))
+    )
+
+
+@register("q_ivf_topk", None)
+def q_ivf_topk(spark, sf_dir):
+    """IVF-routed approximate kNN (rows-only: list routing is
+    engine-specific; recall vs the exact baseline is pytest-asserted)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, k=5).select(
+        "qid", "nid", F.round("cos", 6).alias("cos")
+    )
