@@ -585,3 +585,37 @@ def q_dedup_embed_cosine(spark, sf_dir):
         .filter(F.col("_cos") > 0.4)
         .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
     )
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    hashes AS (
+      SELECT doc_id, h.i::INTEGER AS hash_idx,
+             min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
+               AS minhash
+      FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
+      GROUP BY doc_id, h.i
+    ),
+    bands AS (
+      SELECT doc_id, (hash_idx // {_RPB})::INTEGER AS band,
+             md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS sig
+      FROM hashes GROUP BY doc_id, hash_idx // {_RPB}
+    ),
+    ok AS (
+      SELECT band, sig FROM bands GROUP BY band, sig
+      HAVING count(*) BETWEEN 2 AND {DEFAULT_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN ok USING (band, sig)
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH-banded near-dup candidates (the 100 TB dedup path) — the
+    candidate SET itself is value-checked (md5-derived minhashes are
+    engine-independent), not just its downstream verification."""
+    return lsh_candidates(_t(spark, sf_dir, "documents"))

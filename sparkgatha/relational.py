@@ -1313,12 +1313,8 @@ def q_g9_hop_distance(spark, sf_dir):
     return d.join(nodes, d.vertex == nodes.id).select("key", "distance")
 
 
-@register("q_minhash_lsh_pairs", None)
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """LSH-banded near-dup candidates (the 100 TB dedup path)."""
-    from sparkgatha.dedup import lsh_candidates
-
-    return lsh_candidates(_t(spark, sf_dir, "documents"))
+# q_minhash_lsh_pairs lives in dedup.py (needs the banding constants;
+# registering here would make relational <-> dedup imports circular)
 
 
 @register("q_ann_topk", None)
