@@ -309,15 +309,19 @@ def _pagerank_loop(
             start_it = last
     if ranks is None and init_ranks is not None:
         prev = init_ranks.select("vertex", F.col("rank").alias("rank0"))
-        ranks = (
-            vertices.join(prev, "vertex", "left")
-            .select(
-                "vertex",
-                F.coalesce("rank0", F.lit(1.0 / n)).alias("rank"),
-                "has_out",
-            )
-            .localCheckpoint(eager=True)
+        seeded = vertices.join(prev, "vertex", "left").select(
+            "vertex",
+            F.coalesce("rank0", F.lit(1.0 / n)).alias("rank"),
+            "has_out",
         )
+        # normalize to a distribution: an unnormalized init converges to
+        # the same fixpoint but through a sum-renormalization transient
+        # that decays only at rate alpha per superstep (~120 supersteps
+        # to cross 1e-8) — normalizing removes it entirely
+        s = float(seeded.agg(F.sum("rank")).collect()[0][0])
+        ranks = seeded.select(
+            "vertex", (F.col("rank") / F.lit(s)).alias("rank"), "has_out"
+        ).localCheckpoint(eager=True)
     if ranks is None:
         ranks = vertices.select(
             "vertex", F.lit(1.0 / n).alias("rank"), "has_out"

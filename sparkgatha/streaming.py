@@ -194,3 +194,27 @@ class IncrementalGraphBuilder:
 
     def foreach_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
         self.merge_batch(batch_docs)
+
+    def rerank(self, prev=None, tol: float = 1e-8, max_iter: int = 60):
+        """Warm-started PageRank over the current merged graph: pass the
+        previous result's ``(key, rank)`` to seed the next run — the
+        fixpoint is init-independent (tests), a warm start just converges
+        in fewer supersteps after a small delta merge.
+
+        Returns (ranks_by_key, PageRankResult): ranks joined back to the
+        string node keys so successive calls can be chained directly.
+        """
+        from sparkgatha.extract import node_ids, symmetrize
+        from sparkgatha.graph.pagerank import pagerank
+
+        nodes, id_edges = node_ids(symmetrize(self.edges()))
+        init = None
+        if prev is not None:
+            init = prev.join(nodes, "key").select(
+                F.col("id").alias("vertex"), "rank"
+            )
+        r = pagerank(id_edges, tol=tol, max_iter=max_iter, init_ranks=init)
+        keyed = r.ranks.join(nodes, r.ranks.vertex == nodes.id).select(
+            "key", "rank"
+        )
+        return keyed, r

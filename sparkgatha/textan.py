@@ -149,3 +149,43 @@ def q_fingerprint(spark, sf_dir):
             "fp"
         ),
     )
+
+
+@register(
+    "q_top_ngrams",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+      FROM tok WHERE len(toks) >= 2
+    )
+    SELECT ngram, count(*) AS n FROM bi
+    GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20
+    """,
+)
+def q_top_ngrams(spark, sf_dir):
+    """Vocabulary building: corpus-wide bigram counts, top-20 with a
+    deterministic tie-break — the n-gram phase of the reference
+    (frequent-n-gram mining before graph construction, SURVEY.md §3.1
+    phase DAG) as a two-shuffle groupBy + TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
