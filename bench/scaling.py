@@ -186,7 +186,9 @@ def main() -> None:
     # --- axis 3: data-scaling at fixed parallelism ------------------------
     data_scaling: dict = {}
     if not args.skip_data_scaling:
-        big = args.edges * 4
+        # cap to the in-memory regime: beyond ~1e8 edges the cached
+        # layout spills and the cell measures the disk, not the plan
+        big = min(args.edges * 4, 80_000_000)
         bruns = [
             run_snippet(RUN_SNIPPET.format(repo=REPO, cpus=32, edges=big))
             for _ in range(args.runs)
