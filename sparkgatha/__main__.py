@@ -46,6 +46,8 @@ def main(argv=None) -> int:
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--check-every", type=int, default=1,
+                   help="fuse this many supersteps per Spark job")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--strategy", default="auto",
                    choices=("auto", "broadcast", "shuffle"))
@@ -115,6 +117,7 @@ def main(argv=None) -> int:
             checkpoint_every=args.checkpoint_every,
             resume=args.resume,
             strategy=args.strategy,
+            check_every=args.check_every,
         )
         out = r.ranks.join(nodes, r.ranks.vertex == nodes.id).select("key", "rank")
         out.write.mode("overwrite").parquet(args.out)
