@@ -132,6 +132,8 @@ def main() -> None:
         "q_dedup_ngram_jaccard",
         "q_window_session",
         "q_knn_topk_per_vec",
+        "q_ivf_topk",
+        "q_clean_corpus",
         "q_rollup",
         "q_asof",
     ):
