@@ -303,6 +303,14 @@ Notes:
 - AQE disabled inside the loop (measured 15-30x superstep regression on).
 - All raw per-run walls are in the JSON summary printed by
   bench/scaling.py — nothing is hidden.
+- Saturation evidence (80,000,000-edge thread cells, earlier protocol
+  run): the best local[8] run reached 16,394,785 e/s — the same box-level
+  ceiling local[32] reaches (17.8M).  Eight threads already saturate this
+  box's shared memory bandwidth on a large enough input, so thread-
+  scaling beyond that measures the memory subsystem, not the engine; the
+  data-scaling axis above is the bias-free evidence.
+- The data-scaling cell caps at 8x10^7 edges (in-memory regime) — beyond
+  that the cached layout spills and the cell measures disk, not plan.
 """)
 
 
