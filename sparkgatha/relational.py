@@ -1176,19 +1176,6 @@ def _doc_graph(spark, sf_dir):
     return nodes, id_edges
 
 
-@register("q_g4_pagerank", None)
-def q_g4_pagerank(spark, sf_dir):
-    from sparkgatha.graph.pagerank import pagerank
-
-    nodes, id_edges = _doc_graph(spark, sf_dir)
-    r = pagerank(id_edges, tol=0.0, max_iter=12)
-    return (
-        r.ranks.join(nodes, r.ranks.vertex == nodes.id)
-        .select("key", F.round("rank", 8).alias("rank"))
-        .orderBy(F.col("rank").desc(), F.col("key"))
-    )
-
-
 #: the q_degrees token/edge CTE, shared by the graph-query oracles below
 _GRAPH_CTE = """
     toks AS (
@@ -1202,6 +1189,58 @@ _GRAPH_CTE = """
       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term <> b.term
     )
 """
+
+
+def _pagerank_oracle_sql(rounds: int = 12, alpha: float = 0.85) -> str:
+    """G4 unrolled: 12 fixed damped iterations as materialized CTE
+    rounds (same pattern as the LPA oracle; MATERIALIZED stops DuckDB's
+    CTE inlining from going exponential).  Dangling mass is provably
+    zero here — vertices are edge endpoints of a SYMMETRIZED graph, so
+    every vertex has out-edges.  round(,8) absorbs the cross-engine fp
+    addition-order noise (~1e-16 on 29 terms)."""
+    sql = f"""
+    WITH {_GRAPH_CTE},
+    we AS MATERIALIZED (
+      SELECT a.term AS st, b.term AS dt, count(*) AS weight
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term <> b.term
+      GROUP BY a.term, b.term
+    ),
+    outw AS MATERIALIZED (
+      SELECT st, sum(weight) AS ow FROM we GROUP BY st
+    ),
+    nv AS (SELECT count(DISTINCT st) AS n FROM we),
+    r_0 AS MATERIALIZED (
+      SELECT DISTINCT st AS v, 1.0 / (SELECT n FROM nv) AS r FROM we
+    )"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    r_{k} AS MATERIALIZED (
+      SELECT we.dt AS v,
+             {alpha} * sum(we.weight * 1.0 / outw.ow * p.r)
+               + {1.0 - alpha} / (SELECT n FROM nv) AS r
+      FROM we JOIN outw ON outw.st = we.st JOIN r_{k - 1} p ON p.v = we.st
+      GROUP BY we.dt
+    )"""
+    sql += f"""
+    SELECT v AS key, round(r, 8) AS rank FROM r_{rounds}
+    """
+    return sql
+
+
+@register("q_g4_pagerank", _pagerank_oracle_sql(12))
+def q_g4_pagerank(spark, sf_dir):
+    """G4, value-checked end-to-end: 12 fixed supersteps vs the DuckDB
+    unrolled damped iteration (on top of the NetworkX goldens in
+    tests/test_graph_golden.py)."""
+    from sparkgatha.graph.pagerank import pagerank
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    r = pagerank(id_edges, tol=0.0, max_iter=12)
+    return (
+        r.ranks.join(nodes, r.ranks.vertex == nodes.id)
+        .select("key", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("key"))
+    )
 
 
 @register(
@@ -1232,11 +1271,84 @@ def q_g5_connected_components(spark, sf_dir):
     return keyed.join(comp_key, "component").select("key", "component_key")
 
 
-@register("q_g6_label_propagation", None)
+def _lpa_oracle_sql(rounds: int = 10) -> str:
+    """G6 unrolled: LPA is k bounded synchronous rounds — express them
+    as k non-recursive CTE rounds over md5-derived numeric node ids (the
+    cross-engine id trick, dedup.py module doc), with the exact Spark
+    tie-break (wsum desc, label asc).  Early Spark convergence is safe:
+    changed==0 makes every later round a no-op, so exactly-k SQL rounds
+    equal Spark's early-stopped state."""
+    sql = f"""
+    WITH {_GRAPH_CTE},
+    ids AS (
+      SELECT DISTINCT term,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT AS id
+      FROM toks
+    ),
+    we AS (
+      SELECT a.term AS st, b.term AS dt, count(*) AS weight
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term <> b.term
+      GROUP BY a.term, b.term
+    ),
+    ie AS MATERIALIZED (
+      SELECT s.id AS src, d.id AS dst, we.weight
+      FROM we JOIN ids s ON s.term = we.st JOIN ids d ON d.term = we.dt
+    ),
+    labels_0 AS (SELECT id AS vertex, id AS label FROM ids)"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+    votes_{r} AS MATERIALIZED (
+      SELECT ie.dst, l.label, sum(ie.weight) AS wsum
+      FROM ie JOIN labels_{p} l ON ie.src = l.vertex
+      GROUP BY ie.dst, l.label
+    ),
+    best_{r} AS (
+      SELECT dst, label FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY wsum DESC, label ASC) AS rn
+        FROM votes_{r}
+      ) WHERE rn = 1
+    ),
+    labels_{r} AS MATERIALIZED (
+      SELECT v.vertex, coalesce(b.label, v.label) AS label
+      FROM labels_{p} v LEFT JOIN best_{r} b ON b.dst = v.vertex
+    )"""
+    sql += f"""
+    SELECT ids.term AS key, l.label
+    FROM labels_{rounds} l JOIN ids ON ids.id = l.vertex
+    """
+    return sql
+
+
+@register("q_g6_label_propagation", _lpa_oracle_sql(10))
 def q_g6_label_propagation(spark, sf_dir):
+    """G6 semi-synchronous min-label LPA, value-checked end-to-end: node
+    ids are md5-derived (engine-independent, so the numeric tie-break
+    order is identical in DuckDB) and the oracle unrolls exactly 10
+    synchronous rounds."""
+    from sparkgatha.extract import extract_cooccurrence_edges, symmetrize
     from sparkgatha.graph.lpa import label_propagation
 
-    nodes, id_edges = _doc_graph(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    edges = symmetrize(extract_cooccurrence_edges(d, text_col="text"))
+    md5_id = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 15), 16, 10
+    ).cast("bigint")
+    nodes = (
+        edges.select(F.col("src").alias("key"))
+        .unionByName(edges.select(F.col("dst").alias("key")))
+        .distinct()
+        .select("key", md5_id(F.col("key")).alias("id"))
+    )
+    id_edges = (
+        edges.select(
+            md5_id(F.col("src")).alias("src"),
+            md5_id(F.col("dst")).alias("dst"),
+            "weight",
+        )
+    )
     lp = label_propagation(id_edges, max_iter=10)
     return lp.join(nodes, lp.vertex == nodes.id).select("key", "label")
 
