@@ -1385,8 +1385,45 @@ def q_g7_triangles(spark, sf_dir):
     return t.join(nodes, t.vertex == nodes.id).select("key", "n_triangles")
 
 
-@register("q_g9_shortest_paths", None)
+def _sssp_oracle_sql(rounds: int = 10) -> str:
+    """G9 unrolled Bellman-Ford: dist_r(v) = min(dist_{r-1}(v),
+    min over in-edges of dist_{r-1}(src) + w).  min-plus has NO fp
+    addition-order sensitivity (path sums of ≤10 small exact ints are
+    exactly representable), so the values match bit-for-bit; 10 rounds
+    >> the token graph's weighted hop count.  MATERIALIZED per round
+    (see _lpa_oracle_sql)."""
+    sql = f"""
+    WITH {_GRAPH_CTE},
+    we AS MATERIALIZED (
+      SELECT a.term AS st, b.term AS dt, count(*)::DOUBLE AS weight
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term <> b.term
+      GROUP BY a.term, b.term
+    ),
+    d_0 AS MATERIALIZED (
+      SELECT min(term) AS v, 0.0 AS d FROM toks
+    )"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+    d_{r} AS MATERIALIZED (
+      SELECT v, min(d) AS d FROM (
+        SELECT v, d FROM d_{p}
+        UNION ALL
+        SELECT we.dt AS v, p.d + we.weight AS d
+        FROM we JOIN d_{p} p ON p.v = we.st
+      ) GROUP BY v
+    )"""
+    sql += f"""
+    SELECT v AS key, round(d, 6) AS distance FROM d_{rounds}
+    """
+    return sql
+
+
+@register("q_g9_shortest_paths", _sssp_oracle_sql(10))
 def q_g9_shortest_paths(spark, sf_dir):
+    """G9 weighted SSSP from the min-key vertex, value-checked against
+    the unrolled Bellman-Ford oracle (frontier supersteps converge in
+    ≤ weighted-hop-diameter rounds; the 10-round unroll dominates it)."""
     from sparkgatha.graph.paths import shortest_paths
 
     nodes, id_edges = _doc_graph(spark, sf_dir)
