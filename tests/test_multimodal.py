@@ -84,3 +84,28 @@ def test_frame_sampling_cadence(spark, media):
     for v in vids:
         expect = int(v["dur_s"] / 1.0)
         assert per.get(v["media_id"], 0) == expect
+
+
+def test_resize_images_real_kernel(spark):
+    """Resize is a real (non-stub) kernel: output buffers are exactly
+    target_w x target_h and sample the source grid deterministically."""
+    import numpy as np
+    from sparkgatha.multimodal import decode_images, resize_images, synth_media
+
+    media = synth_media(spark, 20, num_partitions=2)
+    decoded = decode_images(media)
+    small = resize_images(decoded, target_w=8, target_h=8)
+    rows = {r["media_id"]: r for r in small.collect()}
+    src = {r["media_id"]: r for r in decoded.collect()}
+    assert rows.keys() == src.keys() and len(rows) > 0
+    for mid, r in rows.items():
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(bytes(r["pixels"])) == 64
+        s = src[mid]
+        w, h = s["width"], s["height"]
+        grid = np.frombuffer(bytes(s["pixels"]), dtype=np.uint8)[: w * h].reshape(h, w)
+        exp = grid[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
+        assert bytes(r["pixels"]) == exp.tobytes()
+    # run twice → identical (deterministic)
+    again = {r["media_id"]: bytes(r["pixels"]) for r in resize_images(decoded).collect()}
+    assert again == {k: bytes(v["pixels"]) for k, v in rows.items()}
