@@ -38,6 +38,11 @@ from sparkgatha.graph.checkpoint import CheckpointManager
 from sparkgatha.graph.metrics import MetricsSink, state_fingerprint
 from sparkgatha.util import no_aqe
 
+#: above this vertex count the label table stops being broadcastable and
+#: the superstep falls back to a co-partitioned shuffle join (same rule
+#: as pagerank.BROADCAST_MAX_VERTICES)
+BROADCAST_MAX_VERTICES = 20_000_000
+
 
 def label_propagation(
     edges: DataFrame,
@@ -48,6 +53,7 @@ def label_propagation(
     resume: bool = False,
     run_id: str = "lpa",
     metrics_sink: MetricsSink | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(vertex long, label long) over symmetrized ``edges(src,dst,weight)``.
 
@@ -56,24 +62,35 @@ def label_propagation(
     ``checkpoint_every``-th superstep writes a durable label checkpoint +
     manifest (G12) and ``resume=True`` continues from the largest complete
     one; convergence metrics (changed-vertex count per superstep) go to
-    the S6 sink either way.
+    the S6 sink either way.  ``strategy``: 'broadcast' (label table
+    broadcast each superstep — the ≤2x10^7-vertex regime) | 'shuffle'
+    (labels co-partitioned hash(vertex)=hash(src) into a shuffle join —
+    the beyond-broadcast regime; in that mode the layout partitions by
+    src so the vote join is exchange-free on the edge side) | 'auto'.
+    Both strategies are result-identical (tests).
     """
     ckpt = CheckpointManager(checkpoint_dir, run_id)
     sink = metrics_sink or MetricsSink(checkpoint_dir, run_id)
     with no_aqe(edges.sparkSession):
-        layout = (
-            edges.select("src", "dst", "weight")
-            .repartition(num_partitions, "dst")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        layout.count()  # materialize the one-time layout
+        pre = edges.select("src", "dst", "weight")
         vertices = (
-            layout.select(F.col("src").alias("vertex"))
-            .unionByName(layout.select(F.col("dst").alias("vertex")))
+            pre.select(F.col("src").alias("vertex"))
+            .unionByName(pre.select(F.col("dst").alias("vertex")))
             .distinct()
             .localCheckpoint(eager=True)
         )
         n = vertices.count()
+        if strategy == "auto":
+            strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
+        # broadcast mode: hash(dst) layout → the vote agg's combine is
+        # partition-local; shuffle mode: hash(src) layout → the label
+        # join is exchange-free on the edge side and only the |V|-row
+        # label table shuffles per superstep
+        layout_key = "dst" if strategy == "broadcast" else "src"
+        layout = pre.repartition(num_partitions, layout_key).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        layout.count()  # materialize the one-time layout
         labels = None
         start_it = 0
         if resume and checkpoint_dir:
@@ -90,7 +107,9 @@ def label_propagation(
         while it < max_iter:
             it += 1
             t0 = time.monotonic()
-            state = F.broadcast(labels)
+            state = F.broadcast(labels) if strategy == "broadcast" else (
+                labels.repartition(num_partitions, "vertex")
+            )
             # gather: total incident weight per (vertex, neighbor label);
             # partial agg is partition-local against the stationary layout
             votes = (

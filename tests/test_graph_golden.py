@@ -171,3 +171,19 @@ def test_pagerank_powerlaw_hub(spark):
     )
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_lpa_shuffle_strategy_identical(spark):
+    """LPA 'shuffle' (beyond-broadcast regime) is result-identical to
+    'broadcast' on the same graph — exact labels, both vs the golden."""
+    from sparkgatha.graph.lpa import label_propagation
+
+    triples = random_graph(n=120, m=420, seed=31)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    a = label_propagation(edges, max_iter=12, num_partitions=4,
+                          strategy="broadcast")
+    b = label_propagation(edges, max_iter=12, num_partitions=4,
+                          strategy="shuffle")
+    la = {r["vertex"]: r["label"] for r in a.collect()}
+    lb = {r["vertex"]: r["label"] for r in b.collect()}
+    assert la == lb
