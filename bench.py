@@ -45,6 +45,7 @@ def main() -> None:
     from sparkgatha.extract import extract_cooccurrence_edges, node_ids, symmetrize
     from sparkgatha.graph.pagerank import pagerank, prepare_pagerank
     from sparkgatha.graph.cc import connected_components
+    from sparkgatha.graph.lpa import label_propagation
     from sparkgatha.graph.triangles import triangle_counts
     from sparkgatha.io import read_table
     from sparkgatha.synthetic import powerlaw_edges
@@ -104,6 +105,11 @@ def main() -> None:
     run_tputs = [round(tput(r), 1) for _, r in runs]
 
     timed("b_connected_components", lambda: connected_components(edges_b).count())
+    timed("b_triangle_counts", lambda: triangle_counts(edges_b).count())
+    timed(
+        "b_lpa_5_supersteps",
+        lambda: label_propagation(edges_b, max_iter=5, num_partitions=CPUS).count(),
+    )
 
     # --- input A: extraction spine + algorithms on the documents graph ---
     docs = read_table(spark, SF_DIR, "documents")
