@@ -148,11 +148,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", sig.alias("sig"))
 
 
-#: LSH buckets larger than this are dropped from candidate generation — a
+#: LSH buckets larger than this skip pairwise candidate generation — a
 #: degenerate bucket (e.g. empty docs sharing one signature) would
-#: otherwise put O(cap^2) pair rows in one join partition.  Dropped
-#: buckets are over-full precisely because their members are near-dups of
-#: *many* docs; they should be routed to exact-dedup, not pairwise LSH.
+#: otherwise put O(cap^2) pair rows in one join partition.  Over-cap
+#: buckets are NOT dropped: their members route to a star fallback —
+#: each member pairs with the bucket's min doc_id only (O(size) rows),
+#: so a cluster of >cap near-identical docs still collapses through the
+#: verify + keep-min stages instead of silently surviving.
 DEFAULT_BUCKET_CAP = 64
 
 
@@ -194,19 +196,23 @@ def lsh_candidates(
 ) -> DataFrame:
     """LSH banding: (band, band-signature) buckets → candidate pairs
     (doc_a < doc_b).  The scale path for near-dup: equi-join on the band
-    key, no all-pairs; buckets above ``bucket_cap`` are excluded (see
-    DEFAULT_BUCKET_CAP)."""
-    bands = lsh_bands(docs, text_col)
+    key, no all-pairs; buckets above ``bucket_cap`` take the star
+    fallback — each member pairs with the bucket min only (see
+    DEFAULT_BUCKET_CAP), bounding any bucket's pair fan-out at O(size)."""
+    # banding is consumed by three lineages (bucket counts, join side a,
+    # join side b) — materialize it once instead of re-shingling 3x
+    bands = lsh_bands(docs, text_col).localCheckpoint(eager=False)
+    counts = bands.groupBy("band", "sig").agg(
+        F.count("*").alias("k"), F.min("doc_id").alias("m")
+    )
     ok = (
-        bands.groupBy("band", "sig")
-        .agg(F.count("*").alias("k"))
-        .filter((F.col("k") >= 2) & (F.col("k") <= bucket_cap))
+        counts.filter((F.col("k") >= 2) & (F.col("k") <= bucket_cap))
         .select("band", "sig")
     )
-    bands = bands.join(ok, ["band", "sig"])
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
+    inb = bands.join(ok, ["band", "sig"])
+    a = inb.alias("a")
+    b = inb.alias("b")
+    pairwise = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -216,8 +222,14 @@ def lsh_candidates(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    over = counts.filter(F.col("k") > bucket_cap).select("band", "sig", "m")
+    star = (
+        bands.join(over, ["band", "sig"])
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return pairwise.unionByName(star).distinct()
 
 
 def verified_near_dup_pairs(
@@ -228,9 +240,17 @@ def verified_near_dup_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH candidates verified by EXACT n-gram
     Jaccard computed only on the candidate pairs (never all-pairs)."""
-    d = docs.select("doc_id", F.col(text_col).alias("text"))
+    # materialize the (possibly expensive) upstream lineage once — the
+    # LSH path, the shingle explode, and the size agg all hang off it
+    d = docs.select("doc_id", F.col(text_col).alias("text")).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidates(d, "text", bucket_cap)
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    # the shingle table feeds three consumers (sizes, join side a, join
+    # side b) — shingle once, not 3x
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle")).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
@@ -282,12 +302,9 @@ def near_duplicates(
 
 _RPB = N_HASHES // N_BANDS
 
-
-@register(
-    "q_near_duplicates",
-    f"""
-    WITH {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+# shared oracle CTE chain: shingles (sh) → minhash bands → candidate set
+# with the star fallback for over-cap buckets (mirrors lsh_candidates)
+_BANDS_CAND_SQL = f"""
     hashes AS (
       SELECT doc_id, h.i::INTEGER AS hash_idx,
              min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
@@ -304,13 +321,32 @@ _RPB = N_HASHES // N_BANDS
       SELECT band, sig FROM bands GROUP BY band, sig
       HAVING count(*) BETWEEN 2 AND {DEFAULT_BUCKET_CAP}
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN ok USING (band, sig)
-      JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                  AND a.doc_id < b.doc_id
+    over AS (
+      SELECT band, sig, min(doc_id) AS m FROM bands GROUP BY band, sig
+      HAVING count(*) > {DEFAULT_BUCKET_CAP}
     ),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN ok USING (band, sig)
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                    AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT o.m AS doc_a, b.doc_id AS doc_b
+        FROM bands b JOIN over o ON b.band = o.band AND b.sig = o.sig
+        WHERE b.doc_id <> o.m
+      )
+    )
+"""
+
+
+@register(
+    "q_near_duplicates",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    {_BANDS_CAND_SQL},
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS ix
       FROM cand c
@@ -591,27 +627,8 @@ def q_dedup_embed_cosine(spark, sf_dir):
     "q_minhash_lsh_pairs",
     f"""
     WITH {_SHINGLES_SQL},
-    hashes AS (
-      SELECT doc_id, h.i::INTEGER AS hash_idx,
-             min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
-               AS minhash
-      FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
-      GROUP BY doc_id, h.i
-    ),
-    bands AS (
-      SELECT doc_id, (hash_idx // {_RPB})::INTEGER AS band,
-             md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS sig
-      FROM hashes GROUP BY doc_id, hash_idx // {_RPB}
-    ),
-    ok AS (
-      SELECT band, sig FROM bands GROUP BY band, sig
-      HAVING count(*) BETWEEN 2 AND {DEFAULT_BUCKET_CAP}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN ok USING (band, sig)
-    JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                AND a.doc_id < b.doc_id
+    {_BANDS_CAND_SQL}
+    SELECT doc_a, doc_b FROM cand
     """,
 )
 def q_minhash_lsh_pairs(spark, sf_dir):

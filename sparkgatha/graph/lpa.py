@@ -29,6 +29,7 @@ Physical discipline (the same G11/PageRank treatment):
 
 from __future__ import annotations
 
+import logging
 import time
 
 from pyspark.sql import DataFrame, functions as F
@@ -36,7 +37,10 @@ from pyspark.storagelevel import StorageLevel
 
 from sparkgatha.graph.checkpoint import CheckpointManager
 from sparkgatha.graph.metrics import MetricsSink, state_fingerprint
+from sparkgatha.graph.pagerank import HOT_MIRROR_CAP
 from sparkgatha.util import no_aqe
+
+log = logging.getLogger(__name__)
 
 #: above this vertex count the label table stops being broadcastable and
 #: the superstep falls back to a co-partitioned shuffle join (same rule
@@ -54,6 +58,7 @@ def label_propagation(
     run_id: str = "lpa",
     metrics_sink: MetricsSink | None = None,
     strategy: str = "auto",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """(vertex long, label long) over symmetrized ``edges(src,dst,weight)``.
 
@@ -85,12 +90,61 @@ def label_propagation(
         # broadcast mode: hash(dst) layout → the vote agg's combine is
         # partition-local; shuffle mode: hash(src) layout → the label
         # join is exchange-free on the edge side and only the |V|-row
-        # label table shuffles per superstep
-        layout_key = "dst" if strategy == "broadcast" else "src"
-        layout = pre.repartition(num_partitions, layout_key).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        layout.count()  # materialize the one-time layout
+        # label table shuffles per superstep.  In shuffle mode a hot
+        # SOURCE vertex would park its whole out-edge list in one
+        # partition (the G10 straggler, src side) — its edges are salted
+        # across all partitions and each superstep joins them against a
+        # broadcast of just the (≤HOT_MIRROR_CAP) hot-src label rows, so
+        # they never re-shuffle.  Exact: the vote agg groups by
+        # (dst, label) AFTER the union, identical algebra either way.
+        hot_layout = None
+        hot_srcs_v = None
+        if strategy == "broadcast":
+            layout = pre.repartition(num_partitions, "dst").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            n_edges = layout.count()  # materialize the one-time layout
+        else:
+            n_edges = pre.count()
+            if hot_threshold is None:
+                hot_threshold = max(n_edges // num_partitions // 4, 16384)
+            hot_rows = (
+                pre.groupBy("src").agg(F.count("*").alias("outd"))
+                .filter(F.col("outd") > hot_threshold)
+                .orderBy(F.col("outd").desc())
+                .select("src").limit(HOT_MIRROR_CAP + 1).collect()
+            )
+            if len(hot_rows) > HOT_MIRROR_CAP:
+                hot_rows = hot_rows[:HOT_MIRROR_CAP]
+                log.warning(
+                    "G10/shuffle: more than %d srcs exceed the hot "
+                    "threshold %d; salting only the %d highest-out-degree "
+                    "ones", HOT_MIRROR_CAP, hot_threshold, HOT_MIRROR_CAP,
+                )
+            if hot_rows:
+                hot_srcs = edges.sparkSession.createDataFrame(
+                    hot_rows, pre.select("src").schema
+                )
+                hot_srcs_v = hot_srcs.select(F.col("src").alias("vertex"))
+                salt = F.pmod(
+                    F.xxhash64("src", "dst", "weight"), F.lit(num_partitions)
+                )
+                hot_layout = (
+                    pre.join(F.broadcast(hot_srcs), "src", "left_semi")
+                    .repartition(num_partitions, F.col("src"), salt)
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                layout = (
+                    pre.join(F.broadcast(hot_srcs), "src", "left_anti")
+                    .repartition(num_partitions, "src")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                hot_layout.count()
+            else:
+                layout = pre.repartition(num_partitions, "src").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+            layout.count()
         labels = None
         start_it = 0
         if resume and checkpoint_dir:
@@ -112,10 +166,22 @@ def label_propagation(
             )
             # gather: total incident weight per (vertex, neighbor label);
             # partial agg is partition-local against the stationary layout
-            votes = (
-                layout.join(state, layout.src == state.vertex)
-                .groupBy("dst", "label")
-                .agg(F.sum("weight").alias("wsum"))
+            contrib = layout.join(state, layout.src == state.vertex).select(
+                "dst", "label", "weight"
+            )
+            if hot_layout is not None:
+                # ≤HOT_MIRROR_CAP hot-src label rows, broadcast into the
+                # salted hot edges — no shuffle on the hot branch
+                hot_state = F.broadcast(
+                    labels.join(F.broadcast(hot_srcs_v), "vertex", "left_semi")
+                )
+                contrib = contrib.unionByName(
+                    hot_layout.join(
+                        hot_state, hot_layout.src == hot_state.vertex
+                    ).select("dst", "label", "weight")
+                )
+            votes = contrib.groupBy("dst", "label").agg(
+                F.sum("weight").alias("wsum")
             )
             # A7 mode-agg: greatest wsum, ties to smallest label —
             # field-wise struct max, no sort
@@ -161,4 +227,6 @@ def label_propagation(
             if changed == 0:
                 break
         layout.unpersist()
+        if hot_layout is not None:
+            hot_layout.unpersist()
     return labels

@@ -26,7 +26,12 @@ Two physical strategies, one semantics (chosen by ``strategy``):
       window (no extra shuffle — the window's required distribution
       IS the layout);
     * per superstep only the small rank state shuffles into a
-      sort-merge join; contributions shuffle once into groupBy(dst).
+      sort-merge join; contributions shuffle once into groupBy(dst);
+    * hot SOURCE vertices (out-degree > threshold, the G10 straggler
+      transposed to the src side) are salted across all partitions at
+      layout time and normalized/joined via broadcasts of their
+      ≤HOT_MIRROR_CAP-row out-weight and rank slices — the salted
+      edges never re-shuffle, and the algebra is exact (L7 tests).
 
 Superstep actions: exactly ONE Spark job per fused block — the stats
 collect returns (delta_l1, active count, next danglesum) together and
@@ -96,12 +101,18 @@ class PreparedGraph:
     to every call."""
 
     cold: DataFrame                       # normalized, laid-out edges
-    hot: DataFrame | None                 # G10 mirrored hot-dst edges
+    hot: DataFrame | None                 # G10 mirrored hot-dst (broadcast
+                                          # mode) or salted hot-src (shuffle
+                                          # mode) edges
     vertices: DataFrame                   # (vertex, has_out), persisted
     n: int                                # vertex count
     n_edges: int
     strategy: str
     num_partitions: int
+    hot_srcs: DataFrame | None = None     # shuffle mode: ≤HOT_MIRROR_CAP-row
+                                          # (vertex,) table of salted srcs —
+                                          # the superstep broadcast-filters
+                                          # the rank state against it
 
     def unpersist(self, blocking: bool = True) -> None:
         self.cold.unpersist(blocking)
@@ -142,9 +153,11 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
     (#hot x P rows) exchange in the superstep — algebraically exact
     two-level aggregation (SURVEY.md §2.11 G10).
 
-    Returns (cold_edges, hot_edges_or_None).
+    Returns (cold_edges, hot_edges_or_None, hot_srcs_or_None); the third
+    element is shuffle-mode-only (see PreparedGraph.hot_srcs).
     """
     n_edges = edges.count()
+    spark = edges.sparkSession
     if hot_threshold is None:
         hot_threshold = max(n_edges // num_partitions // 4, 16384)
     if strategy == "broadcast":
@@ -164,13 +177,15 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
                 "HOT_MIRROR_CAP if stragglers appear)",
                 HOT_MIRROR_CAP, hot_threshold, HOT_MIRROR_CAP,
             )
-        hot_ids = [r["dst"] for r in hot_rows]
         norm = lambda df: df.join(F.broadcast(out_w), "src").select(  # noqa: E731
             "src", "dst", (F.col("weight") / F.col("out_w")).alias("w")
         )
-        if hot_ids:
+        if hot_rows:
+            # broadcast-anti/semi against the collected hot set instead of
+            # an IN-list literal: plan size stays flat at HOT_MIRROR_CAP
+            hot_dst = spark.createDataFrame(hot_rows, edges.select("dst").schema)
             cold = norm(
-                edges.filter(~F.col("dst").isin(hot_ids))
+                edges.join(F.broadcast(hot_dst), "dst", "left_anti")
                 .repartition(num_partitions, "dst")
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # row-content salt: src alone is itself Zipf-skewed (a hot
@@ -178,7 +193,7 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
             # row — deterministic, and exact under two-level sum
             salt = F.pmod(F.xxhash64("src", "dst", "weight"), F.lit(num_partitions))
             hot = norm(
-                edges.filter(F.col("dst").isin(hot_ids))
+                edges.join(F.broadcast(hot_dst), "dst", "left_semi")
                 .repartition(num_partitions, F.col("dst"), salt)
             ).persist(StorageLevel.MEMORY_AND_DISK)
         else:
@@ -186,16 +201,59 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
                 edges.repartition(num_partitions, "dst")
             ).persist(StorageLevel.MEMORY_AND_DISK)
             hot = None
-        return cold, hot
-    # shuffle mode: window over the layout's own partitioning: zero extra shuffle
-    layout = edges.repartition(num_partitions, "src")
+        return cold, hot, None
+    # shuffle mode (the beyond-broadcast |V| regime): hash(src) layout —
+    # the state join is exchange-free on the edge side and the per-src
+    # normalization window is partition-local.  A hot SOURCE vertex (the
+    # bench hub: ~30% of all edges from one src) would put its whole
+    # out-edge list in ONE partition — the same straggler G10 mirrors on
+    # the dst side in broadcast mode.  Treatment: salt hot srcs' edges
+    # across all partitions and normalize them via a broadcast join with
+    # their (≤HOT_MIRROR_CAP-row) out-weight table; each superstep then
+    # broadcasts only the hot slice of the rank state into that branch
+    # (step()), so hot edges never re-shuffle.  Exact: per-src sums are
+    # unchanged, only the partition placement differs (L7 algebra).
+    out_w = edges.groupBy("src").agg(
+        F.sum("weight").alias("out_w"), F.count("*").alias("outd")
+    )
+    hot_rows = (
+        out_w.filter(F.col("outd") > hot_threshold)
+        .orderBy(F.col("outd").desc())
+        .select("src", "out_w").limit(HOT_MIRROR_CAP + 1).collect()
+    )
+    if len(hot_rows) > HOT_MIRROR_CAP:
+        hot_rows = hot_rows[:HOT_MIRROR_CAP]
+        log.warning(
+            "G10/shuffle: more than %d srcs exceed the hot threshold %d; "
+            "salting only the %d highest-out-degree ones — the rest take "
+            "the plain hash(src) path (raise hot_threshold or "
+            "HOT_MIRROR_CAP if stragglers appear)",
+            HOT_MIRROR_CAP, hot_threshold, HOT_MIRROR_CAP,
+        )
     w_out = W.partitionBy("src")
-    edges_norm = layout.select(
-        "src",
-        "dst",
-        (F.col("weight") / F.sum("weight").over(w_out)).alias("w"),
+    norm_window = lambda df: df.select(  # noqa: E731
+        "src", "dst", (F.col("weight") / F.sum("weight").over(w_out)).alias("w")
+    )
+    if hot_rows:
+        hot_w = spark.createDataFrame(hot_rows)  # (src, out_w), ≤ cap rows
+        hot_srcs = hot_w.select("src")
+        salt = F.pmod(F.xxhash64("src", "dst", "weight"), F.lit(num_partitions))
+        hot = (
+            edges.join(F.broadcast(hot_srcs), "src", "left_semi")
+            .repartition(num_partitions, F.col("src"), salt)
+            .join(F.broadcast(hot_w), "src")
+            .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cold = norm_window(
+            edges.join(F.broadcast(hot_srcs), "src", "left_anti")
+            .repartition(num_partitions, "src")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return cold, hot, hot_srcs
+    cold = norm_window(
+        edges.repartition(num_partitions, "src")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    return edges_norm, None
+    return cold, None, None
 
 
 def prepare_pagerank(
@@ -215,9 +273,11 @@ def prepare_pagerank(
         n = vertices.count()
         if strategy == "auto":
             strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
-        cold, hot = _prepare(edges, num_partitions, strategy, hot_threshold)
+        cold, hot, hot_srcs = _prepare(edges, num_partitions, strategy, hot_threshold)
         n_edges = cold.count() + (hot.count() if hot is not None else 0)
-    return PreparedGraph(cold, hot, vertices, n, n_edges, strategy, num_partitions)
+    return PreparedGraph(
+        cold, hot, vertices, n, n_edges, strategy, num_partitions, hot_srcs
+    )
 
 
 def pagerank(
@@ -332,32 +392,51 @@ def _pagerank_loop(
         ranks.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
     )
 
+    hot_srcs_v = (
+        prepared.hot_srcs.select(F.col("src").alias("vertex"))
+        if prepared.hot_srcs is not None
+        else None
+    )
+
     def step(frame, base_col):
         """One superstep as a pure DataFrame transform of ``frame``
         (vertex, rank, has_out): gather + update + per-vertex delta."""
         state = frame.select("vertex", "rank")
         if strategy == "broadcast":
-            state = F.broadcast(state)
+            cold_state = hot_state = F.broadcast(state)
+        else:
+            # shuffle mode: the full state shuffles into the cold SMJ on
+            # src; the hot branch gets ONLY the ≤HOT_MIRROR_CAP hot-src
+            # rank rows, broadcast — the salted hot edges stay put
+            cold_state = state
+            hot_state = (
+                F.broadcast(state.join(F.broadcast(hot_srcs_v), "vertex", "left_semi"))
+                if hot_srcs_v is not None
+                else None
+            )
 
-        def gather(part):
-            # cold branch: hash(dst) layout -> the agg is partition-local;
-            # hot branch: hash(dst, salt) layout -> partial sums are local,
-            # the final combine exchanges only (#hot x P) rows (G10)
+        def gather(part, st):
+            # cold branch: hash(dst)/hash(src) layout -> the agg is
+            # partition-local (broadcast) or one shuffle (shuffle mode);
+            # hot branch: salted layout -> partial sums are local, the
+            # final combine exchanges only (#hot x P) rows (G10)
             return (
-                part.join(state, part.src == state.vertex)
+                part.join(st, part.src == st.vertex)
                 .select("dst", (F.col("w") * F.col("rank")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("c"))
             )
 
         upd = frame.join(
-            gather(cold).withColumnRenamed("c", "c_cold").withColumnRenamed("dst", "d1"),
+            gather(cold, cold_state)
+            .withColumnRenamed("c", "c_cold").withColumnRenamed("dst", "d1"),
             frame.vertex == F.col("d1"),
             "left",
         )
         if hot is not None:
             upd = upd.join(
-                gather(hot).withColumnRenamed("c", "c_hot").withColumnRenamed("dst", "d2"),
+                gather(hot, hot_state)
+                .withColumnRenamed("c", "c_hot").withColumnRenamed("dst", "d2"),
                 frame.vertex == F.col("d2"),
                 "left",
             )

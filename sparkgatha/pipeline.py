@@ -24,6 +24,7 @@ from sparkgatha.dedup import (
     DEFAULT_BUCKET_CAP,
     N_BANDS,
     N_HASHES,
+    _BANDS_CAND_SQL,
     _SHINGLES_SQL,
     near_duplicates,
 )
@@ -71,7 +72,10 @@ def clean_corpus(
     LSH join sees the smallest candidate universe.
     """
     q = quality_survivors(docs, text_col)
-    ex = exact_dedup_keep_min(q, text_col)
+    # the filtered+exact-deduped set feeds the whole near-dup pipeline
+    # AND the final anti-join — materialize its lineage once instead of
+    # re-running quality gate + digest dedup under every branch
+    ex = exact_dedup_keep_min(q, text_col).localCheckpoint(eager=False)
     dups = near_duplicates(ex, text_col, threshold, bucket_cap).select(
         F.col("dup_doc_id").alias("doc_id")
     )
@@ -101,34 +105,13 @@ _QUALITY_SQL = f"""
 
 _RPB = N_HASHES // N_BANDS
 
-# the near-dup replay from dedup.q_near_duplicates, re-pointed at docs_f
+# the near-dup replay from dedup.q_near_duplicates (shared band/candidate
+# CTE chain, incl. the over-cap star fallback), re-pointed at docs_f
 _NEARDUP_SQL = (
     _SHINGLES_SQL.replace("FROM documents", "FROM docs_f")
     + f""",
   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-  hashes AS (
-    SELECT doc_id, h.i::INTEGER AS hash_idx,
-           min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
-             AS minhash
-    FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
-    GROUP BY doc_id, h.i
-  ),
-  bands AS (
-    SELECT doc_id, (hash_idx // {_RPB})::INTEGER AS band,
-           md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS sig
-    FROM hashes GROUP BY doc_id, hash_idx // {_RPB}
-  ),
-  ok AS (
-    SELECT band, sig FROM bands GROUP BY band, sig
-    HAVING count(*) BETWEEN 2 AND {DEFAULT_BUCKET_CAP}
-  ),
-  cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN ok USING (band, sig)
-    JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                AND a.doc_id < b.doc_id
-  ),
+  {_BANDS_CAND_SQL},
   inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS ix
     FROM cand c

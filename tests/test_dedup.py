@@ -54,12 +54,31 @@ def test_near_duplicates_keep_min(spark):
     assert all(k < d for d, k in nd.items())
 
 
-def test_bucket_cap_drops_degenerate_buckets(spark):
-    """With cap=1 every bucket is dropped, so no candidates survive;
-    with the default cap the fixture's buckets all fit (the cap is a
-    scale guard, not a semantics change at fixture size)."""
+def test_bucket_cap_star_routing(spark):
+    """Over-cap buckets are NOT dropped: members route to a star on the
+    bucket min (O(size) pairs), so a >cap cluster of near-identical docs
+    still collapses through verify + keep-min instead of silently
+    surviving (r02 ADVICE)."""
     docs = _docs(spark)
-    assert lsh_candidates(docs, bucket_cap=1).count() == 0
+    # star pairs are a subset of what full pairwise would generate
+    default = {(r["doc_a"], r["doc_b"]) for r in lsh_candidates(docs).collect()}
+    starred = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(docs, bucket_cap=1).collect()
+    }
+    assert starred and starred <= default
+    assert all(a < b for a, b in starred)
+    # synthetic over-cap cluster: 8 identical texts, cap=3 → every band
+    # bucket overflows → star candidates (0, i) → all 7 dups map to 0
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    tiny = spark.createDataFrame(
+        [(i, text) for i in range(8)], "doc_id long, text string"
+    )
+    nd = near_duplicates(tiny, threshold=0.8, bucket_cap=3)
+    assert {r["dup_doc_id"]: r["keep_doc_id"] for r in nd.collect()} == {
+        i: 0 for i in range(1, 8)
+    }
+    # fixture buckets all fit under the default cap (scale guard only)
     sizes = (
         lsh_bands(docs).groupBy("band", "sig").agg(F.count("*").alias("k"))
     )

@@ -184,6 +184,11 @@ def test_lpa_shuffle_strategy_identical(spark):
                           strategy="broadcast")
     b = label_propagation(edges, max_iter=12, num_partitions=4,
                           strategy="shuffle")
+    # hot_threshold=1 forces EVERY src down the salted hot branch
+    c = label_propagation(edges, max_iter=12, num_partitions=4,
+                          strategy="shuffle", hot_threshold=1)
     la = {r["vertex"]: r["label"] for r in a.collect()}
     lb = {r["vertex"]: r["label"] for r in b.collect()}
+    lc = {r["vertex"]: r["label"] for r in c.collect()}
     assert la == lb
+    assert la == lc

@@ -22,6 +22,8 @@ def test_pagerank_hot_mirroring_exact(spark):
     for pr_kwargs in (
         {"strategy": "broadcast", "hot_threshold": 1},   # everything mirrored
         {"strategy": "broadcast", "hot_threshold": 10**9},  # nothing mirrored
+        {"strategy": "shuffle", "hot_threshold": 1},     # everything salted
+        {"strategy": "shuffle", "hot_threshold": 10**9},  # nothing salted
         {"strategy": "shuffle"},
     ):
         r = pagerank(edges, tol=0.0, max_iter=15, **pr_kwargs)
@@ -76,11 +78,35 @@ def test_no_straggler_partition_after_mirroring(spark):
     from sparkgatha.graph.pagerank import _prepare
 
     e = powerlaw_edges(spark, 400_000, n_vertices=20_000, num_partitions=16)
-    cold, hot = _prepare(e, 16, "broadcast")
+    cold, hot, _ = _prepare(e, 16, "broadcast")
     assert hot is not None  # hub detected
     sizes = [
         r["n"]
         for r in cold.unionByName(hot)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    sizes.sort()
+    median = sizes[len(sizes) // 2]
+    assert sizes[-1] <= 4 * median, sizes
+    cold.unpersist(); hot.unpersist()
+
+
+def test_no_straggler_partition_shuffle_strategy(spark):
+    """Shuffle-mode layout: the 30%-of-edges hub SRC is salted across
+    partitions — no partition holds more than 4x the median row count
+    (without salting the hub partition holds ~30% of all rows ≈ 5x an
+    even 16-way split)."""
+    from sparkgatha.graph.pagerank import _prepare
+
+    e = powerlaw_edges(spark, 400_000, n_vertices=20_000, num_partitions=16)
+    cold, hot, hot_srcs = _prepare(e, 16, "shuffle")
+    assert hot is not None and hot_srcs is not None  # hub src detected
+    assert hot_srcs.count() >= 1
+    sizes = [
+        r["n"]
+        for r in cold.select("src").unionByName(hot.select("src"))
         .groupBy(F.spark_partition_id().alias("p"))
         .agg(F.count("*").alias("n"))
         .collect()
