@@ -62,7 +62,11 @@ PRIORITY_WINDOW = [
     "q_join_outer",         # J3 (left)
     "q_join_semi",          # J4
     "q_join_anti",          # J5
-    "q_join_full_outer",    # J3 (full)
+    "q_clean_corpus",       # composed LLM curation pipeline: quality
+                            # gate + exact dedup + minhash/LSH near-dup
+                            # (one slot value-checks the whole dedup
+                            # stack; J3-full q_join_full_outer moved to
+                            # the local replica — J3 keeps q_join_outer)
     "q_selfjoin_cooc",      # J6 / G1
     "q_join_range",         # J7
     "q_asof",               # J8

@@ -220,10 +220,17 @@ def main() -> None:
         } if calib else None,
         "scaling_efficiency_normalized": eff_norm,
         "data_scaling": data_scaling or None,
-        "estimator": "best-of-N per cell (min wall); median alongside; "
-                     "normalized = best / bandwidth-bound host ceiling",
+        "estimator": "raw = median-of-N per cell; best-of-N and "
+                     "ceiling-normalized (best / bandwidth-bound host "
+                     "ceiling) reported alongside, never folded into pass",
         "target": 0.8,
-        "pass": eff_best >= 0.8 or (eff_norm is not None and eff_norm >= 0.8),
+        # the headline pass is the PROTOCOL's raw >=0.8 on the median
+        # estimator — best-of-N and ceiling normalization are disclosed
+        # as separate verdicts so estimator choice can't flip the headline
+        "pass": eff_med >= 0.8,
+        "pass_raw_median": eff_med >= 0.8,
+        "pass_raw_best": eff_best >= 0.8,
+        "pass_normalized": (eff_norm is not None and eff_norm >= 0.8),
         "runs": {str(c): cells[c]["runs"] for c in (8, 32)},
         "calibration": calib or None,
     }
@@ -287,8 +294,11 @@ this shared microVM only ever slows a run), medians alongside.
                 + (f"; normalized by the bandwidth-bound host ceiling: "
                    f"{eff_norm:.3f}" if eff_norm is not None else "")
                 + f"""**
-(target >= 0.8 — {"PASS" if summary["pass"] else "MISS"} on
-{"the ceiling-normalized estimator" if (eff_norm or 0) >= 0.8 > eff_best else "the raw estimator"}).
+(target >= 0.8 — headline {"PASS" if summary["pass"] else "MISS"} on the
+raw MEDIAN estimator; secondary verdicts: raw best-of-N
+{"PASS" if summary["pass_raw_best"] else "MISS"}, ceiling-normalized
+{"PASS" if summary["pass_normalized"] else "MISS"} — disclosed separately,
+never substituted for the headline).
 {ds_rows}
 Notes:
 - PageRank strategy: broadcast-gather (edges hash-partitioned by dst once,

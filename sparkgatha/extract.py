@@ -26,8 +26,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import logging
+
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+log = logging.getLogger(__name__)
 
 DEFAULT_STOPWORDS = ("a", "the")
 
@@ -95,6 +99,51 @@ def _pair_expander(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+DEFAULT_MAX_TERMS_PER_DOC = 1024
+
+
+def _cap_terms_per_doc(toks: DataFrame, cap: int) -> DataFrame:
+    """Trim docs with more than ``cap`` distinct terms down to their
+    ``cap`` lowest-df terms (ties broken lexicographically).
+
+    The quadratic pair fan-out makes one pathological row (a generated
+    file with 10k distinct identifiers) emit tens of millions of pairs;
+    this is the standard per-doc guard beside the corpus-level max_df
+    cutoff.  Cost model: one cheap size-filter count over the tokenized
+    corpus; ONLY when a doc is actually over the cap does the trim
+    lineage run, and it explodes/shuffles ONLY the offending rows
+    (df ranking joins against the vocabulary-sized frequency table).
+    Under-cap corpora pay a single scan and no shuffle.
+    """
+    over = toks.filter(F.size("terms") > cap)
+    n_over = over.count()
+    if n_over == 0:
+        return toks
+    log.warning(
+        "per-doc term cap hit: %d docs exceed %d distinct terms; "
+        "keeping the %d lowest-df terms of each",
+        n_over, cap, cap,
+    )
+    dfreq = (
+        toks.select(F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    t = over.withColumn("_doc", F.monotonically_increasing_id())
+    ex = t.select("_doc", F.explode("terms").alias("term")).join(dfreq, "term")
+    w = Window.partitionBy("_doc").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    trimmed = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy("_doc")
+        .agg(F.array_sort(F.collect_list("term")).alias("terms"))
+        .select("terms")
+    )
+    return toks.filter(F.size("terms") <= cap).unionByName(trimmed)
+
+
 def extract_cooccurrence_edges(
     docs: DataFrame,
     text_col: str = "text",
@@ -104,6 +153,7 @@ def extract_cooccurrence_edges(
     symmetric: bool = False,
     num_partitions: int | None = None,
     weight_mode: str = "count",
+    max_terms_per_doc: int | None = DEFAULT_MAX_TERMS_PER_DOC,
 ) -> DataFrame:
     """documents → canonical co-occurrence edges ``(src, dst, weight)``.
 
@@ -119,6 +169,14 @@ def extract_cooccurrence_edges(
     applies to the raw co-count, before idf scaling.
     ``max_df`` (fraction of docs) drops hub terms *before* pairing —
     the reference's frequency-cutoff skew control.
+    ``max_terms_per_doc`` caps the quadratic per-document pair fan-out:
+    max_df caps hub *terms*, but a single 10k-distinct-identifier source
+    file still emits 5x10^7 pairs from one row.  Docs over the cap keep
+    their ``max_terms_per_doc`` *lowest-df* terms (the same lever as
+    max_df: the most corpus-common terms are the first to go), trimmed
+    only for the offending rows — under-cap docs never touch the trim
+    shuffle — and the event is logged (no silent caps, SURVEY.md G10).
+    ``None`` disables the cap.
     ``symmetric=True`` additionally emits the reversed orientation
     (U1 union) for algorithms that want both directions stored.
 
@@ -134,8 +192,13 @@ def extract_cooccurrence_edges(
         docs = docs.repartition(target)
     toks = tokenize(docs, text_col, stopwords).select("terms")
 
+    # one corpus count serves both the max_df threshold and the idf
+    # numerator (was two scans when both levers were set)
+    n_docs = (
+        docs.count() if (max_df is not None or weight_mode == "idf") else None
+    )
+
     if max_df is not None:
-        n_docs = docs.count()
         hot_terms = sorted(
             r["term"]
             for r in (
@@ -161,6 +224,9 @@ def extract_cooccurrence_edges(
                 ).alias("terms")
             )
 
+    if max_terms_per_doc is not None:
+        toks = _cap_terms_per_doc(toks, max_terms_per_doc)
+
     pairs = toks.mapInPandas(_pair_expander, schema=PAIR_SCHEMA)
     edges = (
         pairs.groupBy("src", "dst")
@@ -169,7 +235,6 @@ def extract_cooccurrence_edges(
     if min_weight > 0:
         edges = edges.filter(F.col("weight") >= min_weight)
     if weight_mode == "idf":
-        n_docs = docs.count()
         dfreq = (
             toks.select(F.explode("terms").alias("term"))
             .groupBy("term")
@@ -279,7 +344,10 @@ def node_ids_safe(
         eager=True
     )
     rehashed = False
-    for salt in range(1, max_rehash + 1):
+    # check-then-rehash, with the duplicate check running once more AFTER
+    # the final rehash round so all max_rehash rounds are usable (a
+    # dictionary fixed on the last round must not die as "still colliding")
+    for salt in range(1, max_rehash + 2):
         dup_ids = (
             nodes.groupBy("id")
             .agg(F.count("*").alias("k"))
@@ -288,6 +356,12 @@ def node_ids_safe(
         )
         if dup_ids.limit(1).count() == 0:
             break
+        if salt > max_rehash:
+            raise RuntimeError(
+                f"node id dictionary still has collisions after {max_rehash} "
+                "salted rehash rounds — the hash is too narrow for the key "
+                "cardinality"
+            )
         rehashed = True
         nodes = nodes.join(
             F.broadcast(dup_ids), nodes.id == dup_ids.dup_id, "left"
@@ -299,12 +373,6 @@ def node_ids_safe(
             .alias("id"),
             "key",
         ).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(
-            f"node id dictionary still has collisions after {max_rehash} "
-            "salted rehash rounds — the hash is too narrow for the key "
-            "cardinality"
-        )
 
     if not rehashed:
         id_edges = edges.select(

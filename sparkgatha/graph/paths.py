@@ -94,11 +94,137 @@ def shortest_paths(
 
 
 def pair_distance(
-    edges: DataFrame, a: int, b: int, max_iter: int = 50
+    edges: DataFrame, a: int, b: int, max_iter: int = 50,
+    bidirectional: bool = True,
 ) -> float | None:
-    """Topic-query shape: distance between two terms (SURVEY.md §3.2)."""
+    """Topic-query shape: distance between two terms (SURVEY.md §3.2).
+
+    Default is the meet-in-the-middle search (the reference's analog is
+    a lazy bidirectional Dijkstra); ``bidirectional=False`` falls back
+    to a full SSSP + filter (the round-1 form, kept for oracles)."""
+    if bidirectional:
+        return pair_distance_bidirectional(edges, a, b, max_iter)
     d = shortest_paths(edges, a, max_iter).filter(F.col("vertex") == b).collect()
     return float(d[0]["distance"]) if d else None
+
+
+def pair_distance_bidirectional(
+    edges: DataFrame, a: int, b: int, max_iter: int = 50,
+    num_partitions: int = 32,
+) -> float | None:
+    """Meet-in-the-middle pair distance: a forward frontier search from
+    ``a`` and a backward search from ``b`` (over reversed edges),
+    expanding the SMALLER frontier each round; ``best`` tracks the
+    cheapest known meet (min over v of da(v)+db(v), maintained
+    incrementally by joining each new frontier against the other side's
+    distance map).
+
+    Work bound: a full SSSP relaxes until no vertex in the component
+    improves; this stops both searches once nothing outside the two
+    radius-``best`` balls around a and b can matter, so a short a—b path
+    touches ~2 small balls instead of the whole component.
+
+    Stopping rule (non-negative weights): every future improvement on a
+    side carries a distance >= that side's current frontier minimum, so
+    a future meet costs >= min(min_fa, min_fb); once
+    ``best <= min(min_fa, min_fb)`` no expansion can beat it.  (This is
+    deliberately weaker than Dijkstra's top_a+top_b bound, which is
+    unsound under frontier Bellman-Ford's non-settled order.)
+    Goal-direction: frontier rows and relax candidates at distance >=
+    ``best`` are pruned — they cannot lie on a better a—b path.
+    """
+    spark = edges.sparkSession
+    inf = float("inf")
+
+    def _init(src_vertex):
+        d = spark.createDataFrame(
+            [(src_vertex, 0.0)], "vertex long, distance double"
+        ).localCheckpoint(eager=True)
+        return {"dist": d, "frontier": d, "rows": 1, "min_f": 0.0}
+
+    with no_aqe(spark):
+        fwd_layout = (
+            edges.select("src", "dst", "weight")
+            .repartition(num_partitions, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        bwd_layout = (
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+            .repartition(num_partitions, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        fwd_layout.count()
+        bwd_layout.count()
+        fwd = _init(a)
+        bwd = _init(b)
+        best = 0.0 if a == b else inf
+        sides = {"f": (fwd, fwd_layout, bwd), "b": (bwd, bwd_layout, fwd)}
+        for _ in range(max_iter):
+            if fwd["rows"] == 0 and bwd["rows"] == 0:
+                break
+            if best <= min(fwd["min_f"], bwd["min_f"]):
+                break  # no future meet can improve best
+            # expand the smaller non-empty frontier
+            key = "f" if (fwd["rows"] <= bwd["rows"] and fwd["rows"] > 0
+                          ) or bwd["rows"] == 0 else "b"
+            side, layout, other = sides[key]
+            probe = (
+                F.broadcast(side["frontier"])
+                if side["rows"] <= BROADCAST_FRONTIER_MAX
+                else side["frontier"]
+            )
+            cand = (
+                layout.join(probe, layout.src == probe.vertex)
+                .select(
+                    F.col("dst").alias("vertex"),
+                    (F.col("distance") + F.col("weight")).alias("distance"),
+                )
+                .groupBy("vertex")
+                .agg(F.min("distance").alias("distance"))
+            )
+            if best < inf:
+                cand = cand.filter(F.col("distance") < best)
+            merged = (
+                side["dist"].alias("d")
+                .join(cand.alias("c"), "vertex", "full_outer")
+                .select(
+                    "vertex",
+                    F.least(
+                        F.coalesce(F.col("d.distance"), F.lit(inf)),
+                        F.coalesce(F.col("c.distance"), F.lit(inf)),
+                    ).alias("distance"),
+                    (
+                        F.coalesce(F.col("c.distance"), F.lit(inf))
+                        < F.coalesce(F.col("d.distance"), F.lit(inf))
+                    ).alias("_improved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            improved = merged.filter(F.col("_improved"))
+            stats = improved.agg(
+                F.count("*").alias("n"), F.min("distance").alias("mn")
+            ).collect()[0]
+            side["rows"] = stats["n"]
+            side["min_f"] = stats["mn"] if stats["mn"] is not None else inf
+            side["dist"] = merged.select("vertex", "distance")
+            side["frontier"] = improved.select("vertex", "distance")
+            if side["rows"] > 0:
+                # incremental meet: only the new frontier can create one
+                meet = (
+                    side["frontier"].alias("x")
+                    .join(other["dist"].alias("y"), "vertex")
+                    .agg(F.min(
+                        F.col("x.distance") + F.col("y.distance")
+                    ).alias("m"))
+                    .collect()[0]["m"]
+                )
+                if meet is not None and meet < best:
+                    best = float(meet)
+        fwd_layout.unpersist()
+        bwd_layout.unpersist()
+    return best if best < inf else None
 
 
 def neighborhood(edges: DataFrame, vertices: DataFrame) -> DataFrame:

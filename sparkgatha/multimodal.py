@@ -172,6 +172,9 @@ def sample_frames(
             n_frames = (
                 pdf["dur_s"].to_numpy(dtype=np.float64) / every_s
             ).astype(np.int64)
+            # malformed rows (negative duration) contribute zero frames
+            # instead of poisoning np.repeat with a negative count
+            n_frames = np.maximum(n_frames, 0)
             if n_frames.sum() == 0:
                 yield pd.DataFrame(
                     {"media_id": [], "frame_idx": [], "frame": []}

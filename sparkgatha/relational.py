@@ -1442,7 +1442,7 @@ def q_g9_shortest_paths(spark, sf_dir):
     walk(v, d) AS (
       SELECT v, 0 FROM s
       UNION
-      SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 10
+      SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 20
     )
     SELECT v AS key, CAST(min(d) AS DOUBLE) AS distance
     FROM walk GROUP BY v
@@ -1452,7 +1452,8 @@ def q_g9_hop_distance(spark, sf_dir):
     """G9 frontier supersteps on a unit-weight graph = BFS hop distance,
     value-checked against a bounded DuckDB recursive CTE (the weighted
     form stays rows-only: SQL path enumeration diverges on weighted
-    cycles).  Hop bound 10 >> the sf0.01 token graph's diameter."""
+    cycles).  Hop bound 20 matches shortest_paths(max_iter=20) so the
+    two sides cover the same reachable set on any fixture."""
     from sparkgatha.graph.paths import shortest_paths
 
     nodes, id_edges = _doc_graph(spark, sf_dir)

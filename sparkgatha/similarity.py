@@ -116,11 +116,34 @@ def embedding_lsh_buckets(
     return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
+def auto_lsh_planes(n: int, target_bucket: int = 64) -> int:
+    """b = ceil(log2(n / target_bucket)): each hyperplane roughly halves
+    a bucket, so b planes put ~n/2^b vectors in each — sized so the
+    per-bucket self-join stays ~target_bucket^2 comparisons regardless
+    of corpus size.  The sqrt/log rules here and in auto_ivf_params are
+    COMPUTED from corpus stats (not documented prose) so a 100 TB call
+    with the defaults does not inherit fixture-tuned constants."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n / target_bucket))))
+
+
+def auto_ivf_params(n: int) -> tuple[int, int]:
+    """(n_centroids, nprobe) = (~sqrt(n), ~sqrt(n_centroids)) — the
+    standard IVF sizing (FAISS guidance: nlist ~ sqrt(n)); candidate
+    volume per query ~ n * nprobe / n_centroids ~ n^(3/4)."""
+    import math
+
+    n_centroids = max(4, int(round(math.sqrt(max(16, n)))))
+    nprobe = max(2, int(round(math.sqrt(n_centroids))))
+    return n_centroids, nprobe
+
+
 def ann_topk(
     embeddings: DataFrame,
     k: int = 5,
     dim: int = 64,
-    n_planes: int = 3,
+    n_planes: int | None = 3,
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -129,8 +152,11 @@ def ann_topk(
     pair is a candidate if it collides in ANY table).  Cosine runs only
     on candidates; top-k per query.  Size b with the corpus: collision
     prob per table is (1 - theta/pi)^b, so b grows ~log2(n/bucket_size)
-    at scale; the defaults suit the small low-cosine fixture and the
+    at scale; ``n_planes=None`` computes that from the corpus count
+    (auto_lsh_planes), the int default suits the small fixture and the
     recall bound is asserted in tests."""
+    if n_planes is None:
+        n_planes = auto_lsh_planes(embeddings.count())
     cands = None
     for t in range(n_tables):
         b = embedding_lsh_buckets(embeddings, dim, n_planes, seed + 1009 * t)
@@ -203,20 +229,41 @@ def q_embed_centroid(spark, sf_dir):
 
 
 def ivf_centroids(
-    embeddings: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    n_centroids: int | None = 16,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """(cid int, cv array<double>) — deterministic coarse quantizer:
     seed centroids are an md5-hash-sample of the corpus (engine- and
     partitioning-independent), refined by ONE Lloyd step (assign all
     vectors to the nearest seed, recompute element-wise means).  One
     crossJoin against a broadcast n_centroids-row table + one (cid, pos)
-    shuffle — no iteration at scale; good enough for list routing."""
+    shuffle — no iteration at scale; good enough for list routing.
+    ``n_centroids=None`` sizes the quantizer from the corpus count
+    (auto_ivf_params sqrt rule)."""
+    if n_centroids is None:
+        n_centroids, _ = auto_ivf_params(embeddings.count())
     e = embeddings.select("vec_id", _as_double(vec_col).alias("v"))
-    w = W.orderBy(F.md5(F.col("vec_id").cast("string")))
-    seeds = (
-        e.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_centroids)
-        .select((F.col("_r") - 1).cast("int").alias("cid"), F.col("v").alias("cv"))
+    # Seed pick WITHOUT a global single-partition Window (that form
+    # funnels the whole corpus through one task at 100 TB): orderBy +
+    # limit compiles to TakeOrderedAndProject — each partition keeps an
+    # n_centroids-row head, the driver merges heads — and the md5 key
+    # (the q_sample_hash rule) keeps the choice deterministic and
+    # partitioning-independent.  The n_centroids winners are collected
+    # (a bounded handful of rows) and re-emitted as a local relation, so
+    # no Window or sort ever sees the full corpus.
+    top = (
+        e.select("v", F.md5(F.col("vec_id").cast("string")).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    seeds = embeddings.sparkSession.createDataFrame(
+        [
+            (i, list(r["v"]))
+            for i, r in enumerate(sorted(top, key=lambda r: r["_h"]))
+        ],
+        "cid int, cv array<double>",
     )
     assigned = _assign_nearest(e, seeds)
     return (
@@ -251,17 +298,23 @@ def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    n_centroids: int | None = 16,
+    nprobe: int | None = 4,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate kNN (the FAISS IndexIVFFlat shape, SURVEY.md §2.11
     G8): route every vector to its nearest coarse centroid (inverted
     lists = an equi-join key), probe the ``nprobe`` nearest lists per
     query, exact cosine only within probed lists.  Candidate volume ≈
-    n·nprobe/n_centroids per query — tune n_centroids ~ sqrt(n) at
-    scale.  All joins are equi-joins on cid; the only crossJoins touch
-    the tiny centroid table."""
+    n·nprobe/n_centroids per query — pass ``n_centroids=None`` /
+    ``nprobe=None`` to size both from the corpus count (auto_ivf_params
+    sqrt rule) instead of the fixture-scale defaults.  All joins are
+    equi-joins on cid; the only crossJoins touch the tiny centroid
+    table."""
+    if n_centroids is None or nprobe is None:
+        auto_c, auto_p = auto_ivf_params(embeddings.count())
+        n_centroids = n_centroids if n_centroids is not None else auto_c
+        nprobe = nprobe if nprobe is not None else auto_p
     e = embeddings.select("vec_id", _as_double(vec_col).alias("v"))
     cents = ivf_centroids(embeddings, n_centroids, vec_col)
     cents = cents.localCheckpoint(eager=True)  # reused 2x below

@@ -60,6 +60,64 @@ def test_max_df_drops_hub_terms(spark):
     assert not (hot & terms_used)
 
 
+def test_per_doc_term_cap_bounds_fanout(spark):
+    """A pathological doc (many distinct terms) must emit at most
+    cap*(cap-1)/2 pairs, keeping its lowest-df terms; docs below the cap
+    are untouched (goldens identical with/without the cap)."""
+    # corpus: one 12-term monster + common terms providing df signal
+    rows = [
+        ("m", " ".join(f"t{i:02d}" for i in range(12))),
+        # t00/t01 appear in many docs -> highest df -> first dropped
+        ("c1", "t00 t01 x1"), ("c2", "t00 t01 x2"), ("c3", "t00 t01 x3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    capped = extract_cooccurrence_edges(
+        docs, stopwords=(), max_terms_per_doc=10
+    )
+    terms_used = {r["src"] for r in capped.select("src").collect()} | {
+        r["dst"] for r in capped.select("dst").collect()
+    }
+    # the monster doc lost its 2 highest-df terms' pairings only where no
+    # other doc supplies them: t00-t01 survives via c1..c3, but e.g.
+    # t00-t11 (only in the monster) must be gone
+    assert ("t00", "t11") not in {
+        (r["src"], r["dst"]) for r in capped.collect()
+    }
+    # lowest-df terms (t02..t11, x*) all survive
+    assert {f"t{i:02d}" for i in range(2, 12)} <= terms_used
+    # under-cap corpus: cap on vs off is bit-identical
+    uncapped = extract_cooccurrence_edges(
+        docs.filter(F.col("doc_id") != "m"), stopwords=(),
+        max_terms_per_doc=None,
+    )
+    with_cap = extract_cooccurrence_edges(
+        docs.filter(F.col("doc_id") != "m"), stopwords=(),
+        max_terms_per_doc=10,
+    )
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, with_cap.collect())
+    )
+
+
+def test_node_ids_safe_last_round_fix_not_fatal(spark):
+    """A dictionary whose collisions are resolved exactly on the FINAL
+    rehash round must succeed (regression: for/else raised even when the
+    last round fixed everything)."""
+    from sparkgatha.extract import node_ids_safe
+
+    def fixed_on_round_2(col, salt):
+        if salt < 2:
+            return F.lit(0).cast("long")  # total collision rounds 0,1
+        return F.xxhash64(col, F.lit(salt))
+
+    docs = read_table(spark, SF, "documents")
+    edges = symmetrize(extract_cooccurrence_edges(docs))
+    nodes, id_edges = node_ids_safe(edges, hash_fn=fixed_on_round_2,
+                                    max_rehash=2)
+    assert_no_id_collisions(nodes)
+    assert id_edges.count() == edges.count()
+
+
 def test_node_ids_no_collisions(spark):
     docs = read_table(spark, SF, "documents")
     edges = symmetrize(extract_cooccurrence_edges(docs))

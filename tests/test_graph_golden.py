@@ -160,6 +160,33 @@ def test_shortest_paths_match_networkx(spark, triples):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def test_pair_distance_bidirectional_matches_dijkstra(spark, triples):
+    """Meet-in-the-middle pair search equals NetworkX Dijkstra for
+    several pairs (incl. a==b) and returns None for unreachable pairs."""
+    from sparkgatha.graph.paths import pair_distance
+
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    g = nx_graph(triples)
+    want_all = nx.single_source_dijkstra_path_length(g, 0, weight="weight")
+    for target in [0, 1, 7, 55, 119]:
+        got = pair_distance(edges, 0, target)
+        if target in want_all:
+            assert got is not None and abs(got - want_all[target]) < 1e-9, (
+                target, got, want_all.get(target)
+            )
+        else:
+            assert got is None
+    # unreachable: an isolated 2-vertex island
+    iso = to_spark_edges(
+        spark, triples + [(900, 901, 1.0)], symmetric=True
+    )
+    assert pair_distance(iso, 0, 901) is None
+    # fallback path agrees
+    assert abs(
+        pair_distance(edges, 0, 7, bidirectional=False) - want_all[7]
+    ) < 1e-9
+
+
 def test_pagerank_powerlaw_hub(spark):
     # skew-shaped graph: results still match (L7 correctness side)
     triples = powerlaw_graph(n=200, m=800, seed=7)

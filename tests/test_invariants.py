@@ -53,8 +53,8 @@ def test_edge_exchange_reused_across_superstep(spark):
 
     e = powerlaw_edges(spark, 50_000, n_vertices=2_000, num_partitions=8)
     with no_aqe(spark):
-        cold, hot = _prepare(e, 8, "broadcast", hot_threshold=10**9)
-        assert hot is None
+        cold, hot, hot_srcs = _prepare(e, 8, "broadcast", hot_threshold=10**9)
+        assert hot is None and hot_srcs is None
         cold.count()
         state = F.broadcast(
             spark.range(2_000).select(
@@ -159,3 +159,38 @@ def test_ivf_recall_against_exact(spark):
     # measured ~0.58 on the near-uniform-cosine fixture (random vectors
     # scatter across lists); 0.4 is the regression floor
     assert recall >= 0.4, recall
+
+
+def test_ann_param_auto_scaling(spark):
+    """n_planes / (n_centroids, nprobe) computed from corpus stats grow
+    with n (log2 / sqrt rules), and the None path runs end-to-end."""
+    from sparkgatha.similarity import (
+        auto_ivf_params, auto_lsh_planes, ivf_topk,
+    )
+
+    assert auto_lsh_planes(1_000) < auto_lsh_planes(1_000_000) \
+        < auto_lsh_planes(10**12)
+    # 10^12 vectors at bucket 64: ~34 planes, sane magnitude
+    assert 30 <= auto_lsh_planes(10**12) <= 40
+    c6, p6 = auto_ivf_params(1_000_000)
+    c12, p12 = auto_ivf_params(10**12)
+    assert c6 == 1000 and c12 == 10**6 and p6 < p12
+    e = read_table(spark, SF, "embeddings")
+    out = ivf_topk(e, k=3, n_centroids=None, nprobe=None)
+    assert out.count() > 0
+
+
+def test_ivf_plan_has_no_global_window(spark):
+    """The IVF seed pick must not funnel the corpus through a
+    single-partition Window: every windowspecdefinition in the physical
+    plan must carry a partition key (vec_id/qid), and the seed selection
+    itself should compile to TakeOrderedAndProject (distributed top-k)."""
+    import re
+    from sparkgatha.similarity import ivf_topk
+
+    e = read_table(spark, SF, "embeddings")
+    plan = ivf_topk(e, k=5)._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "vec_id" in spec or "qid" in spec, (
+            "unpartitioned Window in IVF plan: " + spec
+        )
