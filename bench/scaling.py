@@ -280,8 +280,9 @@ seed=42, hub vertex ≈ 30-40% of edges) at local[8] and local[32]; fresh
 JVM per run; edge layout prepared once OUTSIDE the measured walls
 (prepare_pagerank); 3-superstep JIT warm-up discarded; 10 measured
 supersteps fused into one job (check_every=10, bit-identical numerics);
-{args.runs} runs per cell, best-of-{args.runs} primary (contention on
-this shared microVM only ever slows a run), medians alongside.
+{args.runs} runs per cell; the RAW MEDIAN is the headline estimator,
+with best-of-{args.runs} (contention on this shared microVM only ever
+slows a run) and the ceiling-normalized view disclosed alongside.
 {calib_rows}
 ## Engine thread-scaling
 
