@@ -1,0 +1,68 @@
+"""Automated physical-plan hygiene sweep over the driver's 50-query
+priority window (SURVEY.md §4.3): every graded plan must be free of the
+three 100 TB killers —
+
+* CartesianProduct / BroadcastNestedLoopJoin, except in the explicitly
+  guarded kNN queries (J10/G8, documented all-pairs-at-oracle-scale);
+* unpartitioned Window (single-partition funnel) — every
+  windowspecdefinition must name a partition key;
+* BatchEvalPython (row-at-a-time Python UDF) — Python stages must be
+  Arrow-batched (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)
+  or a Spark-4 UDTF plan node.
+
+Building plans (not executing) keeps the sweep fast; it catches physical
+regressions the value-checks cannot see.
+"""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose SEMANTICS are all-pairs at oracle scale, documented as
+# such in their docstrings (guarded cartesian J10; exact-kNN baseline G8;
+# embedding-cosine dedup oracle form)
+CARTESIAN_OK = {
+    "q_crossjoin_knn",
+    "q_knn_topk_per_vec",
+}
+
+# window specs keyed by constant-foldable literals (e.g. lit(0) grouping
+# for a global top-k over an already-aggregated tiny relation)
+_PARTITION_KEY_RE = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+
+def _window_entries():
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    return list(qs.items())[:50]
+
+
+@pytest.mark.parametrize(
+    "name,fn", _window_entries(), ids=[n for n, _ in _window_entries()]
+)
+def test_plan_hygiene(spark, name, fn):
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join"
+        )
+
+    for spec in _PARTITION_KEY_RE.findall(plan):
+        # windowspecdefinition(part1#id, ..., order ASC ..., frame$())
+        # an unpartitioned spec starts directly with the order spec
+        head = spec.split(",")[0].strip()
+        assert not head.endswith(("ASC NULLS FIRST", "DESC NULLS LAST",
+                                  "ASC NULLS LAST", "DESC NULLS FIRST")), (
+            f"{name}: unpartitioned Window: {spec[:120]}"
+        )
+
+    # BatchEvalPythonUDTF is the Spark-4 batched UDTF node (F6, allowed);
+    # bare BatchEvalPython is the row-at-a-time scalar UDF node (banned)
+    assert not re.search(r"BatchEvalPython(?!UDTF)", plan), (
+        f"{name}: row-at-a-time Python UDF (want Arrow-batched)"
+    )
