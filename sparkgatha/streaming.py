@@ -87,6 +87,48 @@ def dedup_within_watermark(events: DataFrame, late: str = "1 hour") -> DataFrame
     )
 
 
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the arbitrary-state API for semantics the built-in windowed aggs
+    can't express): per-user running (n, total, mean) maintained in
+    explicit group state across micro-batches, one updated row emitted
+    per user per batch.
+
+    Scale shape: state is per-key constant-size (two numbers), the
+    operator shuffles each batch once on user_id (same key layout every
+    batch, so state locality holds), and each Python call sees Arrow
+    batches of one key's rows.  Batch-mode equivalent for L6 testing:
+    ``groupBy(user_id).agg(count, sum)`` — the stream's LAST update per
+    user must equal it bit-for-bit.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n": [n],
+                "total": [total],
+                "mean": [total / n if n else 0.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, n long, total double, mean double",
+        "n long, total double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 class IncrementalGraphBuilder:
     """ST6 — foreachBatch incremental co-occurrence graph (SURVEY.md
     §2.9 ST6): each micro-batch of documents appends new edges as a

@@ -87,6 +87,52 @@ def test_stateful_dedup(spark, events):
     assert set(dedup_within_watermark(events).columns) == set(events.columns)
 
 
+def test_running_user_stats_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState custom operator (L6): stream the events
+    table in 4 micro-batches; the LAST update per user must equal the
+    batch groupBy aggregate exactly, and users spanning batches must
+    have emitted MULTIPLE updates (proof the explicit state actually
+    carried across micro-batches rather than one batch seeing all
+    rows)."""
+    from sparkgatha.streaming import running_user_stats
+
+    src_dir = os.path.join(str(tmp_path), "src")
+    ev = read_table(spark, SF, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = read_event_stream(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("rstats_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("rstats_sink").collect()
+    # n is monotone per user: the max-n row is the final state
+    final = {}
+    updates_per_user = {}
+    for r in got:
+        updates_per_user[r["user_id"]] = updates_per_user.get(r["user_id"], 0) + 1
+        if r["user_id"] not in final or r["n"] > final[r["user_id"]]["n"]:
+            final[r["user_id"]] = r
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        g = final[uid]
+        assert g["n"] == w["n"], (uid, g["n"], w["n"])
+        assert abs(g["total"] - w["total"]) < 1e-6
+        assert abs(g["mean"] - w["total"] / w["n"]) < 1e-9
+    # at least some users were updated in more than one micro-batch
+    assert max(updates_per_user.values()) >= 2, updates_per_user
+
+
 def test_incremental_merge_is_delta_only_and_compacts(spark, tmp_path):
     """ST6 scale contract: merge_batch writes ONLY the new delta (the
     accumulated table is never rewritten per batch), the commit manifest
