@@ -297,6 +297,7 @@ def pagerank(
     prepared: PreparedGraph | None = None,
     init_ranks: DataFrame | None = None,
     check_every: int = 1,
+    personalization: DataFrame | None = None,
 ) -> PageRankResult:
     """PageRank over directed weighted ``edges(src, dst, weight)``.
 
@@ -320,6 +321,13 @@ def pagerank(
     are unchanged (same float64 sums over the same partitions), the loop
     can only overshoot convergence by at most k-1 confirming supersteps.
     Durable checkpoints force block boundaries at ``checkpoint_every``.
+    ``personalization`` (vertex, weight): seed-biased teleport — the
+    NetworkX semantics exactly (weights normalized to a distribution;
+    vertices absent from it get 0; dangling mass redistributed by the
+    same distribution).  The topic-query shape: seeds = the two query
+    terms give a term-centric relevance ranking.  Cost: one extra
+    column in the state and one broadcast join at init — the superstep
+    plan shape is unchanged.
     """
     if prepared is None and edges is None:
         raise ValueError("pass edges or prepared")
@@ -335,7 +343,7 @@ def pagerank(
             return _pagerank_loop(
                 spark, prepared, alpha, tol, max_iter,
                 checkpoint_dir, checkpoint_every, resume, ckpt, sink,
-                with_lineage, init_ranks, check_every,
+                with_lineage, init_ranks, check_every, personalization,
             )
     finally:
         if owned:
@@ -345,7 +353,7 @@ def pagerank(
 def _pagerank_loop(
     spark, prepared, alpha, tol, max_iter,
     checkpoint_dir, checkpoint_every, resume, ckpt, sink, with_lineage,
-    init_ranks=None, check_every=1,
+    init_ranks=None, check_every=1, personalization=None,
 ) -> PageRankResult:
     vertices = prepared.vertices
     n = prepared.n
@@ -357,6 +365,34 @@ def _pagerank_loop(
     n_edges = prepared.n_edges
 
     teleport = (1.0 - alpha) / n
+
+    # personalized teleport: normalized (vertex, p), absent vertices 0
+    # (NetworkX semantics); dangling mass also redistributes by p.  The
+    # p column rides in the state frame so supersteps keep one plan shape.
+    p_df = None
+    if personalization is not None:
+        ps = personalization.select(
+            "vertex", F.col("weight").cast("double").alias("pw")
+        )
+        p_sum = float(ps.agg(F.sum("pw")).collect()[0][0] or 0.0)
+        if p_sum <= 0:
+            raise ValueError("personalization weights must sum to > 0")
+        p_df = (
+            vertices.select("vertex")
+            .join(F.broadcast(ps), "vertex", "left")
+            .select(
+                "vertex",
+                (F.coalesce("pw", F.lit(0.0)) / p_sum).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def _with_p(frame):
+        if p_df is None:
+            return frame
+        if "p" in frame.columns:
+            return frame
+        return frame.join(p_df, "vertex")
 
     start_it = 0
     deltas: list[float] = []
@@ -446,12 +482,15 @@ def _pagerank_loop(
         else:
             contrib = F.coalesce(F.col("c_cold"), F.lit(0.0))
         new_rank = alpha * contrib + base_col
-        return upd.select(
+        out_cols = [
             "vertex",
             new_rank.alias("rank"),
             "has_out",
             F.abs(new_rank - F.col("rank")).alias("d"),
-        )
+        ]
+        if p_df is not None:
+            out_cols.append("p")
+        return upd.select(*out_cols)
 
     converged = False
     it = start_it
@@ -466,12 +505,15 @@ def _pagerank_loop(
             block = min(block, checkpoint_every - it % checkpoint_every)
         block = max(block, 1)
         t0 = time.monotonic()
-        frame = ranks
+        frame = _with_p(ranks)
         for j in range(block):
             if j == 0:
                 # the block-leading dangle is a Python scalar from the
                 # previous stats collect (or the init scan)
-                base_col = F.lit(alpha * dangle / n + teleport)
+                if p_df is None:
+                    base_col = F.lit(alpha * dangle / n + teleport)
+                else:
+                    base_col = F.lit(alpha * dangle + 1.0 - alpha) * F.col("p")
             else:
                 dangle_df = frame.agg(
                     F.sum(
@@ -479,7 +521,12 @@ def _pagerank_loop(
                     ).alias("_dng")
                 )
                 frame = frame.crossJoin(F.broadcast(dangle_df))
-                base_col = F.lit(alpha / n) * F.col("_dng") + F.lit(teleport)
+                if p_df is None:
+                    base_col = F.lit(alpha / n) * F.col("_dng") + F.lit(teleport)
+                else:
+                    base_col = (
+                        F.lit(alpha) * F.col("_dng") + F.lit(1.0 - alpha)
+                    ) * F.col("p")
             # lazy lineage truncation + cache: interior frames feed three
             # consumers (state broadcast, dangle agg, update join) and
             # materialize on first demand inside the block-end job
@@ -516,7 +563,10 @@ def _pagerank_loop(
             )
         else:
             sha = ""
-            ranks = frame.select("vertex", "rank", "has_out")
+            keep = ["vertex", "rank", "has_out"] + (
+                ["p"] if p_df is not None else []
+            )
+            ranks = frame.select(*keep)
 
         deltas.append(delta)
         walls.append(wall)

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from sparkgatha.graph.pagerank import pagerank
 from sparkgatha.graph.paths import neighborhood, shortest_paths
 
 
@@ -86,6 +87,44 @@ def topic_query(
         .orderBy("detour", "key")
     )
     return TopicQueryResult(term_a, term_b, dist, nbh, ranked)
+
+
+def topic_rank(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    terms: list[str],
+    alpha: float = 0.85,
+    max_iter: int = 50,
+    top_k: int = 50,
+) -> DataFrame:
+    """Seed-personalized PageRank relevance around the query terms —
+    the graph-native stand-in for the reference's LDA topic stage
+    (agatha/topic_query runs LDA over path-adjacent sentences, SURVEY.md
+    §3.2; model inference is out of scope §2.12, but "which terms
+    characterize this query's neighborhood" is answerable in-graph):
+    teleport mass concentrates on the seed terms, so the stationary
+    distribution ranks the whole vocabulary by random-walk proximity to
+    the query.  Returns (key, rank) top_k, seeds included."""
+    ids = []
+    for t in terms:
+        i = _term_id(nodes, t)
+        if i is None:
+            raise KeyError(f"unknown term: {t}")
+        ids.append(i)
+    pers = spark.createDataFrame(
+        [(i, 1.0) for i in ids], "vertex long, weight double"
+    )
+    res = pagerank(
+        edges, alpha=alpha, tol=1e-10, max_iter=max_iter,
+        personalization=pers,
+    )
+    return (
+        res.ranks.join(nodes, res.ranks.vertex == nodes.id)
+        .select("key", F.col("rank"))
+        .orderBy(F.col("rank").desc(), "key")
+        .limit(top_k)
+    )
 
 
 def pair_features(

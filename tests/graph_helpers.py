@@ -61,14 +61,16 @@ def nx_graph(triples):
     return g
 
 
-def pagerank_oracle(directed_edges, alpha=0.85, tol=1e-12, max_iter=500):
+def pagerank_oracle(directed_edges, alpha=0.85, tol=1e-12, max_iter=500,
+                    personalization=None):
     """Pure-Python PageRank power iteration — the exact algorithm of
     networkx.pagerank (scipy is absent in this sandbox): row-stochastic
-    by weighted out-degree, uniform teleport, dangling mass spread
-    uniformly, stop when L1 delta < N * tol.
+    by weighted out-degree, uniform (or personalized) teleport, dangling
+    mass spread by the same distribution, stop when L1 delta < N * tol.
 
     ``directed_edges``: iterable of (u, v, w) — pass both orientations
-    for undirected graphs.
+    for undirected graphs.  ``personalization``: {vertex: weight} dict,
+    normalized here; absent vertices get 0 (NetworkX semantics).
     """
     from collections import defaultdict
 
@@ -81,6 +83,11 @@ def pagerank_oracle(directed_edges, alpha=0.85, tol=1e-12, max_iter=500):
     n = len(nodes)
     outw = {u: sum(w for _, w in nbrs) for u, nbrs in adj.items()}
     dangling = [v for v in nodes if outw.get(v, 0.0) == 0.0]
+    if personalization is None:
+        p = {v: 1.0 / n for v in nodes}
+    else:
+        s = sum(personalization.values())
+        p = {v: personalization.get(v, 0.0) / s for v in nodes}
     x = {v: 1.0 / n for v in nodes}
     for _ in range(max_iter):
         xlast = x
@@ -90,7 +97,7 @@ def pagerank_oracle(directed_edges, alpha=0.85, tol=1e-12, max_iter=500):
             for v, w in nbrs:
                 x[v] += alpha * xlast[u] * w / outw[u]
         for v in nodes:
-            x[v] += danglesum / n + (1.0 - alpha) / n
+            x[v] += danglesum * p[v] + (1.0 - alpha) * p[v]
         if sum(abs(x[v] - xlast[v]) for v in nodes) < n * tol:
             break
     return x

@@ -60,6 +60,25 @@ def test_topic_query(built):
     assert r.path_neighborhood.count() > 0
 
 
+def test_topic_rank_seeds_dominate(built):
+    """Personalized-PageRank topic ranking: the seed terms carry the
+    teleport mass, so they must outrank their uniform-PageRank position
+    and appear in the top ranks."""
+    from sparkgatha.query import topic_rank
+
+    spark, cfg, _ = built
+    nodes, edges = load_adjacency(spark, cfg.out_dir)
+    out = topic_rank(spark, nodes, edges, ["util", "test"], top_k=10)
+    rows = out.collect()
+    keys = [r["key"] for r in rows]
+    assert {"util", "test"} <= set(keys)
+    # seeds hold the top-2 slots on this small graph
+    assert set(keys[:2]) == {"util", "test"}
+    # ranks are a probability-like ordering
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True) and ranks[0] > 0
+
+
 def test_topic_query_unknown_term(built):
     spark, cfg, _ = built
     nodes, edges = load_adjacency(spark, cfg.out_dir)

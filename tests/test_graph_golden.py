@@ -160,6 +160,36 @@ def test_shortest_paths_match_networkx(spark, triples):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def test_personalized_pagerank_iterate_equivalence(spark, triples):
+    """Seed-biased teleport (topic-query shape): after exactly k
+    supersteps the engine's iterate equals the personalized oracle's
+    k-th iterate at 1e-12 — covers the fused-block path too."""
+    seeds = {0: 3.0, 7: 1.0}
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    pers = spark.createDataFrame(
+        list(seeds.items()), "vertex long, weight double"
+    )
+    for fuse in (1, 5):
+        res = pagerank(
+            edges, alpha=0.85, tol=0.0, max_iter=15,
+            personalization=pers, check_every=fuse,
+        )
+        got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+        want = pagerank_oracle(
+            undirected_both(triples), alpha=0.85, tol=0.0, max_iter=15,
+            personalization=seeds,
+        )
+        assert set(got) == set(want)
+        g = np.array([got[k] for k in sorted(got)])
+        w = np.array([want[k] for k in sorted(want)])
+        assert np.allclose(g, w, atol=1e-12), (fuse, np.abs(g - w).max())
+        assert abs(g.sum() - 1.0) < 1e-9
+    # seed vertices rank above their uniform-teleport selves
+    uni = pagerank(edges, alpha=0.85, tol=0.0, max_iter=15)
+    u = {r["vertex"]: r["rank"] for r in uni.ranks.collect()}
+    assert got[0] > u[0] and got[7] > u[7]
+
+
 def test_pair_distance_bidirectional_matches_dijkstra(spark, triples):
     """Meet-in-the-middle pair search equals NetworkX Dijkstra for
     several pairs (incl. a==b) and returns None for unreachable pairs."""
