@@ -70,6 +70,16 @@ def main(argv=None) -> int:
     q.add_argument("--b", required=True)
     q.add_argument("--max-hops", type=int, default=20)
 
+    tr = sub.add_parser(
+        "topicrank",
+        help="personalized-PageRank term ranking around seed terms",
+    )
+    tr.add_argument("--graph", required=True)
+    tr.add_argument("--terms", required=True,
+                    help="comma-separated seed terms")
+    tr.add_argument("--top-k", type=int, default=50)
+    tr.add_argument("--alpha", type=float, default=0.85)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -165,6 +175,23 @@ def main(argv=None) -> int:
         print(json.dumps({
             "a": r.term_a, "b": r.term_b, "distance": r.distance,
             "near_path_terms": top,
+        }))
+
+    elif args.cmd == "topicrank":
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.query import topic_rank
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        terms = [t for t in args.terms.split(",") if t]
+        out = topic_rank(
+            spark, nodes, edges, terms, alpha=args.alpha, top_k=args.top_k
+        )
+        print(json.dumps({
+            "terms": terms,
+            "ranked": [
+                {"key": r["key"], "rank": round(r["rank"], 10)}
+                for r in out.collect()
+            ],
         }))
 
     if pre_existing is None:

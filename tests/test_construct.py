@@ -166,3 +166,10 @@ def test_cli_construct_and_query(spark, tmp_path):
         labels = spark.read.parquet(str(tmp_path / cmd))
         assert labels.count() > 0
         assert set(labels.columns) == {"key", "label"}
+    assert (
+        cli.main(
+            ["topicrank", "--graph", str(tmp_path / "g"),
+             "--terms", "util,test", "--top-k", "5"]
+        )
+        == 0
+    )
