@@ -1243,6 +1243,63 @@ def q_g4_pagerank(spark, sf_dir):
     )
 
 
+def _personalized_pr_oracle_sql(rounds: int = 12, alpha: float = 0.85) -> str:
+    """Personalized G4 unrolled: teleport mass split over the two
+    lexicographically-smallest terms (deterministic cross-engine seed
+    rule), zero elsewhere; same no-dangling argument as the uniform
+    oracle, so the per-round base term is simply (1-alpha)*p(v)."""
+    sql = f"""
+    WITH {_GRAPH_CTE},
+    we AS MATERIALIZED (
+      SELECT a.term AS st, b.term AS dt, count(*) AS weight
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term <> b.term
+      GROUP BY a.term, b.term
+    ),
+    outw AS MATERIALIZED (
+      SELECT st, sum(weight) AS ow FROM we GROUP BY st
+    ),
+    nv AS (SELECT count(DISTINCT st) AS n FROM we),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT st AS v FROM we ORDER BY st LIMIT 2
+    ),
+    r_0 AS MATERIALIZED (
+      SELECT DISTINCT st AS v, 1.0 / (SELECT n FROM nv) AS r FROM we
+    )"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    r_{k} AS MATERIALIZED (
+      SELECT we.dt AS v,
+             {alpha} * sum(we.weight * 1.0 / outw.ow * p.r)
+               + {1.0 - alpha} * (CASE WHEN we.dt IN (SELECT v FROM seeds)
+                                  THEN 0.5 ELSE 0.0 END) AS r
+      FROM we JOIN outw ON outw.st = we.st JOIN r_{k - 1} p ON p.v = we.st
+      GROUP BY we.dt
+    )"""
+    sql += f"""
+    SELECT v AS key, round(r, 8) AS rank FROM r_{rounds}
+    """
+    return sql
+
+
+@register("q_g4_pagerank_personalized", _personalized_pr_oracle_sql(12))
+def q_g4_pagerank_personalized(spark, sf_dir):
+    """Personalized G4 (seed-biased teleport, the topic_rank primitive):
+    12 fixed supersteps with the teleport mass on the two smallest
+    terms, vs the DuckDB unrolled personalized iteration."""
+    from sparkgatha.graph.pagerank import pagerank
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    seeds = nodes.orderBy("key").limit(2).select(
+        F.col("id").alias("vertex"), F.lit(1.0).alias("weight")
+    )
+    r = pagerank(id_edges, tol=0.0, max_iter=12, personalization=seeds)
+    return (
+        r.ranks.join(nodes, r.ranks.vertex == nodes.id)
+        .select("key", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("key"))
+    )
+
+
 @register(
     "q_g5_connected_components",
     f"""
