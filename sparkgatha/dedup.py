@@ -378,6 +378,79 @@ def q_near_duplicates(spark, sf_dir):
     return near_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def near_duplicate_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """(doc_id, cluster_id) — TRANSITIVE near-dup canonicalization: the
+    verified-pair graph closed under connectivity (G5 small-star/large-
+    star over the pairs), cluster_id = smallest doc_id in the cluster.
+
+    This is the "compose when chains matter" path the per-pair keep-min
+    of :func:`near_duplicates` deliberately avoids: A~B~C with A!~C
+    still collapses to one canonical A here.  Only documents appearing
+    in >=1 verified pair are returned (singletons are their own cluster
+    trivially).  Scale shape: the pair graph is tiny relative to the
+    corpus (candidates are LSH-bounded), so the CC supersteps run on the
+    dup subgraph only."""
+    from sparkgatha.graph.cc import connected_components
+
+    pairs = verified_near_dup_pairs(docs, text_col, threshold, bucket_cap)
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                 "weight")
+    )
+    cc = connected_components(sym)
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "q_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    {_BANDS_CAND_SQL},
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ix
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    ver AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION SELECT doc_b, doc_a FROM ver
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters, value-checked against the SQL
+    replay of the whole pipeline plus a recursive-CTE closure over the
+    verified pairs (the q_g5 pattern on the dup subgraph)."""
+    return near_duplicate_clusters(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "q_dedup_ngram_jaccard",
     f"""
