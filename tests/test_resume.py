@@ -38,6 +38,34 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert r_res.iterations == 8
 
 
+def test_personalized_resume_equals_uninterrupted(spark, tmp_path):
+    """The personalized teleport column must survive the durable
+    checkpoint boundary: resume re-joins p after ckpt.load, so the
+    resumed run is bitwise-identical to the uninterrupted one."""
+    triples = random_graph(n=80, m=240, seed=11)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    pers = spark.createDataFrame(
+        [(0, 2.0), (5, 1.0)], "vertex long, weight double"
+    )
+
+    full_dir = str(tmp_path / "pfull")
+    r_full = pagerank(
+        edges, tol=0.0, max_iter=8, checkpoint_dir=full_dir,
+        checkpoint_every=2, personalization=pers,
+    )
+    part_dir = str(tmp_path / "ppart")
+    pagerank(
+        edges, tol=0.0, max_iter=4, checkpoint_dir=part_dir,
+        checkpoint_every=2, personalization=pers,
+    )
+    r_res = pagerank(
+        edges, tol=0.0, max_iter=8, checkpoint_dir=part_dir,
+        checkpoint_every=2, resume=True, personalization=pers,
+    )
+    assert state_fingerprint(r_full.ranks) == state_fingerprint(r_res.ranks)
+    assert r_res.iterations == 8
+
+
 def test_manifest_and_metrics_written(spark, tmp_path):
     import json
     import os
