@@ -26,17 +26,28 @@ LANG_MARKERS = {
 _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 
 
+# BPE-ish pre-tokenizer (the GPT-2 regex shape reduced to its
+# dialect-portable core): letter runs | digit runs | punctuation runs —
+# identical semantics in Java regex (Spark) and RE2 (DuckDB), so the
+# count is cross-engine checkable
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 @register(
     "q_token_count",
     f"""
     SELECT doc_id,
            len({_TOKS}) AS n_tokens,
            len(list_distinct({_TOKS})) AS n_unique,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
            length(text) AS n_bytes
     FROM documents
     """,
 )
 def q_token_count(spark, sf_dir):
+    """Whitespace token counts + a BPE-ish pre-tokenizer count (letter /
+    digit / punctuation runs — the train-data cost estimator shape); all
+    whole-stage-codegen JVM expressions."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
@@ -45,6 +56,7 @@ def q_token_count(spark, sf_dir):
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_tokens"),
         F.length("text").alias("n_bytes"),
     )
 
