@@ -6,7 +6,7 @@ from sparkgatha.graph.pagerank import pagerank
 from sparkgatha.graph.cc import connected_components
 from sparkgatha.graph.lpa import label_propagation
 from sparkgatha.graph.triangles import triangle_counts
-from sparkgatha.graph.paths import shortest_paths
+from sparkgatha.graph.paths import pair_distance, shortest_paths
 
 __all__ = [
     "degrees",
@@ -17,4 +17,5 @@ __all__ = [
     "label_propagation",
     "triangle_counts",
     "shortest_paths",
+    "pair_distance",
 ]
