@@ -109,20 +109,23 @@ def _cap_terms_per_doc(toks: DataFrame, cap: int) -> DataFrame:
     The quadratic pair fan-out makes one pathological row (a generated
     file with 10k distinct identifiers) emit tens of millions of pairs;
     this is the standard per-doc guard beside the corpus-level max_df
-    cutoff.  Cost model: one cheap size-filter count over the tokenized
-    corpus; ONLY when a doc is actually over the cap does the trim
-    lineage run, and it explodes/shuffles ONLY the offending rows
-    (df ranking joins against the vocabulary-sized frequency table).
-    Under-cap corpora pay a single scan and no shuffle.
+    cutoff.  Cost model: ONE light detection scan (tokenize + size
+    filter + limit(1), early-exiting as soon as any over-cap doc is
+    found — no aggregation, no shuffle); ONLY when a doc is actually
+    over the cap does the trim lineage run, and it explodes/shuffles
+    ONLY the offending rows (df ranking joins against the
+    vocabulary-sized frequency table).  The detection scan is the one
+    eager action this builder performs; callers on a hot path that can
+    vouch for their input (or enforce the cap upstream) pass
+    ``max_terms_per_doc=None`` to stay fully lazy.
     """
     over = toks.filter(F.size("terms") > cap)
-    n_over = over.count()
-    if n_over == 0:
+    if over.limit(1).count() == 0:
         return toks
     log.warning(
-        "per-doc term cap hit: %d docs exceed %d distinct terms; "
-        "keeping the %d lowest-df terms of each",
-        n_over, cap, cap,
+        "per-doc term cap hit: at least one doc exceeds %d distinct "
+        "terms; keeping the %d lowest-df terms of each offending doc",
+        cap, cap,
     )
     dfreq = (
         toks.select(F.explode("terms").alias("term"))

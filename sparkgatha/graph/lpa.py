@@ -29,7 +29,6 @@ Physical discipline (the same G11/PageRank treatment):
 
 from __future__ import annotations
 
-import logging
 import time
 
 from pyspark.sql import DataFrame, functions as F
@@ -40,7 +39,6 @@ from sparkgatha.graph.metrics import MetricsSink, state_fingerprint
 from sparkgatha.graph.pagerank import HOT_MIRROR_CAP
 from sparkgatha.util import no_aqe
 
-log = logging.getLogger(__name__)
 
 #: above this vertex count the label table stops being broadcastable and
 #: the superstep falls back to a co-partitioned shuffle join (same rule
@@ -105,46 +103,17 @@ def label_propagation(
             )
             n_edges = layout.count()  # materialize the one-time layout
         else:
-            n_edges = pre.count()
-            if hot_threshold is None:
-                hot_threshold = max(n_edges // num_partitions // 4, 16384)
-            hot_rows = (
-                pre.groupBy("src").agg(F.count("*").alias("outd"))
-                .filter(F.col("outd") > hot_threshold)
-                .orderBy(F.col("outd").desc())
-                .select("src").limit(HOT_MIRROR_CAP + 1).collect()
+            from sparkgatha.graph.skew import split_hot_srcs
+
+            split = split_hot_srcs(
+                pre, num_partitions, hot_threshold, HOT_MIRROR_CAP
             )
-            if len(hot_rows) > HOT_MIRROR_CAP:
-                hot_rows = hot_rows[:HOT_MIRROR_CAP]
-                log.warning(
-                    "G10/shuffle: more than %d srcs exceed the hot "
-                    "threshold %d; salting only the %d highest-out-degree "
-                    "ones", HOT_MIRROR_CAP, hot_threshold, HOT_MIRROR_CAP,
+            layout, hot_layout = split.cold, split.hot
+            n_edges = split.n_edges
+            if split.hot_srcs is not None:
+                hot_srcs_v = split.hot_srcs.select(
+                    F.col("src").alias("vertex")
                 )
-            if hot_rows:
-                hot_srcs = edges.sparkSession.createDataFrame(
-                    hot_rows, pre.select("src").schema
-                )
-                hot_srcs_v = hot_srcs.select(F.col("src").alias("vertex"))
-                salt = F.pmod(
-                    F.xxhash64("src", "dst", "weight"), F.lit(num_partitions)
-                )
-                hot_layout = (
-                    pre.join(F.broadcast(hot_srcs), "src", "left_semi")
-                    .repartition(num_partitions, F.col("src"), salt)
-                    .persist(StorageLevel.MEMORY_AND_DISK)
-                )
-                layout = (
-                    pre.join(F.broadcast(hot_srcs), "src", "left_anti")
-                    .repartition(num_partitions, "src")
-                    .persist(StorageLevel.MEMORY_AND_DISK)
-                )
-                hot_layout.count()
-            else:
-                layout = pre.repartition(num_partitions, "src").persist(
-                    StorageLevel.MEMORY_AND_DISK
-                )
-            layout.count()
         labels = None
         start_it = 0
         if resume and checkpoint_dir:

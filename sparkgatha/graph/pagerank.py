@@ -156,11 +156,11 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
     Returns (cold_edges, hot_edges_or_None, hot_srcs_or_None); the third
     element is shuffle-mode-only (see PreparedGraph.hot_srcs).
     """
-    n_edges = edges.count()
     spark = edges.sparkSession
-    if hot_threshold is None:
-        hot_threshold = max(n_edges // num_partitions // 4, 16384)
     if strategy == "broadcast":
+        n_edges = edges.count()
+        if hot_threshold is None:
+            hot_threshold = max(n_edges // num_partitions // 4, 16384)
         out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
         deg_in = edges.groupBy("dst").agg(F.count("*").alias("ind"))
         hot_rows = (
@@ -213,47 +213,21 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
     # broadcasts only the hot slice of the rank state into that branch
     # (step()), so hot edges never re-shuffle.  Exact: per-src sums are
     # unchanged, only the partition placement differs (L7 algebra).
-    out_w = edges.groupBy("src").agg(
-        F.sum("weight").alias("out_w"), F.count("*").alias("outd")
-    )
-    hot_rows = (
-        out_w.filter(F.col("outd") > hot_threshold)
-        .orderBy(F.col("outd").desc())
-        .select("src", "out_w").limit(HOT_MIRROR_CAP + 1).collect()
-    )
-    if len(hot_rows) > HOT_MIRROR_CAP:
-        hot_rows = hot_rows[:HOT_MIRROR_CAP]
-        log.warning(
-            "G10/shuffle: more than %d srcs exceed the hot threshold %d; "
-            "salting only the %d highest-out-degree ones — the rest take "
-            "the plain hash(src) path (raise hot_threshold or "
-            "HOT_MIRROR_CAP if stragglers appear)",
-            HOT_MIRROR_CAP, hot_threshold, HOT_MIRROR_CAP,
-        )
+    from sparkgatha.graph.skew import split_hot_srcs
+
     w_out = W.partitionBy("src")
     norm_window = lambda df: df.select(  # noqa: E731
         "src", "dst", (F.col("weight") / F.sum("weight").over(w_out)).alias("w")
     )
-    if hot_rows:
-        hot_w = spark.createDataFrame(hot_rows)  # (src, out_w), ≤ cap rows
-        hot_srcs = hot_w.select("src")
-        salt = F.pmod(F.xxhash64("src", "dst", "weight"), F.lit(num_partitions))
-        hot = (
-            edges.join(F.broadcast(hot_srcs), "src", "left_semi")
-            .repartition(num_partitions, F.col("src"), salt)
-            .join(F.broadcast(hot_w), "src")
-            .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("w"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        cold = norm_window(
-            edges.join(F.broadcast(hot_srcs), "src", "left_anti")
-            .repartition(num_partitions, "src")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        return cold, hot, hot_srcs
-    cold = norm_window(
-        edges.repartition(num_partitions, "src")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    return cold, None, None
+    norm_bcast = lambda df, hot_w: (  # noqa: E731
+        df.join(F.broadcast(hot_w), "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("w"))
+    )
+    split = split_hot_srcs(
+        edges.select("src", "dst", "weight"), num_partitions, hot_threshold,
+        HOT_MIRROR_CAP, map_cold=norm_window, map_hot=norm_bcast,
+    )
+    return split.cold, split.hot, split.hot_srcs
 
 
 def prepare_pagerank(
@@ -374,18 +348,21 @@ def _pagerank_loop(
         ps = personalization.select(
             "vertex", F.col("weight").cast("double").alias("pw")
         )
-        p_sum = float(ps.agg(F.sum("pw")).collect()[0][0] or 0.0)
-        if p_sum <= 0:
-            raise ValueError("personalization weights must sum to > 0")
-        p_df = (
-            vertices.select("vertex")
-            .join(F.broadcast(ps), "vertex", "left")
-            .select(
-                "vertex",
-                (F.coalesce("pw", F.lit(0.0)) / p_sum).alias("p"),
-            )
-            .localCheckpoint(eager=True)
+        joined = vertices.select("vertex").join(
+            F.broadcast(ps), "vertex", "left"
         )
+        # normalize AFTER restricting to graph vertices (NetworkX does
+        # the same): seeds absent from the graph must not leak teleport
+        # mass, or total rank silently converges below 1
+        p_sum = float(joined.agg(F.sum("pw")).collect()[0][0] or 0.0)
+        if p_sum <= 0:
+            raise ValueError(
+                "personalization weights must sum to > 0 over vertices "
+                "present in the graph"
+            )
+        p_df = joined.select(
+            "vertex", (F.coalesce("pw", F.lit(0.0)) / p_sum).alias("p")
+        ).localCheckpoint(eager=True)
 
     def _with_p(frame):
         if p_df is None:

@@ -22,8 +22,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from sparkgatha.dedup import (
     DEFAULT_BUCKET_CAP,
-    N_BANDS,
-    N_HASHES,
     _BANDS_CAND_SQL,
     _SHINGLES_SQL,
     near_duplicates,
@@ -102,8 +100,6 @@ _QUALITY_SQL = f"""
     FROM documents d JOIN ex USING (doc_id) JOIN q USING (doc_id)
   )
 """
-
-_RPB = N_HASHES // N_BANDS
 
 # the near-dup replay from dedup.q_near_duplicates (shared band/candidate
 # CTE chain, incl. the over-cap star fallback), re-pointed at docs_f

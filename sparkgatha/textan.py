@@ -27,10 +27,11 @@ _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''
 
 
 # BPE-ish pre-tokenizer (the GPT-2 regex shape reduced to its
-# dialect-portable core): letter runs | digit runs | punctuation runs —
-# identical semantics in Java regex (Spark) and RE2 (DuckDB), so the
-# count is cross-engine checkable
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# dialect-portable core): letter runs | digit runs | punctuation runs.
+# Whitespace is the EXPLICIT class [ \t\n\r\f] — Java regex \s includes
+# \x0B (vertical tab) while RE2's does not, so \s itself is NOT
+# dialect-portable; an explicit class is identical in both engines.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+"
 
 
 @register(
