@@ -190,6 +190,32 @@ def test_personalized_pagerank_iterate_equivalence(spark, triples):
     assert got[0] > u[0] and got[7] > u[7]
 
 
+def test_personalization_restricted_to_graph_vertices(spark, triples):
+    """Seeds absent from the graph must not leak teleport mass: ranks
+    still sum to 1 and equal the oracle run with only the present seed;
+    an all-absent seed set raises."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    pers = spark.createDataFrame(
+        [(0, 1.0), (999_999, 5.0)], "vertex long, weight double"
+    )
+    res = pagerank(edges, alpha=0.85, tol=0.0, max_iter=10,
+                   personalization=pers)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    want = pagerank_oracle(
+        undirected_both(triples), alpha=0.85, tol=0.0, max_iter=10,
+        personalization={0: 1.0},
+    )
+    g = np.array([got[k] for k in sorted(got)])
+    w = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(g, w, atol=1e-12)
+    absent = spark.createDataFrame(
+        [(999_999, 1.0)], "vertex long, weight double"
+    )
+    with pytest.raises(ValueError):
+        pagerank(edges, max_iter=2, personalization=absent)
+
+
 def test_pair_distance_bidirectional_matches_dijkstra(spark, triples):
     """Meet-in-the-middle pair search equals NetworkX Dijkstra for
     several pairs (incl. a==b) and returns None for unreachable pairs."""
