@@ -106,7 +106,8 @@ def label_propagation(
             from sparkgatha.graph.skew import split_hot_srcs
 
             split = split_hot_srcs(
-                pre, num_partitions, hot_threshold, HOT_MIRROR_CAP
+                pre, num_partitions, hot_threshold, HOT_MIRROR_CAP,
+                persist_input=edges.storageLevel == StorageLevel.NONE,
             )
             layout, hot_layout = split.cold, split.hot
             n_edges = split.n_edges

@@ -226,6 +226,7 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
     split = split_hot_srcs(
         edges.select("src", "dst", "weight"), num_partitions, hot_threshold,
         HOT_MIRROR_CAP, map_cold=norm_window, map_hot=norm_bcast,
+        persist_input=edges.storageLevel == StorageLevel.NONE,
     )
     return split.cold, split.hot, split.hot_srcs
 

@@ -59,6 +59,7 @@ def split_hot_srcs(
     hot_mirror_cap: int = 10_000,
     map_cold=None,
     map_hot=None,
+    persist_input: bool | None = None,
 ) -> HotSrcSplit:
     """Shuffle-strategy G10 treatment, shared by PageRank and LPA (was
     duplicated line-for-line; one copy keeps the threshold rule, cap
@@ -81,7 +82,14 @@ def split_hot_srcs(
     map_cold may use sees the final hash(src) layout.
     """
     spark = pre.sparkSession
-    owned = pre.storageLevel == StorageLevel.NONE
+    # persist the input before the 3 passes below UNLESS the caller says
+    # its lineage is already cheap (e.g. a projection of a cached table
+    # — persisting that would duplicate the edge set in memory)
+    owned = (
+        pre.storageLevel == StorageLevel.NONE
+        if persist_input is None
+        else persist_input
+    )
     if owned:
         pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = pre.count()
