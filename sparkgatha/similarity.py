@@ -171,13 +171,20 @@ def ann_topk(
         )
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
-    e = embeddings.select("vec_id", _as_double().alias("v"))
+    # unit-normalize once: per-candidate scoring is ONE interpreted dot
+    raw = embeddings.select("vec_id", _as_double().alias("v0"))
+    e = raw.select(
+        "vec_id",
+        F.transform(
+            "v0", lambda x: x / F.sqrt(_dot(F.col("v0"), F.col("v0")))
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
     q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     nn = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
     pairs = (
         cands.join(q, "qid")
         .join(nn, "nid")
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("c"))
+        .select("qid", "nid", _dot(F.col("qv"), F.col("nv")).alias("c"))
     )
     w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid").asc())
     return (
@@ -315,7 +322,16 @@ def ivf_topk(
         auto_c, auto_p = auto_ivf_params(embeddings.count())
         n_centroids = n_centroids if n_centroids is not None else auto_c
         nprobe = nprobe if nprobe is not None else auto_p
-    e = embeddings.select("vec_id", _as_double(vec_col).alias("v"))
+    # pre-normalize once (|n| rows): the per-candidate-pair work below
+    # drops from dot + two norms to ONE dot — higher-order array
+    # expressions are interpreted, so the 3x term pass is the hot cost
+    raw = embeddings.select("vec_id", _as_double(vec_col).alias("v0"))
+    e = raw.select(
+        "vec_id",
+        F.transform(
+            "v0", lambda x: x / F.sqrt(_dot(F.col("v0"), F.col("v0")))
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
     cents = ivf_centroids(embeddings, n_centroids, vec_col)
     cents = cents.localCheckpoint(eager=True)  # reused 2x below
     lists = _assign_nearest(e, cents)  # (vec_id, cid) inverted lists
@@ -342,7 +358,9 @@ def ivf_topk(
     pairs = (
         cand.join(q, "qid")
         .join(nn, "nid")
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("c"))
+        # both sides unit-normalized above: cosine == plain dot (one
+        # interpreted array pass per pair instead of three)
+        .select("qid", "nid", _dot(F.col("qv"), F.col("nv")).alias("c"))
     )
     w = W.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid").asc())
     return (
