@@ -107,6 +107,9 @@ def label_propagation(
 
             split = split_hot_srcs(
                 pre, num_partitions, hot_threshold, HOT_MIRROR_CAP,
+                # `pre` is a FREE projection of `edges`; only cheap when
+                # the underlying table is cached — keep in sync if pre
+                # ever gains real work (filter/symmetrize/dedup)
                 persist_input=edges.storageLevel == StorageLevel.NONE,
             )
             layout, hot_layout = split.cold, split.hot

@@ -226,6 +226,9 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
     split = split_hot_srcs(
         edges.select("src", "dst", "weight"), num_partitions, hot_threshold,
         HOT_MIRROR_CAP, map_cold=norm_window, map_hot=norm_bcast,
+        # the frame passed is a FREE projection of `edges`; its lineage
+        # is only cheap when the underlying edge table is cached — keep
+        # this flag in sync if the projection ever gains real work
         persist_input=edges.storageLevel == StorageLevel.NONE,
     )
     return split.cold, split.hot, split.hot_srcs

@@ -73,7 +73,10 @@ def split_hot_srcs(
 
     ``pre`` (src, dst, weight) is persisted HERE before the stats and
     layout builds (it used to be re-scanned up to 4x when the caller
-    passed raw lineage) and released once the layouts are materialized.
+    passed raw lineage) and released once the layouts are materialized —
+    UNLESS ``persist_input=False``, where the caller vouches the lineage
+    is cheap (a projection of a cached table) and accepts the ~4 scans.
+    A frame the caller already persisted is never unpersisted here.
 
     ``map_cold(df)`` / ``map_hot(df, hot_w)`` transform each branch
     AFTER its repartition but BEFORE the persist, so per-row derivations
@@ -84,11 +87,12 @@ def split_hot_srcs(
     spark = pre.sparkSession
     # persist the input before the 3 passes below UNLESS the caller says
     # its lineage is already cheap (e.g. a projection of a cached table
-    # — persisting that would duplicate the edge set in memory)
+    # — persisting that would duplicate the edge set in memory).  Never
+    # take ownership of a frame the caller persisted itself: persist()
+    # would no-op and the exit unpersist would drop THEIR cache.
     owned = (
-        pre.storageLevel == StorageLevel.NONE
-        if persist_input is None
-        else persist_input
+        persist_input is not False
+        and pre.storageLevel == StorageLevel.NONE
     )
     if owned:
         pre = pre.persist(StorageLevel.MEMORY_AND_DISK)

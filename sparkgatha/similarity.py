@@ -43,6 +43,32 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _unit_normalized(embeddings: DataFrame, vec_col: str = "embedding"):
+    """(vec_id, v) with v unit-normalized — so candidate scoring is ONE
+    interpreted dot per pair (cosine is scale-invariant).
+
+    The norm is computed into a real column and materialized behind a
+    localCheckpoint BEFORE the per-element division: a norm expression
+    written inside the transform lambda is re-evaluated per element
+    (O(d^2)/row — measured ~40x slower at d=512), and a plain
+    withColumn alias gets re-inlined by CollapseProject, so the barrier
+    is load-bearing.  Zero-norm vectors pass through unscaled (they dot
+    to 0 against everything) instead of tripping ANSI DIVIDE_BY_ZERO.
+    """
+    normed = embeddings.select(
+        "vec_id", _as_double(vec_col).alias("v0")
+    ).select(
+        "vec_id", "v0", _norm(F.col("v0")).alias("_n")
+    ).localCheckpoint(eager=False)
+    return normed.select(
+        "vec_id",
+        F.when(
+            F.col("_n") > 0,
+            F.transform("v0", lambda x: x / F.col("_n")),
+        ).otherwise(F.col("v0")).alias("v"),
+    )
+
+
 @register(
     "q_knn_topk_per_vec",
     """
@@ -171,14 +197,7 @@ def ann_topk(
         )
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
-    # unit-normalize once: per-candidate scoring is ONE interpreted dot
-    raw = embeddings.select("vec_id", _as_double().alias("v0"))
-    e = raw.select(
-        "vec_id",
-        F.transform(
-            "v0", lambda x: x / F.sqrt(_dot(F.col("v0"), F.col("v0")))
-        ).alias("v"),
-    ).localCheckpoint(eager=False)
+    e = _unit_normalized(embeddings)
     q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     nn = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
     pairs = (
@@ -322,16 +341,7 @@ def ivf_topk(
         auto_c, auto_p = auto_ivf_params(embeddings.count())
         n_centroids = n_centroids if n_centroids is not None else auto_c
         nprobe = nprobe if nprobe is not None else auto_p
-    # pre-normalize once (|n| rows): the per-candidate-pair work below
-    # drops from dot + two norms to ONE dot — higher-order array
-    # expressions are interpreted, so the 3x term pass is the hot cost
-    raw = embeddings.select("vec_id", _as_double(vec_col).alias("v0"))
-    e = raw.select(
-        "vec_id",
-        F.transform(
-            "v0", lambda x: x / F.sqrt(_dot(F.col("v0"), F.col("v0")))
-        ).alias("v"),
-    ).localCheckpoint(eager=False)
+    e = _unit_normalized(embeddings, vec_col)
     cents = ivf_centroids(embeddings, n_centroids, vec_col)
     cents = cents.localCheckpoint(eager=True)  # reused 2x below
     lists = _assign_nearest(e, cents)  # (vec_id, cid) inverted lists

@@ -180,7 +180,20 @@ def test_ann_param_auto_scaling(spark):
     assert out.count() > 0
 
 
-def test_ivf_plan_has_no_global_window(spark):
+def test_ann_zero_norm_vector_does_not_crash(spark):
+    """A zero embedding (padding/missing row) must not trip ANSI
+    DIVIDE_BY_ZERO in the unit-normalization pass; it scores 0 against
+    everything and simply never ranks."""
+    from sparkgatha.similarity import ann_topk
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+        for i in range(1, 30)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_topk(e, k=3, dim=8, n_planes=2, n_tables=4).collect()
+    assert len(out) > 0
+    assert all(r["cos"] == r["cos"] for r in out)  # no NaN
     """The IVF seed pick must not funnel the corpus through a
     single-partition Window: every windowspecdefinition in the physical
     plan must carry a partition key (vec_id/qid), and the seed selection
