@@ -1,5 +1,16 @@
 """L1 — every REGISTRY query vs its DuckDB oracle at sf0.01
-(the driver's correctness gate, replicated locally)."""
+(the driver's correctness gate, replicated locally).
+
+Scale-robustness: override the fixture directory to re-run the whole
+replica at another sf, e.g.::
+
+    SPARKGATHA_ORACLE_SF_DIR=/root/testdata/sf0.1 \
+        python -m pytest tests/test_relational.py -q
+
+(verified green for all 75 oracle-bearing entries at sf0.1 in round 3 —
+no oracle is scale-dependent)."""
+
+import os
 
 import pytest
 
@@ -7,7 +18,9 @@ from oracle_harness import compare, duck_con
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get(
+    "SPARKGATHA_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 REGISTRY = entrymod._registry()
 ORACLE_NAMES = [n for n, s in REGISTRY.items() if s.oracle is not None]
