@@ -349,8 +349,15 @@ def _pagerank_loop(
     # p column rides in the state frame so supersteps keep one plan shape.
     p_df = None
     if personalization is not None:
-        ps = personalization.select(
-            "vertex", F.col("weight").cast("double").alias("pw")
+        # duplicate seed rows SUM (a dict-shaped input can't express
+        # duplicates; a frame can — without this, the left join below
+        # would duplicate state rows and double-count rank every step)
+        ps = (
+            personalization.select(
+                "vertex", F.col("weight").cast("double").alias("pw")
+            )
+            .groupBy("vertex")
+            .agg(F.sum("pw").alias("pw"))
         )
         joined = vertices.select("vertex").join(
             F.broadcast(ps), "vertex", "left"

@@ -1115,7 +1115,9 @@ def q_degrees(spark, sf_dir):
     from sparkgatha.graph.degrees import out_degrees
 
     d = _t(spark, sf_dir, "documents")
-    edges = symmetrize(extract_cooccurrence_edges(d, text_col="text"))
+    edges = symmetrize(extract_cooccurrence_edges(
+        d, text_col="text", max_terms_per_doc=None
+    ))
     return out_degrees(edges).select(
         "vertex", "out_degree", F.round("out_weight", 2).alias("out_weight")
     )
@@ -1153,7 +1155,9 @@ def q_edges_idf(spark, sf_dir):
     from sparkgatha.extract import extract_cooccurrence_edges
 
     d = _t(spark, sf_dir, "documents")
-    e = extract_cooccurrence_edges(d, text_col="text", weight_mode="idf")
+    e = extract_cooccurrence_edges(
+        d, text_col="text", weight_mode="idf", max_terms_per_doc=None
+    )
     return e.select("src", "dst", F.round("weight", 4).alias("weight"))
 
 
@@ -1171,7 +1175,9 @@ def _doc_graph(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    edges = symmetrize(extract_cooccurrence_edges(d, text_col="text"))
+    edges = symmetrize(extract_cooccurrence_edges(
+        d, text_col="text", max_terms_per_doc=None
+    ))
     nodes, id_edges = node_ids(edges)
     return nodes, id_edges
 
@@ -1389,7 +1395,9 @@ def q_g6_label_propagation(spark, sf_dir):
     from sparkgatha.graph.lpa import label_propagation
 
     d = _t(spark, sf_dir, "documents")
-    edges = symmetrize(extract_cooccurrence_edges(d, text_col="text"))
+    edges = symmetrize(extract_cooccurrence_edges(
+        d, text_col="text", max_terms_per_doc=None
+    ))
     md5_id = lambda c: F.conv(  # noqa: E731
         F.substring(F.md5(c), 1, 15), 16, 10
     ).cast("bigint")

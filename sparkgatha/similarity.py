@@ -254,43 +254,74 @@ def q_embed_centroid(spark, sf_dir):
     ).agg(F.round(F.avg("v"), 6).alias("c"))
 
 
+#: above this seed count the exact top-k collect would move real vector
+#: volume through the driver — the threshold-sampling tier takes over
+SEED_COLLECT_MAX = 4096
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int | None = 16,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cid int, cv array<double>) — deterministic coarse quantizer:
+    """(cid long, cv array<double>) — deterministic coarse quantizer:
     seed centroids are an md5-hash-sample of the corpus (engine- and
     partitioning-independent), refined by ONE Lloyd step (assign all
     vectors to the nearest seed, recompute element-wise means).  One
     crossJoin against a broadcast n_centroids-row table + one (cid, pos)
     shuffle — no iteration at scale; good enough for list routing.
     ``n_centroids=None`` sizes the quantizer from the corpus count
-    (auto_ivf_params sqrt rule)."""
+    (auto_ivf_params sqrt rule).
+
+    Seed pick, two tiers, neither funnels the corpus anywhere:
+      * n_centroids ≤ SEED_COLLECT_MAX: exact deterministic top-k by
+        md5(vec_id) via orderBy+limit = TakeOrderedAndProject (per-
+        partition heads, driver merges a BOUNDED handful of rows);
+      * larger (the auto sqrt rule gives ~10^6 at corpus scale, far too
+        many vectors to collect): the q_sample_hash md5-prefix
+        THRESHOLD rule — a distributed filter keeping ~n_centroids rows
+        in expectation, with cid = xxhash64(vec_id) (any distinct id
+        works as a routing key; nothing requires a dense [0,k) range).
+        One corpus count, zero driver-side vector traffic.
+    """
+    n = None
     if n_centroids is None:
-        n_centroids, _ = auto_ivf_params(embeddings.count())
+        n = embeddings.count()
+        n_centroids, _ = auto_ivf_params(n)
     e = embeddings.select("vec_id", _as_double(vec_col).alias("v"))
-    # Seed pick WITHOUT a global single-partition Window (that form
-    # funnels the whole corpus through one task at 100 TB): orderBy +
-    # limit compiles to TakeOrderedAndProject — each partition keeps an
-    # n_centroids-row head, the driver merges heads — and the md5 key
-    # (the q_sample_hash rule) keeps the choice deterministic and
-    # partitioning-independent.  The n_centroids winners are collected
-    # (a bounded handful of rows) and re-emitted as a local relation, so
-    # no Window or sort ever sees the full corpus.
-    top = (
-        e.select("v", F.md5(F.col("vec_id").cast("string")).alias("_h"))
-        .orderBy("_h")
-        .limit(n_centroids)
-        .collect()
-    )
-    seeds = embeddings.sparkSession.createDataFrame(
-        [
-            (i, list(r["v"]))
-            for i, r in enumerate(sorted(top, key=lambda r: r["_h"]))
-        ],
-        "cid int, cv array<double>",
-    )
+    if n_centroids <= SEED_COLLECT_MAX:
+        top = (
+            e.select("v", F.md5(F.col("vec_id").cast("string")).alias("_h"))
+            .orderBy("_h")
+            .limit(n_centroids)
+            .collect()
+        )
+        seeds = embeddings.sparkSession.createDataFrame(
+            [
+                (i, list(r["v"]))
+                for i, r in enumerate(sorted(top, key=lambda r: r["_h"]))
+            ],
+            "cid long, cv array<double>",
+        )
+    else:
+        if n is None:
+            n = embeddings.count()
+        # md5-prefix threshold over 12 hex chars (48 bits): keep rows
+        # whose hash falls below frac of the keyspace
+        frac = min(1.0, n_centroids / max(n, 1))
+        cut = int(frac * float(1 << 48))
+        seeds = (
+            e.select(
+                F.xxhash64(F.col("vec_id").cast("string")).alias("cid"),
+                F.col("v").alias("cv"),
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12),
+                    16, 10,
+                ).cast("long").alias("_h48"),
+            )
+            .filter(F.col("_h48") < F.lit(cut))
+            .select("cid", "cv")
+        )
     assigned = _assign_nearest(e, seeds)
     return (
         assigned.join(e, "vec_id")

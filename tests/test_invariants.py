@@ -194,6 +194,26 @@ def test_ann_zero_norm_vector_does_not_crash(spark):
     out = ann_topk(e, k=3, dim=8, n_planes=2, n_tables=4).collect()
     assert len(out) > 0
     assert all(r["cos"] == r["cos"] for r in out)  # no NaN
+
+
+def test_ivf_threshold_seed_tier(spark, monkeypatch):
+    """Above SEED_COLLECT_MAX the seed pick must switch to the
+    distributed md5-threshold tier (no driver vector traffic): expected
+    ~n_centroids seeds, distinct hash cids, and the end-to-end search
+    still returns neighbors."""
+    import sparkgatha.similarity as sim
+
+    monkeypatch.setattr(sim, "SEED_COLLECT_MAX", 8)
+    e = read_table(spark, SF, "embeddings")
+    cents = sim.ivf_centroids(e, n_centroids=64)
+    k = cents.count()
+    assert 16 <= k <= 200, k  # ~64 expected; threshold-sampling variance
+    assert cents.select("cid").distinct().count() == k
+    out = sim.ivf_topk(e, k=3, n_centroids=64)
+    assert out.count() > 0
+
+
+def test_ivf_plan_has_no_global_window(spark):
     """The IVF seed pick must not funnel the corpus through a
     single-partition Window: every windowspecdefinition in the physical
     plan must carry a partition key (vec_id/qid), and the seed selection
