@@ -69,6 +69,9 @@ def main(argv=None) -> int:
     q.add_argument("--a", required=True)
     q.add_argument("--b", required=True)
     q.add_argument("--max-hops", type=int, default=20)
+    q.add_argument("--distance-only", action="store_true",
+                   help="meet-in-the-middle pair distance only (skips "
+                        "the neighborhood/ranking stages)")
 
     tr = sub.add_parser(
         "topicrank",
@@ -167,6 +170,26 @@ def main(argv=None) -> int:
         from sparkgatha.query import topic_query
 
         nodes, edges = load_adjacency(spark, args.graph)
+        if args.distance_only:
+            from pyspark.sql import functions as F
+
+            from sparkgatha.graph.paths import pair_distance
+            from sparkgatha.query import _term_id
+
+            ia = _term_id(nodes, args.a)
+            ib = _term_id(nodes, args.b)
+            if ia is None or ib is None:
+                raise KeyError(
+                    f"unknown term(s): {args.a if ia is None else args.b}"
+                )
+            inv = edges.select(
+                "src", "dst", (F.lit(1.0) / F.col("weight")).alias("weight")
+            )
+            d = pair_distance(inv, ia, ib, max_iter=args.max_hops)
+            print(json.dumps({"a": args.a, "b": args.b, "distance": d}))
+            if pre_existing is None:
+                spark.stop()
+            return 0
         r = topic_query(spark, nodes, edges, args.a, args.b, args.max_hops)
         top = [
             {"key": x["key"], "detour": x["detour"]}

@@ -173,3 +173,10 @@ def test_cli_construct_and_query(spark, tmp_path):
         )
         == 0
     )
+    assert (
+        cli.main(
+            ["query", "--graph", str(tmp_path / "g"),
+             "--a", "util", "--b", "test", "--distance-only"]
+        )
+        == 0
+    )
