@@ -85,6 +85,37 @@ def test_prop_pair_distance_matches_dijkstra(spark, triples, data):
         assert got is not None and abs(got - want) < 1e-9, (a, b, got, want)
 
 
+@given(triples=edge_lists())
+@settings(**SETTINGS)
+def test_prop_triangles_match_networkx(spark, triples):
+    if not triples:
+        return
+    from sparkgatha.graph.triangles import global_triangle_count
+
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = global_triangle_count(edges)
+    want = sum(nx.triangles(nx_graph(triples)).values()) // 3
+    assert got == want, (got, want)
+
+
+@given(triples=edge_lists())
+@settings(**SETTINGS)
+def test_prop_lpa_matches_pinned_oracle(spark, triples):
+    if not triples:
+        return
+    from graph_helpers import lpa_oracle
+
+    from sparkgatha.graph import label_propagation
+
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(edges, max_iter=8).collect()
+    }
+    want = lpa_oracle(triples, max_iter=8)
+    assert got == want
+
+
 @given(
     texts=st.lists(
         st.text(
