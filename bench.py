@@ -155,6 +155,8 @@ def main() -> None:
         "q_knn_topk_per_vec",
         "q_ivf_topk",
         "q_clean_corpus",
+        "q_near_dup_clusters",
+        "q_g4_pagerank_personalized",
         "q_rollup",
         "q_asof",
     ):
