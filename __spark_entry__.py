@@ -47,11 +47,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # in dict order.  This list pins the window so that every SURVEY.md §2
 # operator with a SQL-expressible oracle owns exactly one value-checked
-# slot (P1–P4, J1–J10, A1–A4, W1–W4, O1–O2, U1–U3, the seven §2.8 scalar
-# families, ST1–ST3, F1/F2/F4/F5/F6, G1/G3–G7/G8/G9).  Remaining
-# oracle-backed entries (dedup/textan/similarity extras, subquery forms)
-# follow after position 50 and are verified by the local replica in
-# tests/test_relational.py at the same sf.
+# slot (P1–P4, J1–J10, A1–A4, W1–W4, O1–O2, U1–U3, the §2.8 scalar
+# families, ST1–ST3, F1/F2/F4/F5/F6, G1/G3–G7/G8/G9, plus the round-3
+# operators rotated in for round 4: personalized PageRank and transitive
+# near-dup clusters).  J10's crossJoin shape is held by
+# q_knn_topk_per_vec; the §2.8 conditional family is held by
+# q_filter/q_asof (when()/coalesce() in checked outputs).  Remaining
+# oracle-backed entries (q_crossjoin_knn, q_case_when, dedup/textan/
+# similarity extras, subquery forms) follow after position 50 and are
+# verified by the local replica in tests/test_relational.py at the
+# same sf.
 PRIORITY_WINDOW = [
     "q_project",            # P1
     "q_filter",             # P2
@@ -70,7 +75,11 @@ PRIORITY_WINDOW = [
     "q_selfjoin_cooc",      # J6 / G1
     "q_join_range",         # J7
     "q_asof",               # J8
-    "q_crossjoin_knn",      # J10
+    "q_near_dup_clusters",  # transitive near-dup canonicalization (G5
+                            # closure over the verified-pair graph) —
+                            # rotated in r4; J10/G8 crossJoin coverage
+                            # stays via q_knn_topk_per_vec (same guarded
+                            # crossJoin + cosine + top-k shape)
     "q_groupby_agg",        # A1
     "q_count_distinct",     # A2
     "q_grouping_sets",      # A3 (explicit grouping sets)
@@ -89,8 +98,10 @@ PRIORITY_WINDOW = [
     "q_date",               # §2.8 date
     "q_math",               # §2.8 math
     "q_array_dot",          # §2.8 array
-    "q_json_props",         # §2.8 map/json + S3
-    "q_case_when",          # §2.8 conditional
+    "q_json_props",         # §2.8 map/json + S3 (the conditional family
+                            # q_case_when rotated out in r4 — CASE/WHEN
+                            # coverage stays via q_filter/q_asof, which
+                            # run when()/coalesce() in checked outputs)
     "q_window_tumbling",    # ST1
     "q_window_sliding",     # ST2
     "q_window_session",     # ST3
@@ -102,6 +113,8 @@ PRIORITY_WINDOW = [
     "q_degrees",            # G3 (via F3 mapInPandas extraction)
     "q_edges_idf",          # G1 idf-weighted edge extraction
     "q_g4_pagerank",        # G4
+    "q_g4_pagerank_personalized",  # G4 personalized/topic teleport
+                                   # (rotated in r4, unrolled oracle)
     "q_g5_connected_components",  # G5
     "q_g6_label_propagation",     # G6
     "q_g7_triangles",       # G7
