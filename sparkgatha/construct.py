@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkgatha.extract import (
+    DEFAULT_MAX_TERMS_PER_DOC,
     DEFAULT_STOPWORDS,
     assert_no_id_collisions,
     extract_cooccurrence_edges,
@@ -49,6 +50,12 @@ class ConstructConfig:
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
     min_weight: float = 0.0
     max_df: float | None = None        # the reference's frequency cutoff
+    # per-doc distinct-term cap (quadratic-fanout guard): ON by default
+    # here — construct is the entry point that faces raw, untrusted
+    # corpora; extract_cooccurrence_edges itself defaults to None so
+    # corpus-slice callers (streaming deltas, oracle-checked queries)
+    # never inherit a corpus-relative trim silently
+    max_terms_per_doc: int | None = DEFAULT_MAX_TERMS_PER_DOC
     weight_mode: str = "count"         # 'idf' = TF-IDF-flavored (G1)
     num_partitions: int = 32
     phases: tuple[str, ...] = ("edges", "nodes", "adjacency")
@@ -111,6 +118,7 @@ def build_graph(spark: SparkSession, cfg: ConstructConfig) -> ConstructResult:
             max_df=cfg.max_df,
             num_partitions=cfg.num_partitions,
             weight_mode=cfg.weight_mode,
+            max_terms_per_doc=cfg.max_terms_per_doc,
         )
         edges.write.mode("overwrite").parquet(edges_path)
         result.n_edges = _finish_phase(edges_path, spark.read.parquet(edges_path), "edges")

@@ -114,10 +114,16 @@ def _cap_terms_per_doc(toks: DataFrame, cap: int) -> DataFrame:
     found — no aggregation, no shuffle); ONLY when a doc is actually
     over the cap does the trim lineage run, and it explodes/shuffles
     ONLY the offending rows (df ranking joins against the
-    vocabulary-sized frequency table).  The detection scan is the one
-    eager action this builder performs; callers on a hot path that can
-    vouch for their input (or enforce the cap upstream) pass
-    ``max_terms_per_doc=None`` to stay fully lazy.
+    vocabulary-sized frequency table).
+
+    Determinism: the trim is keyed on the terms ARRAY VALUE itself, not
+    a generated row id — ``monotonically_increasing_id`` through an
+    explode→join→window shuffle chain can renumber recomputed
+    partitions on task retry, splitting one doc's terms across two
+    groups and silently changing the emitted pairs.  Value keying is
+    retry-stable; identical over-cap docs trim identically, and row
+    multiplicity is restored by joining the per-value trim result back
+    to the over-cap rows.
     """
     over = toks.filter(F.size("terms") > cap)
     if over.limit(1).count() == 0:
@@ -132,17 +138,22 @@ def _cap_terms_per_doc(toks: DataFrame, cap: int) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
-    t = over.withColumn("_doc", F.monotonically_increasing_id())
-    ex = t.select("_doc", F.explode("terms").alias("term")).join(dfreq, "term")
-    w = Window.partitionBy("_doc").orderBy(
+    ex = (
+        over.select("terms").distinct()
+        .select("terms", F.explode("terms").alias("term"))
+        .join(dfreq, "term")
+    )
+    w = Window.partitionBy("terms").orderBy(
         F.col("df").asc(), F.col("term").asc()
     )
-    trimmed = (
+    trimmed_map = (
         ex.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
-        .groupBy("_doc")
-        .agg(F.array_sort(F.collect_list("term")).alias("terms"))
-        .select("terms")
+        .groupBy("terms")
+        .agg(F.array_sort(F.collect_list("term")).alias("_trimmed"))
+    )
+    trimmed = over.join(trimmed_map, "terms").select(
+        F.col("_trimmed").alias("terms")
     )
     return toks.filter(F.size("terms") <= cap).unionByName(trimmed)
 
@@ -156,7 +167,7 @@ def extract_cooccurrence_edges(
     symmetric: bool = False,
     num_partitions: int | None = None,
     weight_mode: str = "count",
-    max_terms_per_doc: int | None = DEFAULT_MAX_TERMS_PER_DOC,
+    max_terms_per_doc: int | None = None,
 ) -> DataFrame:
     """documents → canonical co-occurrence edges ``(src, dst, weight)``.
 
@@ -179,19 +190,36 @@ def extract_cooccurrence_edges(
     max_df: the most corpus-common terms are the first to go), trimmed
     only for the offending rows — under-cap docs never touch the trim
     shuffle — and the event is logged (no silent caps, SURVEY.md G10).
-    ``None`` disables the cap.
+    The cap is OPT-IN (default ``None``, fully lazy): the df used for
+    trimming is computed over the corpus visible to THIS call, so a
+    default-on cap would silently change semantics for callers that
+    process the corpus in slices — the streaming delta merge (ST6)
+    would trim by batch-local df and diverge from a full rebuild, and
+    oracle-checked callers would need the cap replayed in SQL.  Entry
+    points that face untrusted whole corpora opt in explicitly
+    (ConstructConfig.max_terms_per_doc defaults to
+    ``DEFAULT_MAX_TERMS_PER_DOC``).
     ``symmetric=True`` additionally emits the reversed orientation
     (U1 union) for algorithms that want both directions stored.
 
     The pair expansion parallelizes per input partition; a small file
-    count must not serialize the Python stage, so inputs narrower than
-    the session's default parallelism are repartitioned first (at
-    100 TB the scan's own splits already provide the parallelism and
-    the repartition is a no-op branch).
+    count must not serialize the Python stage, so narrow inputs are
+    widened to ``num_partitions`` (default: the session's default
+    parallelism) first — at 100 TB the scan's own splits already
+    provide the parallelism and the repartition is skipped.  Width is
+    judged WITHOUT the RDD API (B:15 bans it): a file-backed input is
+    widened when its FILE count is below the target (files pack
+    many-to-one only when tiny, and a corpus small enough to pack is
+    small enough that the extra repartition is cheap anyway); a
+    non-file input (createDataFrame, in-memory lineage) already
+    carries ~defaultParallelism partitions and is widened only when
+    the caller passes ``num_partitions`` explicitly.
     """
     spark = docs.sparkSession
+    explicit = num_partitions is not None
     target = num_partitions or spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    in_files = docs.inputFiles()
+    if (in_files and len(in_files) < target) or (not in_files and explicit):
         docs = docs.repartition(target)
     toks = tokenize(docs, text_col, stopwords).select("terms")
 

@@ -207,6 +207,12 @@ class IncrementalGraphBuilder:
 
         state = self._state()
         delta = f"delta_{state['next_id']:06d}"
+        # no per-doc term cap here (and extract's default is None): the
+        # cap trims by document frequency over the corpus visible to
+        # the call — batch-local df here vs whole-corpus df in a full
+        # rebuild — so a capped delta would silently break the
+        # incremental == full-rebuild equivalence (ST6).  Cap upstream
+        # of the stream if untrusted docs need bounding.
         extract_cooccurrence_edges(batch_docs, text_col="text").write.mode(
             "overwrite"
         ).parquet(os.path.join(self.edges_dir, delta))

@@ -99,6 +99,38 @@ def test_per_doc_term_cap_bounds_fanout(spark):
     )
 
 
+def test_per_doc_term_cap_preserves_duplicate_doc_multiplicity(spark):
+    """The trim is keyed on the terms ARRAY VALUE (retry-deterministic —
+    not monotonically_increasing_id); two identical over-cap docs must
+    both survive trimming and both contribute weight."""
+    rows = [
+        ("m1", " ".join(f"t{i:02d}" for i in range(12))),
+        ("m2", " ".join(f"t{i:02d}" for i in range(12))),  # exact duplicate
+        ("c1", "t00 t01 x1"), ("c2", "t00 t01 x2"), ("c3", "t00 t01 x3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    capped = extract_cooccurrence_edges(docs, stopwords=(), max_terms_per_doc=10)
+    got = {(r["src"], r["dst"]): r["weight"] for r in capped.collect()}
+    # both duplicates trimmed identically -> the kept pair counts twice
+    assert got[("t02", "t03")] == 2.0
+    # the 2 highest-df terms' monster-only pairings are gone from both
+    assert ("t00", "t11") not in got
+
+
+def test_cap_default_off_and_opt_in_at_construct(spark):
+    """extract_cooccurrence_edges defaults to NO per-doc cap (the trim's
+    df is corpus-relative, so slice-callers — streaming deltas, oracle
+    queries — must never inherit it silently); ConstructConfig opts in."""
+    import inspect
+
+    from sparkgatha.construct import ConstructConfig
+    from sparkgatha.extract import DEFAULT_MAX_TERMS_PER_DOC
+
+    sig = inspect.signature(extract_cooccurrence_edges)
+    assert sig.parameters["max_terms_per_doc"].default is None
+    assert ConstructConfig("x", "y").max_terms_per_doc == DEFAULT_MAX_TERMS_PER_DOC
+
+
 def test_node_ids_safe_last_round_fix_not_fatal(spark):
     """A dictionary whose collisions are resolved exactly on the FINAL
     rehash round must succeed (regression: for/else raised even when the

@@ -296,6 +296,39 @@ def test_incremental_graph_matches_full_rebuild(spark, tmp_path):
     assert diff == 0
 
 
+def test_incremental_matches_full_rebuild_with_over_cap_doc(spark, tmp_path):
+    """ST6 under a doc over DEFAULT_MAX_TERMS_PER_DOC distinct terms:
+    merge_batch must NOT inherit a per-doc term cap (the trim's df is
+    batch-local there vs whole-corpus in a rebuild — regression for the
+    round-3 advice finding where the two silently diverged)."""
+    from sparkgatha.extract import DEFAULT_MAX_TERMS_PER_DOC, extract_cooccurrence_edges
+
+    n = DEFAULT_MAX_TERMS_PER_DOC + 40
+    rows = [("m", " ".join(f"w{i:04d}" for i in range(n)))] + [
+        (f"c{j}", f"w0000 w0001 y{j}") for j in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    b = IncrementalGraphBuilder(spark, str(tmp_path / "inc_cap"))
+    b.merge_batch(docs.filter(F.col("doc_id") == "m"))
+    b.merge_batch(docs.filter(F.col("doc_id") != "m"))
+    inc = b.edges()
+    full = extract_cooccurrence_edges(docs)
+    diff = (
+        inc.join(full.withColumnRenamed("weight", "w2"), ["src", "dst"], "full_outer")
+        .filter(
+            F.col("weight").isNull()
+            | F.col("w2").isNull()
+            | (F.col("weight") != F.col("w2"))
+        )
+        .count()
+    )
+    assert diff == 0
+    # the over-cap doc's rare-term pairs all survived (no silent trim)
+    assert inc.filter(
+        (F.col("src") == f"w{n-2:04d}") & (F.col("dst") == f"w{n-1:04d}")
+    ).count() == 1
+
+
 def test_incremental_warm_rerank_matches_cold(spark, tmp_path):
     """ST6 + G4 warm start: after extending the graph with a new batch,
     reranking seeded by the previous ranks reaches the same fixpoint as
