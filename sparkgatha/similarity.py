@@ -118,6 +118,17 @@ def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> np.ndarra
     return rng.standard_normal((n_planes, dim))
 
 
+def _bucket_expr(v, planes):
+    """Sign-pattern bucket id for one LSH table, as a pure JVM column
+    expression over the (already double-cast) vector column ``v``."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, plane_lit) >= 0, 1).otherwise(0)
+        bucket = bucket + bit * (1 << i)
+    return bucket.cast("int")
+
+
 def embedding_lsh_buckets(
     embeddings: DataFrame,
     dim: int = 64,
@@ -133,13 +144,9 @@ def embedding_lsh_buckets(
     patterns with high probability; near-dup search joins on bucket.
     """
     planes = hyperplanes(dim, n_planes, seed)
-    v = _as_double(vec_col)
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(v, plane_lit) >= 0, 1).otherwise(0)
-        bucket = bucket + bit * (1 << i)
-    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+    return embeddings.select(
+        "vec_id", _bucket_expr(_as_double(vec_col), planes).alias("bucket")
+    )
 
 
 def auto_lsh_planes(n: int, target_bucket: int = 64) -> int:
@@ -165,6 +172,82 @@ def auto_ivf_params(n: int) -> tuple[int, int]:
     return n_centroids, nprobe
 
 
+#: per-(table, bucket) member cap for the ANN candidate self-join: a
+#: bucket of k members emits O(k^2) candidate rows per table, so one
+#: degenerate bucket (a large cluster of near-identical embeddings —
+#: exactly what dedup input looks like) made the join quadratic before
+#: round 4.  Over-cap buckets are NOT dropped: members pair with the
+#: bucket-min member in BOTH orientations (the dedup star fallback,
+#: directional because top-k is per-query) — O(size) rows, and identical
+#: vectors still find a cos=1 neighbor.  Larger than dedup's cap (64)
+#: because ANN buckets are sized ~target_bucket by auto_lsh_planes and
+#: legitimate buckets up to a few hundred members are cheap.
+ANN_BUCKET_CAP = 256
+
+
+def ann_candidates(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int | None = 3,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int = ANN_BUCKET_CAP,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, nid) distinct ANN candidate pairs from multi-table
+    random-hyperplane LSH, with the per-(table, bucket) cap above.
+
+    All L tables' buckets are computed in ONE projection over the
+    corpus (an exploded array of (table, bucket) structs — same total
+    dot-product work as per-table scans, but one pass and ONE
+    candidate equi-join on (table, bucket) instead of L self-joins)."""
+    if n_planes is None:
+        n_planes = auto_lsh_planes(embeddings.count())
+    v = _as_double(vec_col)
+    structs = [
+        F.struct(
+            F.lit(t).alias("t"),
+            _bucket_expr(v, hyperplanes(dim, n_planes, seed + 1009 * t)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    # three consumers below (counts, join side a, join side c) —
+    # materialize the bucketing once, not 3x
+    tb = (
+        embeddings.select("vec_id", F.explode(F.array(*structs)).alias("tb"))
+        .select("vec_id", "tb.t", "tb.bucket")
+        .localCheckpoint(eager=False)
+    )
+    counts = tb.groupBy("t", "bucket").agg(
+        F.count("*").alias("k"), F.min("vec_id").alias("m")
+    )
+    ok = counts.filter(
+        (F.col("k") >= 2) & (F.col("k") <= bucket_cap)
+    ).select("t", "bucket")
+    inb = tb.join(ok, ["t", "bucket"])
+    a = inb.alias("a")
+    c = inb.alias("c")
+    pairwise = (
+        a.join(
+            c,
+            (F.col("a.t") == F.col("c.t"))
+            & (F.col("a.bucket") == F.col("c.bucket")),
+        )
+        .filter(F.col("a.vec_id") != F.col("c.vec_id"))
+        .select(F.col("a.vec_id").alias("qid"), F.col("c.vec_id").alias("nid"))
+    )
+    over = counts.filter(F.col("k") > bucket_cap).select("t", "bucket", "m")
+    star_m = tb.join(over, ["t", "bucket"]).filter(F.col("vec_id") != F.col("m"))
+    star = star_m.select(
+        F.col("m").alias("qid"), F.col("vec_id").alias("nid")
+    ).unionByName(
+        star_m.select(F.col("vec_id").alias("qid"), F.col("m").alias("nid"))
+    )
+    return pairwise.unionByName(star).distinct()
+
+
 def ann_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -172,6 +255,7 @@ def ann_topk(
     n_planes: int | None = 3,
     n_tables: int = 8,
     seed: int = 42,
+    bucket_cap: int = ANN_BUCKET_CAP,
 ) -> DataFrame:
     """Bucketed approximate kNN — multi-table random-hyperplane LSH
     (standard recall amplification: L independent tables of b planes; a
@@ -180,23 +264,12 @@ def ann_topk(
     prob per table is (1 - theta/pi)^b, so b grows ~log2(n/bucket_size)
     at scale; ``n_planes=None`` computes that from the corpus count
     (auto_lsh_planes), the int default suits the small fixture and the
-    recall bound is asserted in tests."""
-    if n_planes is None:
-        n_planes = auto_lsh_planes(embeddings.count())
-    cands = None
-    for t in range(n_tables):
-        b = embedding_lsh_buckets(embeddings, dim, n_planes, seed + 1009 * t)
-        a = b.alias("a")
-        c = b.alias("b")
-        p = (
-            a.join(c, F.col("a.bucket") == F.col("b.bucket"))
-            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-            .select(
-                F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid")
-            )
-        )
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
+    recall bound is asserted in tests.  Candidate volume is bounded per
+    bucket by ``bucket_cap`` (see ANN_BUCKET_CAP — over-cap buckets take
+    the O(size) star fallback instead of the O(size^2) self-join)."""
+    cands = ann_candidates(
+        embeddings, dim, n_planes, n_tables, seed, bucket_cap
+    )
     e = _unit_normalized(embeddings)
     q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     nn = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))

@@ -144,6 +144,35 @@ def test_lsh_recall_against_exact(spark):
     assert recall >= 0.5, recall
 
 
+def test_ann_degenerate_bucket_candidates_stay_linear(spark):
+    """1k identical vectors land in ONE bucket per table; the per-
+    (table, bucket) cap must route them through the star fallback so
+    candidate rows stay O(n) (2(n-1) distinct directional pairs), not
+    O(n^2) — and every vector still finds a cos=1 neighbor."""
+    from sparkgatha.similarity import ann_candidates, ann_topk
+
+    n = 1000
+    rows = [(i, [1.0, 2.0, -1.0, 0.5] * 2) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = ann_candidates(e, dim=8, n_planes=2, n_tables=4)
+    assert cands.count() == 2 * (n - 1)
+    top = ann_topk(e, k=1, dim=8, n_planes=2, n_tables=4).collect()
+    assert len(top) == n  # everyone got a neighbor
+    assert all(abs(r["cos"] - 1.0) < 1e-9 for r in top)
+
+
+def test_ann_cap_does_not_change_under_cap_results(spark):
+    """With every bucket under the cap, the capped path must produce
+    exactly the uncapped candidate set (pairwise join untouched)."""
+    from sparkgatha.similarity import ann_candidates
+
+    e = read_table(spark, SF, "embeddings")
+    capped = ann_candidates(e)
+    uncapped = ann_candidates(e, bucket_cap=10**9)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+
+
 def test_ivf_recall_against_exact(spark):
     """IVF-routed kNN (nprobe/n_centroids = 4/16 → 25% of lists probed)
     beats the no-routing floor by a wide margin on the exact top-5."""
