@@ -472,8 +472,16 @@ def q_near_dup_clusters(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.8) via a shingle
     inverted index — the verification stage of the MinHash/LSH pipeline,
-    run standalone at oracle scale."""
-    d = _t(spark, sf_dir, "documents")
+    run standalone at oracle scale.  The inverted-index self-join is
+    quadratic per shared shingle with no candidate bound, so the input
+    is guarded (guard_input_rows) — the composed pipeline
+    (q_clean_corpus / near_duplicates) runs this verification on LSH
+    candidates only and never hits the guard."""
+    from sparkgatha.util import guard_input_rows
+
+    d = guard_input_rows(
+        _t(spark, sf_dir, "documents"), "q_dedup_ngram_jaccard"
+    )
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -674,10 +682,15 @@ def q_simhash_hamming(spark, sf_dir):
 def q_dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (>0.4 — fixture max pairwise
     cosine is 0.51, so the production-style 0.95 would be vacuous).
-    All-pairs here (oracle
-    scale); the 100 TB path buckets by LSH hyperplane signs first
-    (similarity.embedding_lsh_buckets) and cross-joins within buckets."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    All-pairs here (oracle scale), so the input is guarded
+    (guard_input_rows); the 100 TB path buckets by LSH hyperplane signs
+    first (similarity.ann_candidates, per-bucket capped) and joins
+    within buckets."""
+    from sparkgatha.util import guard_input_rows
+
+    e = guard_input_rows(
+        _t(spark, sf_dir, "embeddings"), "q_dedup_embed_cosine"
+    ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )

@@ -2,9 +2,47 @@
 
 from __future__ import annotations
 
+import os
+
 from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+#: default input bound for operators whose cost is quadratic in input
+#: rows (standalone all-pairs verification ops) — override per call or
+#: via SPARKGATHA_ALL_PAIRS_MAX_ROWS
+DEFAULT_ALL_PAIRS_MAX_ROWS = 100_000
+
+
+def guard_input_rows(
+    df: DataFrame, op: str, max_rows: int | None = None
+) -> DataFrame:
+    """Refuse to run a documented oracle-scale O(n^2) operator on an
+    input too large for it — the J10-style guard, shared by the
+    standalone all-pairs dedup ops so a 100 TB caller can't launch a
+    quadratic job by accident (the composed pipelines never call these;
+    they use the bucketed/banded paths).
+
+    The check is ``limit(max_rows + 1).count()`` — it short-circuits
+    after max_rows+1 rows instead of counting a 100 TB table.  Bound
+    resolution: explicit ``max_rows`` > ``SPARKGATHA_ALL_PAIRS_MAX_ROWS``
+    env var > DEFAULT_ALL_PAIRS_MAX_ROWS.
+    """
+    if max_rows is None:
+        max_rows = int(
+            os.environ.get(
+                "SPARKGATHA_ALL_PAIRS_MAX_ROWS", DEFAULT_ALL_PAIRS_MAX_ROWS
+            )
+        )
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{op}: input exceeds {max_rows} rows — this operator is "
+            "quadratic in input size and exists for oracle-scale "
+            "verification only; use the bucketed scale path (LSH/simhash/"
+            "IVF) or raise the bound explicitly "
+            "(SPARKGATHA_ALL_PAIRS_MAX_ROWS) if you accept the cost"
+        )
+    return df
 
 
 @contextmanager

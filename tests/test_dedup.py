@@ -83,3 +83,29 @@ def test_bucket_cap_star_routing(spark):
         lsh_bands(docs).groupBy("band", "sig").agg(F.count("*").alias("k"))
     )
     assert sizes.agg(F.max("k")).collect()[0][0] <= DEFAULT_BUCKET_CAP
+
+
+def test_all_pairs_guard_trips_and_passes(spark, monkeypatch):
+    """The standalone all-pairs verification ops (ngram-Jaccard,
+    embed-cosine) refuse inputs above the configurable bound — a 100 TB
+    caller can't launch a quadratic job by accident — and run normally
+    at oracle scale."""
+    import pytest
+
+    from sparkgatha.relational import REGISTRY
+    from sparkgatha.util import guard_input_rows
+
+    SF = "/root/testdata/sf0.001"
+    # direct helper: trips at a tiny explicit bound, short-circuiting
+    docs = spark.range(50).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="quadratic"):
+        guard_input_rows(docs, "op_under_test", max_rows=10)
+    assert guard_input_rows(docs, "op_under_test", max_rows=50) is docs
+    # env-var bound reaches the registered ops
+    monkeypatch.setenv("SPARKGATHA_ALL_PAIRS_MAX_ROWS", "10")
+    for name in ("q_dedup_ngram_jaccard", "q_dedup_embed_cosine"):
+        with pytest.raises(ValueError, match=name):
+            REGISTRY[name].fn(spark, SF).limit(1).count()
+    # at the default bound the fixture-scale ops still run
+    monkeypatch.delenv("SPARKGATHA_ALL_PAIRS_MAX_ROWS")
+    assert REGISTRY["q_dedup_embed_cosine"].fn(spark, SF).count() >= 0
