@@ -179,7 +179,9 @@ def main() -> None:
                 "iterations_to_1e6": conv.iterations,
                 "converged": conv.converged,
                 "measured_runs": MEASURED_RUNS,
-                "value_best": round(run_tputs[-1], 1),
+                # explicit max — do NOT rely on the runs.sort(...) above
+                # still being keyed by throughput
+                "value_best": round(max(run_tputs), 1),
                 "run_tputs_edges_per_sec": run_tputs,
                 "superstep_walls_s": [round(w, 3) for w in pr.superstep_wall_s],
                 "strategy": pr.strategy,
