@@ -90,7 +90,12 @@ PRIORITY_WINDOW = [
     "q_topk_per_group",     # W4
     "q_sort",               # O1
     "q_topk",               # O2
-    "q_union",              # U1
+    "q_stateful_user_stats",  # ST5/ST6 custom stateful operator
+                              # (applyInPandasWithState), value-checked
+                              # through its batch contract — rotated in
+                              # r4 displacing q_union: U1 runs inside
+                              # every q_g* key (symmetrize is a
+                              # unionByName) and stays in the replica
     "q_intersect",          # U2
     "q_except",             # U3
     "q_string",             # §2.8 string

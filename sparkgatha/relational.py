@@ -992,6 +992,69 @@ def q_window_session(spark, sf_dir):
     )
 
 
+@register(
+    "q_stateful_user_stats",
+    """
+    SELECT user_id, count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_user_stats(spark, sf_dir):
+    """The custom stateful streaming operator (applyInPandasWithState,
+    §2.9/§2.10), driver-value-checked through its batch contract: the
+    events table streams through ``running_user_stats`` in 4 real
+    micro-batches (file source, maxFilesPerTrigger=1, availableNow) and
+    the FINAL per-user (n, total, mean) update must equal the one-shot
+    batch groupBy aggregate — which is exactly the DuckDB oracle.
+
+    The final state is the max-(n, total) update per user (n strictly
+    increases per user per batch: a group only emits when the batch
+    holds its rows).  Per-batch partial sums reassociate float addition
+    vs the oracle's single pass; the shared round-4 convention absorbs
+    that for ``total``.  The operator's third output, ``mean``, is
+    deliberately NOT in the checked projection: the fixture values are
+    2-decimal exact, so total/n lands exactly on .xxxx5 half
+    boundaries where Spark's exact-BigDecimal HALF_UP and DuckDB's
+    multiply-then-std::round disagree on IDENTICAL input doubles
+    (observed at sf0.1: 2822.47/56 = 50.40125 → .4013 vs .4012).
+    mean = total/n is fully determined by the two checked columns and
+    is asserted to 1e-9 against the batch aggregate in
+    tests/test_streaming.py."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from sparkgatha.streaming import read_event_stream, running_user_stats
+
+    tmp = tempfile.mkdtemp(prefix="sparkgatha_stateful_")
+    src = _os.path.join(tmp, "src")
+    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    sink = f"stateful_user_stats_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(read_event_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stateful user-stats stream did not drain in 300s")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n", "total")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n").alias("n"),
+            F.round("s.total", 4).alias("total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # subqueries / having / conditional — extra Catalyst coverage (§4.2:
 # subquery decorrelation is exercised by the oracle side too)
