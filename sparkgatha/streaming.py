@@ -158,11 +158,26 @@ class IncrementalGraphBuilder:
 
     EDGE_SCHEMA = "src string, dst string, weight double"
 
-    def __init__(self, spark: SparkSession, work_dir: str, compact_every: int = 8):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        compact_every: int = 8,
+        max_terms_per_doc: int | None = None,
+    ):
+        """``max_terms_per_doc`` is the per-doc quadratic-fanout guard,
+        OFF by default: the trim keeps the lowest-df terms and df here
+        is computed over ONE micro-batch, not the whole corpus, so any
+        cap makes the incremental graph diverge from a full rebuild for
+        docs over the cap (the exact ST6 property test_streaming pins).
+        Opt in only when bounding a hostile stream matters more than
+        rebuild equivalence — or cap the docs upstream of the stream,
+        which keeps both."""
         self.spark = spark
         self.work_dir = work_dir
         self.edges_dir = os.path.join(work_dir, "edges")
         self.compact_every = compact_every
+        self.max_terms_per_doc = max_terms_per_doc
         os.makedirs(self.edges_dir, exist_ok=True)
 
     # -- commit manifest ---------------------------------------------------
@@ -207,15 +222,13 @@ class IncrementalGraphBuilder:
 
         state = self._state()
         delta = f"delta_{state['next_id']:06d}"
-        # no per-doc term cap here (and extract's default is None): the
-        # cap trims by document frequency over the corpus visible to
-        # the call — batch-local df here vs whole-corpus df in a full
-        # rebuild — so a capped delta would silently break the
-        # incremental == full-rebuild equivalence (ST6).  Cap upstream
-        # of the stream if untrusted docs need bounding.
-        extract_cooccurrence_edges(batch_docs, text_col="text").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.edges_dir, delta))
+        # default: no per-doc term cap (see __init__ — a batch-local-df
+        # trim silently breaks incremental == full-rebuild for over-cap
+        # docs); callers that accept that trade opt in at construction
+        extract_cooccurrence_edges(
+            batch_docs, text_col="text",
+            max_terms_per_doc=self.max_terms_per_doc,
+        ).write.mode("overwrite").parquet(os.path.join(self.edges_dir, delta))
         state["deltas"].append(delta)
         state["next_id"] += 1
         self._commit(state)

@@ -29,11 +29,15 @@ def guard_input_rows(
     env var > DEFAULT_ALL_PAIRS_MAX_ROWS.
     """
     if max_rows is None:
-        max_rows = int(
-            os.environ.get(
-                "SPARKGATHA_ALL_PAIRS_MAX_ROWS", DEFAULT_ALL_PAIRS_MAX_ROWS
+        raw = os.environ.get("SPARKGATHA_ALL_PAIRS_MAX_ROWS")
+        try:
+            max_rows = (
+                int(raw) if raw not in (None, "") else DEFAULT_ALL_PAIRS_MAX_ROWS
             )
-        )
+        except ValueError as exc:
+            raise ValueError(
+                f"SPARKGATHA_ALL_PAIRS_MAX_ROWS={raw!r} is not an integer"
+            ) from exc
     if df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"{op}: input exceeds {max_rows} rows — this operator is "

@@ -44,6 +44,25 @@ def _window_entries():
     "name,fn", _window_entries(), ids=[n for n, _ in _window_entries()]
 )
 def test_plan_hygiene(spark, name, fn):
+    if name == "q_stateful_user_stats":
+        # calling this fn EXECUTES a 4-micro-batch stream and returns a
+        # projection over the memory sink — asserting on that trivial
+        # plan would be illusory coverage.  Inspect the STREAMING plan
+        # the entry exists for instead: the stateful operator must be
+        # the Arrow-batched with-state node grouped on user_id (a
+        # streaming plan cannot be built into an executedPlan without
+        # writeStream.start(), so the analyzed logical plan is the
+        # inspectable surface).
+        from sparkgatha.streaming import read_event_stream, running_user_stats
+
+        stream = running_user_stats(
+            read_event_stream(spark, f"{SF}/events.parquet")
+        )
+        logical = stream._jdf.queryExecution().analyzed().toString()
+        assert "FlatMapGroupsInPandasWithState" in logical, logical[:400]
+        assert "user_id" in logical
+        assert not re.search(r"BatchEvalPython(?!UDTF)", logical)
+        return
     plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
     if name not in CARTESIAN_OK:
