@@ -67,6 +67,12 @@ class ConstructConfig:
     embeddings_path: str | None = None
     knn_k: int = 5
     sim_node_prefix: str = "v:"
+    # typed-node multigraph (the reference prefixes every node with its
+    # kind — s:/l:/e:/m: in agatha/util/entity_types.py; here t: terms
+    # and v: sim nodes): term keys become 't:<term>' in the built graph.
+    # query.py's term lookup maps raw user terms to typed keys with a
+    # legacy fallback, so pre-round-4 graphs keep working.
+    typed_nodes: bool = True
 
 
 @dataclass
@@ -120,6 +126,16 @@ def build_graph(spark: SparkSession, cfg: ConstructConfig) -> ConstructResult:
             weight_mode=cfg.weight_mode,
             max_terms_per_doc=cfg.max_terms_per_doc,
         )
+        if cfg.typed_nodes:
+            # typed multigraph keys (reference entity_types analog): a
+            # free concat projection — no shuffle, no extra pass
+            from sparkgatha.entity_types import TERM_TYPE, typed_key_col
+
+            edges = edges.select(
+                typed_key_col(TERM_TYPE, "src").alias("src"),
+                typed_key_col(TERM_TYPE, "dst").alias("dst"),
+                "weight",
+            )
         edges.write.mode("overwrite").parquet(edges_path)
         result.n_edges = _finish_phase(edges_path, spark.read.parquet(edges_path), "edges")
     else:

@@ -37,7 +37,20 @@ class TopicQueryResult:
 
 
 def _term_id(nodes: DataFrame, term: str) -> int | None:
-    row = nodes.filter(F.col("key") == term).select("id").collect()
+    """Dictionary lookup for a user-supplied raw term: typed graphs
+    store terms as 't:<term>' (entity_types, the reference's prefixed
+    multigraph keys), legacy graphs store them raw — one filter checks
+    both spellings, so callers never type-prefix by hand."""
+    from sparkgatha.entity_types import TERM_TYPE, typed_key
+
+    row = (
+        nodes.filter(
+            F.col("key").isin(typed_key(TERM_TYPE, term), term)
+        )
+        .select("id")
+        .limit(1)
+        .collect()
+    )
     return int(row[0]["id"]) if row else None
 
 
@@ -146,11 +159,16 @@ def pair_features(
     comps = connected_components(edges)
     degs = out_degrees(edges)
 
+    from sparkgatha.entity_types import strip_kind
+
     feat = (
         nodes.join(ranks, nodes.id == ranks.vertex)
         .join(comps.withColumnRenamed("vertex", "v2"), F.col("id") == F.col("v2"))
         .join(degs.withColumnRenamed("vertex", "v3"), F.col("id") == F.col("v3"))
-        .select("key", "rank", "component", "out_degree")
+        # pairs carry RAW user terms; typed graphs store 't:<term>' —
+        # strip the kind so both graph generations join (legacy keys
+        # pass through strip_kind unchanged)
+        .select(strip_kind("key").alias("key"), "rank", "component", "out_degree")
     )
     fa = feat.select(
         F.col("key").alias("term_a"),

@@ -54,9 +54,10 @@ def test_topic_query(built):
     assert r.distance is not None and r.distance > 0
     ranked = r.ranked_terms.collect()
     assert len(ranked) >= 2
-    # endpoints are near-path by definition
+    # endpoints are near-path by definition; the built graph stores
+    # typed multigraph keys (entity_types: t:<term>)
     keys = {x["key"] for x in ranked}
-    assert {"util", "test"} <= keys
+    assert {"t:util", "t:test"} <= keys
     assert r.path_neighborhood.count() > 0
 
 
@@ -71,9 +72,9 @@ def test_topic_rank_seeds_dominate(built):
     out = topic_rank(spark, nodes, edges, ["util", "test"], top_k=10)
     rows = out.collect()
     keys = [r["key"] for r in rows]
-    assert {"util", "test"} <= set(keys)
+    assert {"t:util", "t:test"} <= set(keys)
     # seeds hold the top-2 slots on this small graph
-    assert set(keys[:2]) == {"util", "test"}
+    assert set(keys[:2]) == {"t:util", "t:test"}
     # ranks are a probability-like ordering
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True) and ranks[0] > 0
@@ -98,6 +99,57 @@ def test_pair_features(built):
         assert r["rank_a"] > 0 and r["rank_b"] > 0
         assert r["degree_a"] > 0
         assert r["same_component"] in (True, False)
+
+
+def test_typed_node_keys_and_helpers(built):
+    """Typed multigraph keys (reference entity_types analog): every
+    term node in the built graph carries the t: prefix; the kind /
+    strip helpers round-trip typed keys and pass legacy untyped keys
+    through unchanged."""
+    from sparkgatha.entity_types import (
+        TERM_TYPE, is_kind, node_kind, strip_kind,
+    )
+
+    spark, cfg, _ = built
+    nodes, _ = load_adjacency(spark, cfg.out_dir)
+    assert nodes.filter(~is_kind("key", TERM_TYPE)).count() == 0
+    kinds = {r["k"] for r in nodes.select(node_kind("key").alias("k")).distinct().collect()}
+    assert kinds == {TERM_TYPE}
+    assert nodes.filter(strip_kind("key").startswith("t:")).count() == 0
+    mixed = spark.createDataFrame(
+        [("util",), ("v:7",), ("t:x",), ("no:kind",)], "key string"
+    )
+    got = {
+        r["key"]: (r["k"], r["r"])
+        for r in mixed.select(
+            "key", node_kind("key").alias("k"), strip_kind("key").alias("r")
+        ).collect()
+    }
+    assert got["util"] == ("t", "util")      # legacy raw term
+    assert got["v:7"] == ("v", "7")
+    assert got["t:x"] == ("t", "x")
+    assert got["no:kind"] == ("t", "no:kind")  # unknown prefix = raw term
+
+
+def test_untyped_legacy_graph_still_queryable(spark, tmp_path):
+    """typed_nodes=False builds the pre-round-4 raw-key graph; the
+    query surface (raw-term lookup, pair_features join) works on both
+    generations."""
+    corpus_dir = str(tmp_path / "c")
+    generate_corpus(spark, 100, num_partitions=2).write.parquet(corpus_dir)
+    cfg = ConstructConfig(
+        corpus_path=corpus_dir,
+        out_dir=str(tmp_path / "g"),
+        text_col="content",
+        num_partitions=4,
+        typed_nodes=False,
+    )
+    build_graph(spark, cfg)
+    nodes, edges = load_adjacency(spark, cfg.out_dir)
+    assert nodes.filter(F.col("key").startswith("t:")).count() == 0
+    r = topic_query(spark, nodes, edges, "util", "test")
+    assert r.distance is not None
+    assert {"util", "test"} <= {x["key"] for x in r.ranked_terms.collect()}
 
 
 def test_build_graph_with_similarity_edges(spark, tmp_path):
