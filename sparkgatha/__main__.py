@@ -35,6 +35,11 @@ def main(argv=None) -> int:
                    help="parquet (vec_id, embedding) → kNN similarity edges")
     c.add_argument("--knn-k", type=int, default=5)
     c.add_argument("--partitions", type=int, default=32)
+    c.add_argument("--max-terms-per-doc", type=int, default=None,
+                   help="per-doc distinct-term cap (default: the "
+                        "ConstructConfig 1024 guard; 0 disables)")
+    c.add_argument("--untyped-nodes", action="store_true",
+                   help="build raw (pre-entity_types) node keys")
     c.add_argument("--force", action="store_true")
 
     p = sub.add_parser("pagerank", help="PageRank over a built graph")
@@ -107,7 +112,12 @@ def main(argv=None) -> int:
             knn_k=args.knn_k,
             num_partitions=args.partitions,
             force=args.force,
+            typed_nodes=not args.untyped_nodes,
         )
+        if args.max_terms_per_doc is not None:
+            cfg.max_terms_per_doc = (
+                None if args.max_terms_per_doc == 0 else args.max_terms_per_doc
+            )
         r = build_graph(spark, cfg)
         print(json.dumps({
             "edges": r.n_edges, "nodes": r.n_nodes,
