@@ -208,21 +208,32 @@ def extract_cooccurrence_edges(
     partitions are repartitioned first — at 100 TB the scan's own
     splits already provide the parallelism and the branch is a no-op.
 
-    Width is judged by the plan's ACTUAL partition count via a
-    metadata-only ``rdd.getNumPartitions()`` peek (no job, no data
-    through the RDD API — the engine's B:15 "DataFrame, not RDD" rule
-    is about execution paths).  This is deliberate: every lazy proxy
-    regresses at scale in one direction or the other — a file COUNT
-    reads wrong both ways (Spark packs small files many-to-one, so
-    many tiny files under-report width and the quadratic Python stage
-    runs near-serial; conversely few huge files split many-to-many,
-    so the proxy forces a pointless full-corpus shuffle), and
-    ``inputFiles()`` itself collects every path to the driver, which
-    at the 10^12-file regime is its own hazard.
+    Width is judged by the plan's partition count via an
+    ``rdd.getNumPartitions()`` peek (no data through the RDD API — the
+    engine's B:15 "DataFrame, not RDD" rule is about execution paths).
+    This is deliberate: every lazy proxy regresses at scale in one
+    direction or the other — a file COUNT reads wrong both ways (Spark
+    packs small files many-to-one, so many tiny files under-report
+    width and the quadratic Python stage runs near-serial; conversely
+    few huge files split many-to-many, so the proxy forces a pointless
+    full-corpus shuffle), and ``inputFiles()`` itself collects every
+    path to the driver, which at the 10^12-file regime is its own
+    hazard.  The peek runs with AQE scoped OFF: under AQE,
+    ``Dataset.rdd`` eagerly EXECUTES every upstream shuffle stage to
+    finalize the adaptive plan — a derived input (join/filter lineage)
+    would run its whole upstream twice.  Without AQE the RDD is built
+    lazily and the peek launches no job; the count it reports is the
+    static plan's (AQE may still coalesce at runtime, which only
+    matters for shuffle-derived inputs — callers with such lineage and
+    a hard width requirement pass ``num_partitions``).
     """
+    from sparkgatha.util import no_aqe
+
     spark = docs.sparkSession
     target = num_partitions or spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    with no_aqe(spark):
+        width = docs.rdd.getNumPartitions()
+    if width < target:
         docs = docs.repartition(target)
     toks = tokenize(docs, text_col, stopwords).select("terms")
 
@@ -259,6 +270,14 @@ def extract_cooccurrence_edges(
             )
 
     if max_terms_per_doc is not None:
+        if max_terms_per_doc < 1:
+            # a cap <= 0 would keep zero terms for over-cap docs and the
+            # trim's inner join would silently drop every such document
+            # (an "empty graph, exit 0" failure) — refuse loudly; None
+            # is the disable spelling
+            raise ValueError(
+                f"max_terms_per_doc must be >= 1 or None, got {max_terms_per_doc}"
+            )
         toks = _cap_terms_per_doc(toks, max_terms_per_doc)
 
     pairs = toks.mapInPandas(_pair_expander, schema=PAIR_SCHEMA)

@@ -153,8 +153,10 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
     (#hot x P rows) exchange in the superstep — algebraically exact
     two-level aggregation (SURVEY.md §2.11 G10).
 
-    Returns (cold_edges, hot_edges_or_None, hot_srcs_or_None); the third
-    element is shuffle-mode-only (see PreparedGraph.hot_srcs).
+    Returns (cold_edges, hot_edges_or_None, hot_srcs_or_None, n_edges);
+    the layouts come back MATERIALIZED (counted) and n_edges is that
+    count, so callers never re-scan the caches to size the graph.  The
+    third element is shuffle-mode-only (see PreparedGraph.hot_srcs).
     """
     spark = edges.sparkSession
     if strategy == "broadcast":
@@ -212,12 +214,13 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
             hot = None
         # materialize the layouts while out_w (and the caller-persisted
         # input) are cached, then release out_w — it is baked into the
-        # persisted layouts and must not outlive the build
-        cold.count()
-        if hot is not None:
-            hot.count()
+        # persisted layouts and must not outlive the build.  The counts
+        # double as the n_edges tally (norm preserves rows) so the
+        # caller never re-scans the cached layouts just to count them.
+        n_cold = cold.count()
+        n_hot = hot.count() if hot is not None else 0
         out_w.unpersist()
-        return cold, hot, None
+        return cold, hot, None, n_cold + n_hot
     # shuffle mode (the beyond-broadcast |V| regime): hash(src) layout —
     # the state join is exchange-free on the edge side and the per-src
     # normalization window is partition-local.  A hot SOURCE vertex (the
@@ -247,7 +250,7 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
         # this flag in sync if the projection ever gains real work
         persist_input=edges.storageLevel == StorageLevel.NONE,
     )
-    return split.cold, split.hot, split.hot_srcs
+    return split.cold, split.hot, split.hot_srcs, split.n_edges
 
 
 def prepare_pagerank(
@@ -279,10 +282,11 @@ def prepare_pagerank(
             n = vertices.count()
             if strategy == "auto":
                 strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
-            cold, hot, hot_srcs = _prepare(edges, num_partitions, strategy, hot_threshold)
-            # materialize the layouts while the input is still cached —
-            # unpersisting first would re-run their lineage from scratch
-            n_edges = cold.count() + (hot.count() if hot is not None else 0)
+            # _prepare materializes the layouts (while the input is
+            # still cached) and returns their row count — no re-scan
+            cold, hot, hot_srcs, n_edges = _prepare(
+                edges, num_partitions, strategy, hot_threshold
+            )
     finally:
         if owned_input:
             edges.unpersist()

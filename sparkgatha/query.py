@@ -39,19 +39,18 @@ class TopicQueryResult:
 def _term_id(nodes: DataFrame, term: str) -> int | None:
     """Dictionary lookup for a user-supplied raw term: typed graphs
     store terms as 't:<term>' (entity_types, the reference's prefixed
-    multigraph keys), legacy graphs store them raw — one filter checks
-    both spellings, so callers never type-prefix by hand."""
+    multigraph keys), legacy graphs store them raw.  The typed spelling
+    is checked FIRST and the raw spelling only as a fallback — a single
+    isin over both would be ambiguous when a corpus token itself starts
+    with 't:' (nodes 't:t:x' and 't:x' both match a query for 't:x',
+    and limit(1) would pick one nondeterministically)."""
     from sparkgatha.entity_types import TERM_TYPE, typed_key
 
-    row = (
-        nodes.filter(
-            F.col("key").isin(typed_key(TERM_TYPE, term), term)
-        )
-        .select("id")
-        .limit(1)
-        .collect()
-    )
-    return int(row[0]["id"]) if row else None
+    for spelling in (typed_key(TERM_TYPE, term), term):
+        row = nodes.filter(F.col("key") == spelling).select("id").limit(1).collect()
+        if row:
+            return int(row[0]["id"])
+    return None
 
 
 def topic_query(
@@ -159,15 +158,18 @@ def pair_features(
     comps = connected_components(edges)
     degs = out_degrees(edges)
 
-    from sparkgatha.entity_types import strip_kind
+    from sparkgatha.entity_types import TERM_TYPE, node_kind, strip_kind
 
     feat = (
         nodes.join(ranks, nodes.id == ranks.vertex)
         .join(comps.withColumnRenamed("vertex", "v2"), F.col("id") == F.col("v2"))
         .join(degs.withColumnRenamed("vertex", "v3"), F.col("id") == F.col("v3"))
-        # pairs carry RAW user terms; typed graphs store 't:<term>' —
-        # strip the kind so both graph generations join (legacy keys
-        # pass through strip_kind unchanged)
+        # pairs carry RAW user TERMS: restrict to term-kind nodes FIRST
+        # (legacy raw keys report the term kind too), THEN strip the
+        # prefix so both graph generations join.  Stripping without the
+        # kind filter would collapse 't:<x>' and 'v:<x>' onto one key
+        # and fan the pairs join out with sim-node features.
+        .filter(node_kind("key") == TERM_TYPE)
         .select(strip_kind("key").alias("key"), "rank", "component", "out_degree")
     )
     fa = feat.select(

@@ -152,6 +152,23 @@ def test_untyped_legacy_graph_still_queryable(spark, tmp_path):
     assert {"util", "test"} <= {x["key"] for x in r.ranked_terms.collect()}
 
 
+def test_pair_features_sim_nodes_do_not_collide(spark):
+    """A term 't:42' and a sim node 'v:42' must NOT collapse onto one
+    joined key — pair_features restricts to term-kind nodes before
+    stripping prefixes (regression: stripping alone fanned the pairs
+    join out with sim-node feature rows)."""
+    nodes = spark.createDataFrame(
+        [(1, "t:42"), (2, "v:42"), (3, "t:x")], "id long, key string"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0), (3, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    pairs = spark.createDataFrame([("42", "x")], "term_a string, term_b string")
+    out = pair_features(spark, nodes, edges, pairs, max_iter=5).collect()
+    assert len(out) == 1  # exactly one feature row per input pair
+
+
 def test_build_graph_with_similarity_edges(spark, tmp_path):
     """G8 wired into construction: with an embeddings table the build
     adds kNN similarity edges between v:<vec_id> nodes (the reference's

@@ -117,6 +117,16 @@ def test_per_doc_term_cap_preserves_duplicate_doc_multiplicity(spark):
     assert ("t00", "t11") not in got
 
 
+def test_cap_below_one_rejected(spark):
+    """cap <= 0 would keep zero terms for over-cap docs and silently
+    drop them through the trim's inner join — must refuse loudly
+    (None is the disable spelling)."""
+    docs = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="max_terms_per_doc"):
+            extract_cooccurrence_edges(docs, max_terms_per_doc=bad)
+
+
 def test_cap_default_off_and_opt_in_at_construct(spark):
     """extract_cooccurrence_edges defaults to NO per-doc cap (the trim's
     df is corpus-relative, so slice-callers — streaming deltas, oracle

@@ -53,7 +53,7 @@ def test_edge_exchange_reused_across_superstep(spark):
 
     e = powerlaw_edges(spark, 50_000, n_vertices=2_000, num_partitions=8)
     with no_aqe(spark):
-        cold, hot, hot_srcs = _prepare(e, 8, "broadcast", hot_threshold=10**9)
+        cold, hot, hot_srcs, _ = _prepare(e, 8, "broadcast", hot_threshold=10**9)
         assert hot is None and hot_srcs is None
         cold.count()
         state = F.broadcast(

@@ -59,9 +59,11 @@ def test_plan_hygiene(spark, name, fn):
             read_event_stream(spark, f"{SF}/events.parquet")
         )
         logical = stream._jdf.queryExecution().analyzed().toString()
+        # (no BatchEvalPython assertion here: that is a PHYSICAL node
+        # that can never appear in a logical plan — the with-state node
+        # check below is the real Arrow-batched guarantee)
         assert "FlatMapGroupsInPandasWithState" in logical, logical[:400]
         assert "user_id" in logical
-        assert not re.search(r"BatchEvalPython(?!UDTF)", logical)
         return
     plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 

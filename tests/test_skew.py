@@ -78,7 +78,7 @@ def test_no_straggler_partition_after_mirroring(spark):
     from sparkgatha.graph.pagerank import _prepare
 
     e = powerlaw_edges(spark, 400_000, n_vertices=20_000, num_partitions=16)
-    cold, hot, _ = _prepare(e, 16, "broadcast")
+    cold, hot, _, _ = _prepare(e, 16, "broadcast")
     assert hot is not None  # hub detected
     sizes = [
         r["n"]
@@ -101,7 +101,7 @@ def test_no_straggler_partition_shuffle_strategy(spark):
     from sparkgatha.graph.pagerank import _prepare
 
     e = powerlaw_edges(spark, 400_000, n_vertices=20_000, num_partitions=16)
-    cold, hot, hot_srcs = _prepare(e, 16, "shuffle")
+    cold, hot, hot_srcs, _ = _prepare(e, 16, "shuffle")
     assert hot is not None and hot_srcs is not None  # hub src detected
     assert hot_srcs.count() >= 1
     sizes = [
