@@ -48,12 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # in dict order.  This list pins the window so that every SURVEY.md §2
 # operator with a SQL-expressible oracle owns exactly one value-checked
 # slot (P1–P4, J1–J10, A1–A4, W1–W4, O1–O2, U1–U3, the §2.8 scalar
-# families, ST1–ST3, F1/F2/F4/F5/F6, G1/G3–G7/G8/G9, plus the round-3
-# operators rotated in for round 4: personalized PageRank and transitive
-# near-dup clusters).  J10's crossJoin shape is held by
-# q_knn_topk_per_vec; the §2.8 conditional family is held by
-# q_filter/q_asof (when()/coalesce() in checked outputs).  Remaining
-# oracle-backed entries (q_crossjoin_knn, q_case_when, dedup/textan/
+# families, ST1/ST3, F1/F2/F4/F5/F6, G1/G3–G9 and the round-4 additions
+# G14 link prediction, G15 HITS, G16 k-core).  J10's crossJoin shape is
+# held by q_knn_topk_per_vec; the §2.8 conditional family by
+# q_filter/q_asof (when()/coalesce() in checked outputs); U2's
+# intersect-as-join by q_g7_triangles' closing join; ST2 by ST1's window
+# operator; §2.8 math by the ln/round calls inside many checked outputs.
+# Remaining oracle-backed entries (q_intersect, q_math,
+# q_window_sliding, q_crossjoin_knn, q_case_when, dedup/textan/
 # similarity extras, subquery forms) follow after position 50 and are
 # verified by the local replica in tests/test_relational.py at the
 # same sf.
@@ -96,19 +98,31 @@ PRIORITY_WINDOW = [
                               # r4 displacing q_union: U1 runs inside
                               # every q_g* key (symmetrize is a
                               # unionByName) and stays in the replica
-    "q_intersect",          # U2
+    "q_linkpred_features",  # G14 link prediction + G1w window-1
+                            # extraction (rotated in r4 displacing
+                            # q_intersect — U2's intersect-as-join shape
+                            # runs inside driver-green q_g7_triangles'
+                            # closing-edge join; q_intersect stays in
+                            # the replica)
     "q_except",             # U3
     "q_string",             # §2.8 string
     "q_hash_sha256",        # §2.8 hash
     "q_date",               # §2.8 date
-    "q_math",               # §2.8 math
+    "q_k_core",             # G16 k-core peel (rotated in r4 displacing
+                            # q_math — the §2.8 math family (round, ln,
+                            # exp, sqrt) runs inside many checked
+                            # outputs: adamic_adar's ln, every rounded
+                            # double; q_math stays in the replica)
     "q_array_dot",          # §2.8 array
     "q_json_props",         # §2.8 map/json + S3 (the conditional family
                             # q_case_when rotated out in r4 — CASE/WHEN
                             # coverage stays via q_filter/q_asof, which
                             # run when()/coalesce() in checked outputs)
     "q_window_tumbling",    # ST1
-    "q_window_sliding",     # ST2
+    "q_hits",               # G15 HITS hubs/authorities (rotated in r4
+                            # displacing q_window_sliding — ST2's
+                            # sliding window is ST1's operator with a
+                            # slide parameter; it stays in the replica)
     "q_window_session",     # ST3
     "q_udf_normalize",      # F1 scalar pandas UDF
     "q_udf_token_count",    # F2 iterator-of-series UDF

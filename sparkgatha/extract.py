@@ -317,6 +317,56 @@ def extract_cooccurrence_edges(
     return edges
 
 
+def extract_adjacency_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """G1 variant — window-1 (adjacent-token) co-occurrence edges.
+
+    The document-level expander connects EVERY term pair in a doc; this
+    one connects only tokens that appear side by side, the bounded-
+    window co-occurrence the reference uses for its tighter relations
+    (sentence/window-scoped edges rather than whole-abstract).  The
+    resulting graph is far sparser and keeps non-adjacent 2-hop pairs —
+    the candidate set link prediction needs.
+
+    Pairs are formed over RAW token positions (a stopword neighbor
+    drops the pair rather than bridging across it), then filtered and
+    canonicalized.  Output: (src, dst, weight) with src < dst, weight =
+    occurrence count.
+
+    Physical shape: split → two slices → arrays_zip → explode → filter
+    → partial-agg groupBy, all JVM whole-stage-codegen expressions — no
+    Python stage at all (unlike the all-pairs expander, adjacency needs
+    no triangular index, so the JVM builtins express it directly).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size("t")
+    zipped = (
+        docs.select(toks.alias("t"))
+        .select(
+            F.slice("t", 1, F.greatest(n - 1, F.lit(0))).alias("l"),
+            F.slice("t", 2, F.greatest(n - 1, F.lit(0))).alias("r"),
+        )
+        .select(F.explode(F.arrays_zip("l", "r")).alias("p"))
+        .select(F.col("p.l").alias("x"), F.col("p.r").alias("y"))
+    )
+    keep = (
+        (F.col("x") != "")
+        & (F.col("y") != "")
+        & (F.col("x") != F.col("y"))
+        & ~F.col("x").isin(*stopwords)
+        & ~F.col("y").isin(*stopwords)
+    )
+    return (
+        zipped.filter(keep)
+        .select(F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """U1: store both orientations of each undirected edge."""
     rev = edges.select(

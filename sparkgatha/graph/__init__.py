@@ -7,6 +7,9 @@ from sparkgatha.graph.cc import connected_components
 from sparkgatha.graph.lpa import label_propagation
 from sparkgatha.graph.triangles import triangle_counts
 from sparkgatha.graph.paths import pair_distance, shortest_paths
+from sparkgatha.graph.hits import hits
+from sparkgatha.graph.kcore import core_numbers, k_core
+from sparkgatha.graph.linkpred import link_prediction_features
 
 __all__ = [
     "degrees",
@@ -18,4 +21,8 @@ __all__ = [
     "triangle_counts",
     "shortest_paths",
     "pair_distance",
+    "hits",
+    "k_core",
+    "core_numbers",
+    "link_prediction_features",
 ]

@@ -132,3 +132,37 @@ def lpa_oracle(triples, max_iter=20):
             break
         labels = new
     return labels
+
+
+def hits_oracle(directed_edges, max_iter=30, tol=0.0):
+    """Pure-Python HITS with L1 (sum-to-one) normalization after each
+    half-step — the engine's exact semantics (graph/hits.py; scipy is
+    absent so networkx.hits is unusable here).  ``directed_edges``:
+    iterable of (u, v) or (u, v, w) — weights ignored (classic
+    unweighted HITS).  Returns ({v: hub}, {v: auth}, iterations)."""
+    edges = {(e[0], e[1]) for e in directed_edges if e[0] != e[1]}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    if not nodes:
+        return {}, {}, 0
+    hub = {v: 1.0 / len(nodes) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    it = 0
+    while it < max_iter:
+        it += 1
+        new_auth = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            new_auth[v] += hub[u]
+        s = sum(new_auth.values())
+        new_auth = {v: x / s for v, x in new_auth.items()}
+        new_hub = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            new_hub[u] += new_auth[v]
+        s = sum(new_hub.values())
+        new_hub = {v: x / s for v, x in new_hub.items()}
+        delta = sum(abs(new_hub[v] - hub[v]) for v in nodes) + sum(
+            abs(new_auth[v] - auth[v]) for v in nodes
+        )
+        hub, auth = new_hub, new_auth
+        if tol > 0.0 and delta <= tol:
+            break
+    return hub, auth, it

@@ -1,0 +1,209 @@
+"""L2 goldens + unit tests for the round-4 link-graph additions:
+HITS (graph/hits.py), k-core (graph/kcore.py), link-prediction
+features (graph/linkpred.py) and window-1 adjacency extraction
+(extract.extract_adjacency_edges).
+
+NetworkX is the golden where its implementation is pure Python
+(core_number, the link-prediction generators); HITS uses the pure
+Python oracle in graph_helpers (networkx.hits needs scipy, absent
+in this sandbox)."""
+
+import math
+
+import networkx as nx
+import pytest
+
+from graph_helpers import hits_oracle, random_graph, to_spark_edges
+
+from sparkgatha.extract import extract_adjacency_edges
+from sparkgatha.graph import (
+    core_numbers,
+    hits,
+    k_core,
+    link_prediction_features,
+)
+
+
+@pytest.fixture(scope="module")
+def triples():
+    return random_graph(n=80, m=220, seed=11)
+
+
+def _directed(spark, triples):
+    """Directed a<b Spark edges + the matching (u, v) pair list."""
+    return (
+        to_spark_edges(spark, triples, symmetric=False),
+        [(a, b) for a, b, _ in triples],
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_fixed_rounds_match_oracle(spark, triples):
+    """Strict semantic check: after exactly k rounds the engine equals
+    the pure-Python L1-normalized iterate to fp precision."""
+    edges, pairs = _directed(spark, triples)
+    res = hits(edges, max_iter=15, tol=0.0)
+    oh, oa, _ = hits_oracle(pairs, max_iter=15)
+    got = {r["vertex"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    assert set(got) == set(oh)
+    for v in oh:
+        assert abs(got[v][0] - oh[v]) < 1e-12, v
+        assert abs(got[v][1] - oa[v]) < 1e-12, v
+    assert res.iterations == 15
+
+
+def test_hits_converges_and_sums_to_one(spark, triples):
+    edges, pairs = _directed(spark, triples)
+    res = hits(edges, max_iter=100, tol=1e-10)
+    assert res.iterations < 100  # converged, not exhausted
+    assert res.delta <= 1e-10
+    rows = res.scores.collect()
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-9
+    oh, oa, _ = hits_oracle(pairs, max_iter=500, tol=1e-13)
+    got = {r["vertex"]: (r["hub"], r["authority"]) for r in rows}
+    for v in oh:
+        assert abs(got[v][0] - oh[v]) < 1e-6
+        assert abs(got[v][1] - oa[v]) < 1e-6
+
+
+def test_hits_pure_sink_and_source(spark):
+    """A source-only vertex ends with 0 authority, a sink-only vertex
+    with 0 hub — and both still appear in the output."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    got = {
+        r["vertex"]: (r["hub"], r["authority"])
+        for r in hits(edges, max_iter=20, tol=0.0).scores.collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] == 0.0  # no in-edges → no authority
+    assert got[3][0] == 0.0  # no out-edges → no hub
+
+
+def test_hits_rejects_bad_max_iter(spark):
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="max_iter"):
+        hits(edges, max_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_matches_networkx(spark, triples):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    for k in (2, 3, 4, 5):
+        want = nx.k_core(g, k)
+        got = {r["vertex"]: r["core_degree"] for r in k_core(edges, k).collect()}
+        assert set(got) == set(want.nodes), f"k={k}"
+        for v, d in dict(want.degree()).items():
+            assert got[v] == d, f"k={k} v={v}"
+
+
+def test_core_numbers_match_networkx(spark, triples):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {r["vertex"]: r["core"] for r in core_numbers(edges).collect()}
+    assert got == nx.core_number(g)
+
+
+def test_k_core_empty_when_k_exceeds_degeneracy(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    assert k_core(edges, k=1000).count() == 0
+
+
+def test_k_core_rejects_bad_k(spark):
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(edges, k=0)
+
+
+# ---------------------------------------------------------------------------
+# link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_linkpred_matches_networkx(spark, triples):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {
+        (r["src"], r["dst"]): r
+        for r in link_prediction_features(edges).collect()
+    }
+    # candidate set: exactly the non-adjacent 2-hop pairs
+    want_pairs = set()
+    for z in g:
+        nbrs = sorted(g[z])
+        for i, a in enumerate(nbrs):
+            for b in nbrs[i + 1 :]:
+                if not g.has_edge(a, b):
+                    want_pairs.add((min(a, b), max(a, b)))
+    assert set(got) == want_pairs
+    eb = sorted(want_pairs)
+    for (a, b, j), (_, _, aa), (_, _, pa) in zip(
+        nx.jaccard_coefficient(g, eb),
+        nx.adamic_adar_index(g, eb),
+        nx.preferential_attachment(g, eb),
+    ):
+        r = got[(a, b)]
+        assert r["common_neighbors"] == len(
+            list(nx.common_neighbors(g, a, b))
+        )
+        assert abs(r["jaccard"] - j) < 1e-12
+        assert abs(r["adamic_adar"] - aa) < 1e-12
+        assert r["pref_attachment"] == pa
+
+
+def test_linkpred_hub_cap_bounds_candidates(spark):
+    """A star hub is the only witness for its leaf pairs: capping below
+    the hub degree removes the O(deg^2) wedge work (and those pairs);
+    uncapped, every leaf pair is a candidate."""
+    n_leaves = 30
+    rows = [(0, i, 1.0) for i in range(1, n_leaves + 1)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    exact = link_prediction_features(edges)
+    assert exact.count() == n_leaves * (n_leaves - 1) // 2
+    capped = link_prediction_features(edges, hub_degree_cap=n_leaves - 1)
+    assert capped.count() == 0
+    # scores on the exact path: every leaf pair has exactly the hub in
+    # common; deg(leaf)=1 so jaccard = 1/(1+1-1), aa = 1/ln(n_leaves)
+    row = exact.limit(1).collect()[0]
+    assert row["common_neighbors"] == 1
+    assert abs(row["jaccard"] - 1.0) < 1e-12
+    assert abs(row["adamic_adar"] - 1.0 / math.log(n_leaves)) < 1e-12
+    assert row["pref_attachment"] == 1
+
+
+# ---------------------------------------------------------------------------
+# window-1 adjacency extraction
+# ---------------------------------------------------------------------------
+
+
+def test_adjacency_edges_semantics(spark):
+    """Stopword neighbors DROP the pair (no bridging); weights count
+    occurrences; pairs are canonical src < dst."""
+    docs = spark.createDataFrame(
+        [
+            ("x y z y x",),   # pairs: xy yz zy yx → (x,y)*2 (y,z)*2
+            ("x the z",),     # 'the' kills both its pairs
+            ("w w q",),       # self-pair dropped, (q,w) kept
+            ("",),            # empty text → nothing
+        ],
+        "text string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in extract_adjacency_edges(docs).collect()
+    }
+    assert got == {("x", "y"): 2, ("y", "z"): 2, ("q", "w"): 1}
