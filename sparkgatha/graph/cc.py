@@ -44,20 +44,16 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
+from sparkgatha.graph.canon import canonical_undirected
 from sparkgatha.graph.checkpoint import CheckpointManager
 from sparkgatha.graph.metrics import MetricsSink
 from sparkgatha.util import no_aqe
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
-    """Undirected edge set as (u > v) canonical pairs, self-loops dropped."""
-    return (
-        edges.select(
-            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    """Undirected edge set as (u > v) canonical pairs, self-loops
+    dropped — larger endpoint first so min-aggregation lands on v."""
+    return canonical_undirected(edges, greater_first=True)
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -37,7 +37,10 @@ from sparkgatha.util import no_aqe
 class HitsResult:
     scores: DataFrame  # (vertex, hub, authority)
     iterations: int
-    delta: float  # L1 delta of (hub, auth) at the last iteration
+    # Summed L1 delta of (hub, auth) at the last iteration — always a
+    # finite number (iteration 1 is measured against the uniform start
+    # vectors), in both tol-driven and fixed-round (tol=0.0) modes.
+    delta: float
 
 
 def _normalized(df: DataFrame, col: str) -> DataFrame:
@@ -47,6 +50,21 @@ def _normalized(df: DataFrame, col: str) -> DataFrame:
     total = df.agg(F.sum(col).alias("s"))
     return df.crossJoin(F.broadcast(total)).select(
         "vertex", (F.col(col) / F.col("s")).alias(col)
+    )
+
+
+def _l1_delta(cur: DataFrame, prev: DataFrame, col: str) -> DataFrame:
+    """Per-row |cur - prev| of ``col`` over a full-outer vertex join
+    (vertices absent from one side count their full mass)."""
+    return (
+        cur.join(
+            prev.select("vertex", F.col(col).alias("_p")), "vertex", "full_outer"
+        )
+        .select(
+            F.abs(
+                F.coalesce(col, F.lit(0.0)) - F.coalesce("_p", F.lit(0.0))
+            ).alias("dd")
+        )
     )
 
 
@@ -86,67 +104,50 @@ def hits(
             )
             return HitsResult(scores=empty, iterations=0, delta=0.0)
         hub = vertices.select("vertex", F.lit(1.0 / n).alias("hub"))
-        auth = None
-        prev_hub = prev_auth = None
+        # uniform authority start — only the iteration-1 delta baseline
+        auth = vertices.select("vertex", F.lit(1.0 / n).alias("authority"))
         it = 0
         delta = float("inf")
         while it < max_iter:
             it += 1
-            # authority half-step: gather hub mass along edges into dst.
-            # Both half-step results are O(|V|) and eagerly checkpointed
-            # EVERY round: each round's plan references the previous
-            # state twice (gather + normalize), so an unchecked lineage
-            # doubles per round — 2^k subtrees by round k chokes the
-            # optimizer long before any data moves.
+            prev_hub, prev_auth = hub, auth
+            # Each half-step references the previous state twice (the
+            # gather + _normalized's crossJoin reads its input twice),
+            # so an unchecked lineage grows ~4× per round — keep
+            # ``checkpoint_every`` small.  State is O(|V|) and eagerly
+            # checkpointed every ``checkpoint_every`` rounds, plus
+            # whenever a delta job is about to read it (tol-driven
+            # rounds and the final round).
+            want_delta = tol > 0.0 or it == max_iter
+            do_ckpt = want_delta or it % checkpoint_every == 0
+            # authority half-step: gather hub mass along edges into dst
             auth = _normalized(
                 e.join(hub.withColumnRenamed("vertex", "src"), "src")
                 .groupBy(F.col("dst").alias("vertex"))
                 .agg(F.sum("hub").alias("authority")),
                 "authority",
-            ).localCheckpoint(eager=True)
+            )
+            if do_ckpt:
+                auth = auth.localCheckpoint(eager=True)
             # hub half-step: gather the fresh authority mass back to src
-            new_hub = _normalized(
+            hub = _normalized(
                 e.join(auth.withColumnRenamed("vertex", "dst"), "dst")
                 .groupBy(F.col("src").alias("vertex"))
                 .agg(F.sum("authority").alias("hub")),
                 "hub",
-            ).localCheckpoint(eager=True)
-            if tol > 0.0 and prev_hub is not None:
+            )
+            if do_ckpt:
+                hub = hub.localCheckpoint(eager=True)
+            if want_delta:
                 d = (
-                    new_hub.join(
-                        prev_hub.select("vertex", F.col("hub").alias("ph")),
-                        "vertex",
-                        "full_outer",
-                    )
-                    .select(
-                        F.abs(
-                            F.coalesce("hub", F.lit(0.0))
-                            - F.coalesce("ph", F.lit(0.0))
-                        ).alias("dd")
-                    )
-                    .unionByName(
-                        auth.join(
-                            prev_auth.select(
-                                "vertex", F.col("authority").alias("pa")
-                            ),
-                            "vertex",
-                            "full_outer",
-                        ).select(
-                            F.abs(
-                                F.coalesce("authority", F.lit(0.0))
-                                - F.coalesce("pa", F.lit(0.0))
-                            ).alias("dd")
-                        )
-                    )
+                    _l1_delta(hub, prev_hub, "hub")
+                    .unionByName(_l1_delta(auth, prev_auth, "authority"))
                     .agg(F.sum("dd").alias("d"))
                     .collect()[0]["d"]
                 )
                 delta = float(d or 0.0)
-                if delta <= tol:
-                    hub = new_hub
+                if tol > 0.0 and delta <= tol:
                     break
-            prev_hub, prev_auth = new_hub, auth
-            hub = new_hub
         scores = (
             vertices.join(hub, "vertex", "left")
             .join(auth, "vertex", "left")

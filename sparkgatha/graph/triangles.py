@@ -15,16 +15,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from sparkgatha.graph.canon import canonical_undirected
+
 
 def _oriented(edges: DataFrame) -> DataFrame:
     """Canonical undirected edges oriented by (degree, id)."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    und = canonical_undirected(edges)
     deg = (
         und.select(F.col("u").alias("vertex"))
         .unionByName(und.select(F.col("v").alias("vertex")))

@@ -1789,10 +1789,16 @@ def q_k_core(spark, sf_dir):
     from sparkgatha.graph.kcore import k_core
 
     l = _t(spark, sf_dir, "lineitem")
-    big = l.select(
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
+    # one lineitem scan + distinct shuffle, materialized once for the
+    # three consumers (edge count, vertex count, the peel itself)
+    big = (
+        l.select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_big = big.count()
     n_vert = (
         big.select(F.col("src").alias("x"))
@@ -1802,7 +1808,9 @@ def q_k_core(spark, sf_dir):
     )
     # symmetric row count = 2 * n_big ('p:'/'s:' namespaces never collide)
     k = math.ceil(0.5 * (2 * n_big) / n_vert)
-    return k_core(big, k=k, max_iter=8).select(
+    # big is already distinct canonical src < dst ('p:' < 's:' always,
+    # namespaces disjoint so no self-loops) — skip the re-normalization
+    return k_core(big, k=k, max_iter=8, assume_canonical=True).select(
         F.col("vertex").alias("key"), "core_degree"
     )
 

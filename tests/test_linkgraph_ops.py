@@ -86,6 +86,23 @@ def test_hits_pure_sink_and_source(spark):
     assert got[3][0] == 0.0  # no out-edges → no hub
 
 
+def test_hits_fixed_round_delta_finite_and_checkpoint_cadence(spark, triples):
+    """delta must be a real number in fixed-round mode (it is the G13
+    convergence metric), and the checkpoint cadence knob must not
+    change values — only lineage shape."""
+    edges, _ = _directed(spark, triples)
+    r2 = hits(edges, max_iter=6, tol=0.0, checkpoint_every=2)
+    r3 = hits(edges, max_iter=6, tol=0.0, checkpoint_every=3)
+    assert math.isfinite(r2.delta) and r2.delta >= 0.0
+    assert r2.iterations == 6
+    g2 = {r["vertex"]: (r["hub"], r["authority"]) for r in r2.scores.collect()}
+    g3 = {r["vertex"]: (r["hub"], r["authority"]) for r in r3.scores.collect()}
+    assert set(g2) == set(g3)
+    for v in g2:
+        assert abs(g2[v][0] - g3[v][0]) < 1e-12, v
+        assert abs(g2[v][1] - g3[v][1]) < 1e-12, v
+
+
 def test_hits_rejects_bad_max_iter(spark):
     edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
     with pytest.raises(ValueError, match="max_iter"):
@@ -126,6 +143,42 @@ def test_k_core_rejects_bad_k(spark):
     edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
     with pytest.raises(ValueError, match="k must be"):
         k_core(edges, k=0)
+
+
+def test_k_core_long_chain_peels_to_fixpoint(spark):
+    """A 120-vertex path at k=2 strips only its two endpoints per
+    synchronous round (~60 waves) — a silent round cap would label
+    mid-path vertices as a fake 2-core.  Default mode must run to
+    fixpoint: the 2-core of a path is empty and every core number 1."""
+    n = 120
+    triples = [(i, i + 1, 1.0) for i in range(n - 1)]
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    assert k_core(edges, k=2).count() == 0
+    got = {r["vertex"]: r["core"] for r in core_numbers(edges).collect()}
+    assert got == {v: 1 for v in range(n)}
+
+
+def test_k_core_fixed_round_mode_truncates_at_bound(spark):
+    """Explicit integer max_iter = the documented oracle mode: exactly
+    that many peel rounds, silent stop (relational.py:q_k_core relies
+    on round-for-round parity with the unrolled SQL peel)."""
+    triples = [(i, i + 1, 1.0) for i in range(9)]
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    # 10-vertex path, k=2, one round: only the two endpoints peel off
+    got = {r["vertex"] for r in k_core(edges, k=2, max_iter=1).collect()}
+    assert got == set(range(1, 9))
+
+
+def test_k_core_assume_canonical_matches_default(spark, triples):
+    """random_graph triples are already distinct canonical a<b pairs, so
+    the shuffle-skipping path must produce the identical core."""
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    base = {(r["vertex"], r["core_degree"]) for r in k_core(edges, 3).collect()}
+    fast = {
+        (r["vertex"], r["core_degree"])
+        for r in k_core(edges, 3, assume_canonical=True).collect()
+    }
+    assert base == fast
 
 
 # ---------------------------------------------------------------------------
