@@ -104,8 +104,19 @@ PRIORITY_WINDOW = [
                             # runs inside driver-green q_g7_triangles'
                             # closing-edge join; q_intersect stays in
                             # the replica)
-    "q_except",             # U3
-    "q_string",             # §2.8 string
+    "q_random_walks",       # G18 deterministic random-walk corpus
+                            # (rotated in r4 continuation displacing
+                            # q_except — U3's distinct-anti shape is
+                            # J5's driver-green left-anti plus the
+                            # distinct that runs inside every q_dedup*
+                            # key; q_except stays in the replica)
+    "q_clustering_coeff",   # G17 local clustering coefficient (rotated
+                            # in r4 continuation displacing q_string —
+                            # the §2.8 string family (split, lower,
+                            # trim, concat) runs inside the checked
+                            # outputs of q_udtf_split_terms, every
+                            # extraction CTE, and q_sample_hash's key
+                            # build; q_string stays in the replica)
     "q_hash_sha256",        # §2.8 hash
     "q_date",               # §2.8 date
     "q_k_core",             # G16 k-core peel (rotated in r4 displacing

@@ -5,11 +5,12 @@ from sparkgatha.graph.degrees import degrees, in_degrees, out_degrees
 from sparkgatha.graph.pagerank import pagerank
 from sparkgatha.graph.cc import connected_components
 from sparkgatha.graph.lpa import label_propagation
-from sparkgatha.graph.triangles import triangle_counts
+from sparkgatha.graph.triangles import clustering_coefficients, triangle_counts
 from sparkgatha.graph.paths import pair_distance, shortest_paths
 from sparkgatha.graph.hits import hits
 from sparkgatha.graph.kcore import core_numbers, k_core
 from sparkgatha.graph.linkpred import link_prediction_features
+from sparkgatha.graph.walks import random_walks
 
 __all__ = [
     "degrees",
@@ -19,6 +20,8 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_counts",
+    "clustering_coefficients",
+    "random_walks",
     "shortest_paths",
     "pair_distance",
     "hits",

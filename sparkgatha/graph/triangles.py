@@ -18,15 +18,18 @@ from pyspark.sql import DataFrame, functions as F
 from sparkgatha.graph.canon import canonical_undirected
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """Canonical undirected edges oriented by (degree, id)."""
-    und = canonical_undirected(edges)
-    deg = (
+def _degrees(und: DataFrame) -> DataFrame:
+    """(vertex, deg) over a canonical undirected edge set."""
+    return (
         und.select(F.col("u").alias("vertex"))
         .unionByName(und.select(F.col("v").alias("vertex")))
         .groupBy("vertex")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def _orient(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges by (degree, id)."""
     du = deg.select(F.col("vertex").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("vertex").alias("v"), F.col("deg").alias("dv"))
     withdeg = und.join(du, "u").join(dv, "v")
@@ -39,13 +42,15 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """(vertex long, n_triangles long), exact, plus isolated endpoints 0.
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edges oriented by (degree, id)."""
+    und = canonical_undirected(edges)
+    return _orient(und, _degrees(und))
 
-    Global triangle count = sum(n_triangles) / 3 (each triangle counted
-    once per corner here, not once per orientation).
-    """
-    o = _oriented(edges).localCheckpoint(eager=True)
+
+def _corner_counts(o: DataFrame) -> DataFrame:
+    """(vertex, n_triangles) for triangle CORNERS only (no zero-fill),
+    from a degree-oriented edge set."""
     # wedges at pivot a: (a→b, a→c) with b < c to canonicalize
     e1 = o.select(F.col("a").alias("p"), F.col("b").alias("x"))
     e2 = o.select(F.col("a").alias("p"), F.col("b").alias("y"))
@@ -54,13 +59,23 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
     )
     tris = wedges.join(closing, ["x", "y"])  # one row per triangle
-    per_corner = (
+    return (
         tris.select(F.col("p").alias("vertex"))
         .unionByName(tris.select(F.col("x").alias("vertex")))
         .unionByName(tris.select(F.col("y").alias("vertex")))
         .groupBy("vertex")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(vertex long, n_triangles long), exact, plus isolated endpoints 0.
+
+    Global triangle count = sum(n_triangles) / 3 (each triangle counted
+    once per corner here, not once per orientation).
+    """
+    o = _oriented(edges).localCheckpoint(eager=True)
+    per_corner = _corner_counts(o)
     vertices = (
         edges.select(F.col("src").alias("vertex"))
         .unionByName(edges.select(F.col("dst").alias("vertex")))
@@ -68,6 +83,33 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     return vertices.join(per_corner, "vertex", "left").select(
         "vertex", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(vertex, clustering): the local clustering coefficient
+    2·T(v) / (deg(v)·(deg(v)−1)), 0.0 below degree 2 —
+    ``networkx.clustering`` (unweighted) semantics.
+
+    One canonicalization shuffle feeds degrees AND the oriented wedge
+    join (the und set is checkpointed once and reused), so the cost over
+    plain triangle counting is a single |V|-row degree join."""
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
+    deg = _degrees(und)
+    o = _orient(und, deg).localCheckpoint(eager=True)
+    per_corner = _corner_counts(o)
+    d = F.col("deg").cast("double")
+    return (
+        deg.join(per_corner, "vertex", "left")
+        .select(
+            "vertex",
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.coalesce("n_triangles", F.lit(0)) / (d * (d - 1.0)),
+            )
+            .otherwise(0.0)
+            .alias("clustering"),
+        )
     )
 
 

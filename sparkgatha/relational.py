@@ -1520,6 +1520,95 @@ def q_g7_triangles(spark, sf_dir):
     return t.join(nodes, t.vertex == nodes.id).select("key", "n_triangles")
 
 
+@register(
+    "q_clustering_coeff",
+    f"""
+    WITH {_GRAPH_CTE},
+    und AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+    tri AS (
+      SELECT t1.a AS x, t1.b AS y, t2.b AS z
+      FROM und t1
+      JOIN und t2 ON t2.a = t1.b
+      JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+    ),
+    corners AS (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY src),
+    tc AS (
+      SELECT deg.v, deg.d, count(corners.v) AS nt
+      FROM deg LEFT JOIN corners ON corners.v = deg.v
+      GROUP BY deg.v, deg.d
+    )
+    SELECT v AS key,
+           round(CASE WHEN d >= 2
+                      THEN 2.0 * nt / (d * (d - 1.0))
+                      ELSE 0.0 END, 8) AS clustering
+    FROM tc
+    """,
+)
+def q_clustering_coeff(spark, sf_dir):
+    """G17 local clustering coefficient 2T/(d(d-1)) — the standard
+    transitivity profile of the term graph, composed from the G7
+    triangle corners and one degree join; value-checked against the
+    same DuckDB triangle enumeration plus a degree CTE.  Both engines
+    evaluate the identical double expression (2.0*nt)/(d*(d-1.0)), so
+    even pre-round values are bit-equal."""
+    from sparkgatha.graph.triangles import clustering_coefficients
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    c = clustering_coefficients(id_edges)
+    return c.join(nodes, c.vertex == nodes.id).select(
+        "key", F.round("clustering", 8).alias("clustering")
+    )
+
+
+def _walks_oracle_sql(length: int, seed: int = 0) -> str:
+    """G18 unrolled: each round picks the neighbor with the smallest
+    md5(walk_id:step:seed:dst) via arg_min — the hash covers dst, so
+    scores are distinct within a group and the argmin is unique (ties
+    impossible ⇒ arg_min/min_by agree across engines)."""
+    sql = f"""
+    WITH {_GRAPH_CTE},
+    w_0 AS MATERIALIZED (
+      SELECT DISTINCT src || '#0' AS walk_id, src AS cur FROM e
+    )"""
+    for t in range(1, length + 1):
+        sql += f""",
+    w_{t} AS MATERIALIZED (
+      SELECT w.walk_id,
+             arg_min(e.dst, md5(w.walk_id || ':{t}:{seed}:' || e.dst)) AS cur
+      FROM w_{t - 1} w JOIN e ON e.src = w.cur
+      GROUP BY w.walk_id
+    )
+    """
+    sql += "SELECT walk_id, 0 AS step, cur AS vertex FROM w_0"
+    for t in range(1, length + 1):
+        sql += (
+            f"\n    UNION ALL SELECT walk_id, {t} AS step, cur FROM w_{t}"
+        )
+    return sql
+
+
+@register("q_random_walks", _walks_oracle_sql(4))
+def q_random_walks(spark, sf_dir):
+    """G18 deterministic random-walk corpus (DeepWalk-style training
+    sequences): next hop = argmin of md5(walk_id:step:seed:neighbor),
+    a pure hash rule with no RNG state — reproducible across engines,
+    retries, and partitionings, and therefore value-checked against
+    the 4-round unrolled DuckDB arg_min walk."""
+    from sparkgatha.extract import extract_cooccurrence_edges, symmetrize
+    from sparkgatha.graph.walks import random_walks
+
+    d = _t(spark, sf_dir, "documents")
+    edges = symmetrize(
+        extract_cooccurrence_edges(d, text_col="text", max_terms_per_doc=None)
+    )
+    return random_walks(edges, length=4, walks_per_vertex=1, seed=0)
+
+
 def _sssp_oracle_sql(rounds: int = 10) -> str:
     """G9 unrolled Bellman-Ford: dist_r(v) = min(dist_{r-1}(v),
     min over in-edges of dist_{r-1}(src) + w).  min-plus has NO fp

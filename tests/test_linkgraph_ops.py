@@ -260,3 +260,86 @@ def test_adjacency_edges_semantics(spark):
         for r in extract_adjacency_edges(docs).collect()
     }
     assert got == {("x", "y"): 2, ("y", "z"): 2, ("q", "w"): 1}
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficient + random walks (round-4 continuation)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph import clustering_coefficients, random_walks  # noqa: E402
+
+
+def test_clustering_coefficients_match_networkx(spark, triples):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    want = nx.clustering(g)
+    got = {
+        r["vertex"]: r["clustering"]
+        for r in clustering_coefficients(edges).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    adj = {(a, b) for a, b, _ in triples} | {(b, a) for a, b, _ in triples}
+    rows = random_walks(edges, length=5, seed=3).collect()
+    rows2 = random_walks(edges, length=5, seed=3).collect()
+    key = lambda r: (r["walk_id"], r["step"], r["vertex"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, rows2))
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    n_vertices = len({v for e in adj for v in e})
+    assert len(walks) == n_vertices  # one walk per vertex with out-edges
+    for wid, seq in walks.items():
+        assert set(seq) == set(range(6)), wid  # symmetric graph: no sinks
+        start = int(wid.split("#")[0])
+        assert seq[0] == start, wid
+        for t in range(1, 6):
+            assert (seq[t - 1], seq[t]) in adj, (wid, t)
+
+
+def test_random_walks_seed_changes_paths(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    a = {(r["walk_id"], r["step"], r["vertex"])
+         for r in random_walks(edges, length=5, seed=0).collect()}
+    b = {(r["walk_id"], r["step"], r["vertex"])
+         for r in random_walks(edges, length=5, seed=1).collect()}
+    assert a != b
+
+
+def test_random_walks_stop_at_sinks(spark):
+    # directed chain 1→2→3: the walk from 3 has no hop rows, the walk
+    # from 2 ends after one hop, the walk from 1 after two
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    rows = random_walks(edges, length=5).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], []).append((r["step"], r["vertex"]))
+    # vertex 3 has no out-edges, so no walk starts there
+    assert set(by_walk) == {"1#0", "2#0"}
+    assert sorted(by_walk["1#0"]) == [(0, 1), (1, 2), (2, 3)]
+    assert sorted(by_walk["2#0"]) == [(0, 2), (1, 3)]
+
+
+def test_random_walks_multiple_walks_per_vertex(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    rows = random_walks(edges, length=2, walks_per_vertex=3).collect()
+    ids = {r["walk_id"] for r in rows}
+    starts = {w.split("#")[0] for w in ids}
+    assert all(w.split("#")[1] in {"0", "1", "2"} for w in ids)
+    assert len(ids) == 3 * len(starts)
+
+
+def test_random_walks_reject_bad_args(spark):
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="length"):
+        random_walks(edges, length=0)
+    with pytest.raises(ValueError, match="walks_per_vertex"):
+        random_walks(edges, length=1, walks_per_vertex=0)
