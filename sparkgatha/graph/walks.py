@@ -20,17 +20,20 @@ scores are distinct within a step and the argmin is unique (no
 tie-break rule needed).
 
 Physical shape per step (the 100 TB story): one keyed join of the
-O(#walks) frontier against the cached adjacency + one partial-aggregable
-``min_by`` groupBy — the PageRank superstep shape; the edge table never
-moves after its initial materialization and the frontier is O(#walks)
-rows.  Walks at a sink vertex (no out-neighbors) end early, exactly like
-the SQL unroll's inner join semantics.
+O(#walks) frontier against the adjacency + one partial-aggregable
+``min_by`` groupBy — the PageRank superstep shape.  The adjacency is
+laid out ONCE via the G11 stationary partitioning (hash(src) + persist,
+graph/partitioning.py), so each step's sort-merge join re-shuffles only
+the small frontier side — the edge table never crosses the wire after
+its initial layout Exchange.  Walks at a sink vertex (no out-neighbors)
+end early, exactly like the SQL unroll's inner join semantics.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from sparkgatha.graph.partitioning import layout_edges
 from sparkgatha.util import no_aqe
 
 
@@ -68,45 +71,54 @@ def random_walks(
             f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
         )
     spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with no_aqe(spark):
-        adj = (
+        adj = layout_edges(
             edges.select("src", "dst")
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            num_partitions=n_part,
+            key="src",
         )
-        starts = adj.select(F.col("src").alias("v")).distinct()
-        replicas = spark.range(walks_per_vertex).select(
-            F.col("id").cast("int").alias("i")
-        )
-        frontier = (
-            starts.crossJoin(F.broadcast(replicas))
-            .select(
-                F.concat_ws(
-                    "#", F.col("v").cast("string"), F.col("i").cast("string")
-                ).alias("walk_id"),
-                F.col("v").alias("cur"),
+        try:
+            starts = adj.select(F.col("src").alias("v")).distinct()
+            replicas = spark.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("i")
             )
-            .localCheckpoint(eager=True)
-        )
-        out = frontier.select(
-            "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
-        )
-        for t in range(1, length + 1):
             frontier = (
-                frontier.join(adj, frontier.cur == adj.src)
-                .groupBy("walk_id")
-                .agg(
-                    F.min_by(
-                        "dst",
-                        _hop_score(F.col("walk_id"), t, seed, F.col("dst")),
-                    ).alias("cur")
+                starts.crossJoin(F.broadcast(replicas))
+                .select(
+                    F.concat_ws(
+                        "#", F.col("v").cast("string"), F.col("i").cast("string")
+                    ).alias("walk_id"),
+                    F.col("v").alias("cur"),
                 )
                 .localCheckpoint(eager=True)
             )
-            out = out.unionByName(
-                frontier.select(
-                    "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
-                )
+            out = frontier.select(
+                "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
             )
+            for t in range(1, length + 1):
+                frontier = (
+                    frontier.join(adj, frontier.cur == adj.src)
+                    .groupBy("walk_id")
+                    .agg(
+                        F.min_by(
+                            "dst",
+                            _hop_score(F.col("walk_id"), t, seed, F.col("dst")),
+                        ).alias("cur")
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                out = out.unionByName(
+                    frontier.select(
+                        "walk_id",
+                        F.lit(t).alias("step"),
+                        F.col("cur").alias("vertex"),
+                    )
+                )
+        finally:
+            # every frontier snapshot is eagerly checkpointed, so the
+            # returned plan never references the cached adjacency again
+            adj.unpersist()
         return out

@@ -343,3 +343,54 @@ def test_random_walks_reject_bad_args(spark):
         random_walks(edges, length=0)
     with pytest.raises(ValueError, match="walks_per_vertex"):
         random_walks(edges, length=1, walks_per_vertex=0)
+
+
+def test_random_walk_step_reuses_stationary_layout(spark):
+    """The at-scale (SMJ) walk step must read the persisted adjacency
+    with no Exchange above the cache: only the O(#walks) frontier side
+    shuffles (join key + the min_by agg) — mirrors the G11 PageRank
+    layout contract."""
+    from pyspark.sql import functions as F
+
+    from sparkgatha.graph.partitioning import layout_edges
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(i, (i * 7 + 1) % 50, 1.0) for i in range(200)],
+            "src long, dst long, weight double",
+        )
+        adj = layout_edges(
+            edges.select("src", "dst").distinct(), n_part, key="src"
+        )
+        adj.count()
+        try:
+            frontier = (
+                adj.select(F.col("src").alias("walk_id"), F.col("src").alias("cur"))
+                .distinct()
+                .localCheckpoint()
+            )
+            step = (
+                frontier.join(adj, frontier.cur == adj.src)
+                .groupBy("walk_id")
+                .agg(
+                    F.min_by(
+                        "dst", F.md5(F.concat_ws(":", "walk_id", "dst"))
+                    ).alias("cur")
+                )
+            )
+            plan = step._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "InMemoryTableScan" in plan
+            # no exchange/sort on the edge side above the cache: the only
+            # hash exchanges are frontier-keyed (walk_id agg / cur join)
+            above_cache = plan.split("InMemoryRelation", 1)[0]
+            for line in above_cache.splitlines():
+                if "Exchange hashpartitioning" in line:
+                    assert "walk_id" in line or "cur" in line, line
+        finally:
+            adj.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
