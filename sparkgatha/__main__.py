@@ -88,6 +88,25 @@ def main(argv=None) -> int:
     tr.add_argument("--top-k", type=int, default=50)
     tr.add_argument("--alpha", type=float, default=0.85)
 
+    w = sub.add_parser(
+        "walks",
+        help="deterministic random-walk corpus export (DeepWalk-style "
+             "training sequences; hash-rule next hop, no RNG state)",
+    )
+    w.add_argument("--graph", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument("--length", type=int, default=40)
+    w.add_argument("--walks-per-vertex", type=int, default=1)
+    w.add_argument("--seed", type=int, default=0)
+
+    pr = sub.add_parser(
+        "profile",
+        help="per-vertex topology profile: degree, triangle count, "
+             "local clustering coefficient",
+    )
+    pr.add_argument("--graph", required=True)
+    pr.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -225,6 +244,88 @@ def main(argv=None) -> int:
                 {"key": r["key"], "rank": round(r["rank"], 10)}
                 for r in out.collect()
             ],
+        }))
+
+    elif args.cmd == "walks":
+        from pyspark.sql import functions as F
+
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.walks import random_walks
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        hops = random_walks(
+            edges,
+            length=args.length,
+            walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed,
+        )
+        # corpus shape: one row per walk, the term sequence in step order
+        # (array_sort on (step, key) structs orders by step)
+        seqs = (
+            hops.join(nodes, hops.vertex == nodes.id)
+            .groupBy("walk_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "key"))
+                ).alias("s")
+            )
+            .select(
+                "walk_id",
+                F.transform("s", lambda x: x["key"]).alias("terms"),
+            )
+        )
+        seqs.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        stats = written.agg(
+            F.count("*").alias("walks"),
+            F.avg(F.size("terms")).alias("avg_len"),
+        ).collect()[0]
+        print(json.dumps({
+            "walks": stats["walks"],
+            "avg_len": round(float(stats["avg_len"]), 3),
+            "length": args.length,
+            "seed": args.seed,
+        }))
+
+    elif args.cmd == "profile":
+        from pyspark.sql import functions as F
+
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.degrees import out_degrees
+        from sparkgatha.graph.triangles import (
+            clustering_coefficients,
+            triangle_counts,
+        )
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        # the stored adjacency is symmetrized (construct.py phase 3), so
+        # out-degree IS the undirected degree — the same denominator the
+        # clustering coefficient uses; degrees() would double-count
+        prof = (
+            out_degrees(edges)
+            .withColumnRenamed("out_degree", "degree")
+            .drop("out_weight")
+            .join(triangle_counts(edges), "vertex", "left")
+            .join(clustering_coefficients(edges), "vertex", "left")
+            .join(nodes, F.col("vertex") == nodes.id)
+            .select(
+                "key",
+                "degree",
+                F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+                F.coalesce("clustering", F.lit(0.0)).alias("clustering"),
+            )
+        )
+        prof.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        stats = written.agg(
+            F.count("*").alias("vertices"),
+            F.avg("clustering").alias("avg_clustering"),
+            (F.sum("n_triangles") / 3).alias("triangles"),
+        ).collect()[0]
+        print(json.dumps({
+            "vertices": stats["vertices"],
+            "avg_clustering": round(float(stats["avg_clustering"]), 6),
+            "triangles": int(stats["triangles"]),
         }))
 
     if pre_existing is None:

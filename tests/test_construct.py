@@ -249,3 +249,36 @@ def test_cli_construct_and_query(spark, tmp_path):
         )
         == 0
     )
+    assert (
+        cli.main(
+            ["walks", "--graph", str(tmp_path / "g"), "--out",
+             str(tmp_path / "w"), "--length", "5"]
+        )
+        == 0
+    )
+    walks = spark.read.parquet(str(tmp_path / "w"))
+    assert walks.count() > 0
+    assert set(walks.columns) == {"walk_id", "terms"}
+    # symmetrized graph → no sinks → every walk has the full length+1
+    assert walks.filter(F.size("terms") != 6).count() == 0
+    assert (
+        cli.main(
+            ["profile", "--graph", str(tmp_path / "g"), "--out",
+             str(tmp_path / "p")]
+        )
+        == 0
+    )
+    prof = spark.read.parquet(str(tmp_path / "p"))
+    assert prof.count() > 0
+    assert set(prof.columns) == {"key", "degree", "n_triangles", "clustering"}
+    bad = prof.filter(
+        (F.col("clustering") < 0) | (F.col("clustering") > 1)
+    ).count()
+    assert bad == 0
+    # degree, triangles, and clustering must be mutually consistent:
+    # clustering == 2T/(d(d-1)) — catches double-counted degrees on the
+    # symmetrized adjacency
+    for r in prof.collect():
+        d, t = r["degree"], r["n_triangles"]
+        want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(r["clustering"] - want) < 1e-12, r
