@@ -48,6 +48,7 @@ def main() -> None:
     from sparkgatha.graph.cc import connected_components
     from sparkgatha.graph.lpa import label_propagation
     from sparkgatha.graph.triangles import triangle_counts
+    from sparkgatha.graph.walks import random_walks
     from sparkgatha.io import read_table
     from sparkgatha.synthetic import powerlaw_edges
     import __spark_entry__ as entrymod
@@ -125,6 +126,12 @@ def main() -> None:
         "b_lpa_5_supersteps",
         lambda: label_propagation(edges_b, max_iter=5, num_partitions=CPUS).count(),
     )
+    # walk-corpus generation at scale: ~2e6 walks (one per vertex), the
+    # frontier-only-shuffle superstep shape (graph/walks.py)
+    timed(
+        "b_random_walks_5",
+        lambda: random_walks(edges_b, length=5).count(),
+    )
 
     # --- input A: extraction spine + algorithms on the documents graph ---
     docs = read_table(spark, SF_DIR, "documents")
@@ -157,6 +164,10 @@ def main() -> None:
         "q_clean_corpus",
         "q_near_dup_clusters",
         "q_g4_pagerank_personalized",
+        "q_k_core",
+        "q_hits",
+        "q_clustering_coeff",
+        "q_random_walks",
         "q_rollup",
         "q_asof",
     ):

@@ -72,7 +72,7 @@ def hits(
     edges: DataFrame,
     max_iter: int = 30,
     tol: float = 1e-8,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> HitsResult:
     """(vertex, hub, authority), L1-normalized, over the DIRECTED
     distinct edge set of ``edges``.
@@ -80,6 +80,11 @@ def hits(
     ``tol=0.0`` runs exactly ``max_iter`` rounds (the oracle-comparison
     mode, mirroring pagerank's fixed-superstep contract); otherwise the
     loop stops when the summed L1 delta of both vectors ≤ tol.
+
+    ``checkpoint_every`` defaults to 1 (eager state materialization
+    every round): each unchecked round multiplies the plan ~4×, and the
+    optimizer cost of a 4^k-subtree plan dwarfs the O(|V|) checkpoint
+    write even on tiny graphs — raise it only after measuring.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")

@@ -1566,22 +1566,28 @@ def q_clustering_coeff(spark, sf_dir):
 
 
 def _walks_oracle_sql(length: int, seed: int = 0) -> str:
-    """G18 unrolled: each round picks the neighbor with the smallest
-    md5(walk_id:step:seed:dst) via arg_min — the hash covers dst, so
-    scores are distinct within a group and the argmin is unique (ties
-    impossible ⇒ arg_min/min_by agree across engines)."""
+    """G18 unrolled: each round indexes the SORTED neighbor list at
+    md5int(walk_id:step:seed) mod deg — the same md5→bigint convention
+    as the node-id oracle, list indexing 1-based in both engines, and
+    the sorted-list order is plain binary string order (identical
+    across engines for these lowercase ASCII terms)."""
     sql = f"""
     WITH {_GRAPH_CTE},
+    adj AS MATERIALIZED (
+      SELECT src, list_sort(list(dst)) AS nbrs, count(*) AS deg
+      FROM e GROUP BY src
+    ),
     w_0 AS MATERIALIZED (
-      SELECT DISTINCT src || '#0' AS walk_id, src AS cur FROM e
+      SELECT src || '#0' AS walk_id, src AS cur FROM adj
     )"""
     for t in range(1, length + 1):
         sql += f""",
     w_{t} AS MATERIALIZED (
       SELECT w.walk_id,
-             arg_min(e.dst, md5(w.walk_id || ':{t}:{seed}:' || e.dst)) AS cur
-      FROM w_{t - 1} w JOIN e ON e.src = w.cur
-      GROUP BY w.walk_id
+             a.nbrs[CAST(('0x' || substr(md5(w.walk_id || ':{t}:{seed}'),
+                                         1, 15))::BIGINT % a.deg AS INT) + 1]
+               AS cur
+      FROM w_{t - 1} w JOIN adj a ON a.src = w.cur
     )
     """
     sql += "SELECT walk_id, 0 AS step, cur AS vertex FROM w_0"
@@ -1595,10 +1601,11 @@ def _walks_oracle_sql(length: int, seed: int = 0) -> str:
 @register("q_random_walks", _walks_oracle_sql(4))
 def q_random_walks(spark, sf_dir):
     """G18 deterministic random-walk corpus (DeepWalk-style training
-    sequences): next hop = argmin of md5(walk_id:step:seed:neighbor),
-    a pure hash rule with no RNG state — reproducible across engines,
-    retries, and partitionings, and therefore value-checked against
-    the 4-round unrolled DuckDB arg_min walk."""
+    sequences): next hop = sorted-neighbor-list index at
+    md5int(walk_id:step:seed) mod degree — a pure O(1) hash rule with
+    no RNG state, reproducible across engines, retries, and
+    partitionings, and therefore value-checked against the 4-round
+    unrolled DuckDB list-indexing walk."""
     from sparkgatha.extract import extract_cooccurrence_edges, symmetrize
     from sparkgatha.graph.walks import random_walks
 

@@ -346,13 +346,14 @@ def test_random_walks_reject_bad_args(spark):
 
 
 def test_random_walk_step_reuses_stationary_layout(spark):
-    """The at-scale (SMJ) walk step must read the persisted adjacency
-    with no Exchange above the cache: only the O(#walks) frontier side
-    shuffles (join key + the min_by agg) — mirrors the G11 PageRank
-    layout contract."""
+    """The at-scale (SMJ) walk step must read the persisted
+    adjacency-list table with no Exchange above the cache: only the
+    O(#walks) frontier side shuffles, and the step is a join + O(1)
+    array index — NO per-neighbor row expansion and NO aggregation
+    (mirrors the G11 PageRank layout contract; the naive
+    neighbor-explode form is O(deg) rows per walk at a hub)."""
     from pyspark.sql import functions as F
-
-    from sparkgatha.graph.partitioning import layout_edges
+    from pyspark.storagelevel import StorageLevel
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -362,31 +363,43 @@ def test_random_walk_step_reuses_stationary_layout(spark):
             [(i, (i * 7 + 1) % 50, 1.0) for i in range(200)],
             "src long, dst long, weight double",
         )
-        adj = layout_edges(
-            edges.select("src", "dst").distinct(), n_part, key="src"
+        adj = (
+            edges.select("src", "dst")
+            .groupBy("src")
+            .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+            .withColumn("deg", F.size("nbrs"))
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         adj.count()
         try:
             frontier = (
                 adj.select(F.col("src").alias("walk_id"), F.col("src").alias("cur"))
-                .distinct()
                 .localCheckpoint()
             )
-            step = (
-                frontier.join(adj, frontier.cur == adj.src)
-                .groupBy("walk_id")
-                .agg(
-                    F.min_by(
-                        "dst", F.md5(F.concat_ws(":", "walk_id", "dst"))
-                    ).alias("cur")
+            idx = (
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("walk_id").cast("string")), 1, 15),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.col("deg"),
                 )
+                + 1
+            ).cast("int")
+            step = frontier.join(adj, frontier.cur == adj.src).select(
+                "walk_id", F.element_at("nbrs", idx).alias("cur")
             )
             plan = step._jdf.queryExecution().executedPlan().toString()
             assert "SortMergeJoin" in plan
             assert "InMemoryTableScan" in plan
-            # no exchange/sort on the edge side above the cache: the only
-            # hash exchanges are frontier-keyed (walk_id agg / cur join)
+            # the list build's collect_set agg lives INSIDE the cached
+            # relation; the step itself is a join + O(1) array index —
+            # no argmin aggregation, no exchange on the adjacency side
             above_cache = plan.split("InMemoryRelation", 1)[0]
+            assert "Aggregate" not in above_cache
             for line in above_cache.splitlines():
                 if "Exchange hashpartitioning" in line:
                     assert "walk_id" in line or "cur" in line, line
