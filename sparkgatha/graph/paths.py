@@ -227,6 +227,28 @@ def pair_distance_bidirectional(
     return best if best < inf else None
 
 
+def ego_hops(
+    edges: DataFrame,
+    source: int,
+    hops: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """(vertex, hop): the ≤``hops``-hop ego network of ``source`` with
+    BFS hop counts — the topic query's neighborhood-collection shape
+    (SURVEY.md §3.2) with an explicit radius.
+
+    Unit-weight Bellman-Ford rounds ARE BFS layers: after k supersteps
+    every reachable vertex within k hops carries its exact hop count and
+    nothing farther has been touched, so the bound needs no filter."""
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    unit = edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    d = shortest_paths(
+        unit, source, max_iter=hops, num_partitions=num_partitions
+    )
+    return d.select("vertex", F.col("distance").cast("int").alias("hop"))
+
+
 def neighborhood(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """J4 semi-join: edges incident to a vertex set (the reference's
     'collect sentences adjacent to path nodes' step)."""

@@ -1616,6 +1616,41 @@ def q_random_walks(spark, sf_dir):
     return random_walks(edges, length=4, walks_per_vertex=1, seed=0)
 
 
+@register(
+    "q_ego_2hop",
+    f"""
+    WITH {_GRAPH_CTE},
+    seed AS (SELECT min(src) AS v FROM e),
+    d0 AS (SELECT v, 0 AS hop FROM seed),
+    d1 AS (
+      SELECT e.dst AS v, 1 AS hop FROM e WHERE e.src = (SELECT v FROM seed)
+    ),
+    d2 AS (
+      SELECT e.dst AS v, 2 AS hop FROM e JOIN d1 ON e.src = d1.v
+    ),
+    allh AS (
+      SELECT * FROM d0
+      UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM d2
+    )
+    SELECT v AS key, min(hop) AS hop FROM allh GROUP BY v
+    """,
+)
+def q_ego_2hop(spark, sf_dir):
+    """Ego network with hop counts — the topic query's
+    neighborhood-collection step (SURVEY §3.2) with an explicit radius:
+    ≤2-hop BFS layers around the lexicographically smallest term,
+    value-checked against DuckDB's min-hop union of the 0/1/2-hop
+    frontiers."""
+    from sparkgatha.graph.paths import ego_hops
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    seed_key = nodes.agg(F.min("key").alias("k")).collect()[0]["k"]
+    seed_id = nodes.filter(F.col("key") == seed_key).collect()[0]["id"]
+    e = ego_hops(id_edges, seed_id, hops=2)
+    return e.join(nodes, e.vertex == nodes.id).select("key", "hop")
+
+
 def _sssp_oracle_sql(rounds: int = 10) -> str:
     """G9 unrolled Bellman-Ford: dist_r(v) = min(dist_{r-1}(v),
     min over in-edges of dist_{r-1}(src) + w).  min-plus has NO fp

@@ -407,3 +407,34 @@ def test_random_walk_step_reuses_stationary_layout(spark):
             adj.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_random_walks_max_neighbors_cap(spark):
+    """cap=1 keeps only the lexicographically smallest neighbor, so
+    every hop is forced onto it — deterministic and SQL-mirrorable."""
+    edges = spark.createDataFrame(
+        [(1, 9, 1.0), (1, 2, 1.0), (9, 1, 1.0), (2, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    rows = random_walks(edges, length=3, max_neighbors=1).collect()
+    seq = {}
+    for r in rows:
+        seq.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    # from 1 the only stored neighbor is 2 (smallest); from 2 it is 1
+    assert seq["1#0"] == {0: 1, 1: 2, 2: 1, 3: 2}
+    with pytest.raises(ValueError, match="max_neighbors"):
+        random_walks(edges, length=1, max_neighbors=0)
+
+
+def test_ego_hops_bounds_radius_and_counts_hops(spark):
+    """Path 0-1-2-3-4-5 (symmetric), seed 0, radius 2: exactly
+    {0,1,2} with exact hop counts — vertices beyond the radius are
+    never touched (BFS-layer semantics, no post-filter)."""
+    from sparkgatha.graph.paths import ego_hops
+
+    triples = [(i, i + 1, 1.0) for i in range(5)]
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {r["vertex"]: r["hop"] for r in ego_hops(edges, 0, hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    with pytest.raises(ValueError, match="hops"):
+        ego_hops(edges, 0, hops=0)
