@@ -118,7 +118,13 @@ PRIORITY_WINDOW = [
                             # extraction CTE, and q_sample_hash's key
                             # build; q_string stays in the replica)
     "q_hash_sha256",        # §2.8 hash
-    "q_date",               # §2.8 date
+    "q_betweenness",        # G19 Brandes betweenness, exact all-sources
+                            # vs the 5-layer unrolled forward/backward
+                            # oracle (rotated in r4 continuation
+                            # displacing q_date — the §2.8 date family's
+                            # timestamp arithmetic runs inside the
+                            # driver-green ST1/ST3 window queries;
+                            # q_date stays in the replica)
     "q_k_core",             # G16 k-core peel (rotated in r4 displacing
                             # q_math — the §2.8 math family (round, ln,
                             # exp, sqrt) runs inside many checked

@@ -11,6 +11,7 @@ from sparkgatha.graph.hits import hits
 from sparkgatha.graph.kcore import core_numbers, k_core
 from sparkgatha.graph.linkpred import link_prediction_features
 from sparkgatha.graph.walks import random_walks
+from sparkgatha.graph.betweenness import betweenness
 
 __all__ = [
     "degrees",
@@ -22,6 +23,7 @@ __all__ = [
     "triangle_counts",
     "clustering_coefficients",
     "random_walks",
+    "betweenness",
     "shortest_paths",
     "pair_distance",
     "hits",

@@ -1651,6 +1651,77 @@ def q_ego_2hop(spark, sf_dir):
     return e.join(nodes, e.vertex == nodes.id).select("key", "hop")
 
 
+def _betweenness_oracle_sql(depth: int) -> str:
+    """G19 unrolled Brandes: forward layers f_0..f_D carry (source,
+    vertex, path count); backward deltas d_D..d_0 accumulate pair
+    dependencies layer by layer.  The fixture term graph's eccentricity
+    is ≤ 2 from every source, so ``depth`` rounds past it are empty
+    CTEs — Spark's run-to-empty-frontier equals the fixed unroll
+    whenever the true depth ≤ D.  round(,8) absorbs the cross-engine
+    summation-order fp noise (same convention as the PageRank oracle)."""
+    sql = f"""
+    WITH {_GRAPH_CTE},
+    verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+    f_0 AS MATERIALIZED (SELECT v AS s, v, 1.0 AS sigma FROM verts),
+    vis_0 AS MATERIALIZED (SELECT s, v FROM f_0)"""
+    for i in range(1, depth + 1):
+        p = i - 1
+        sql += f""",
+    f_{i} AS MATERIALIZED (
+      SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+      FROM f_{p} f JOIN e ON e.src = f.v
+      WHERE NOT EXISTS (SELECT 1 FROM vis_{p} x
+                        WHERE x.s = f.s AND x.v = e.dst)
+      GROUP BY f.s, e.dst
+    ),
+    vis_{i} AS MATERIALIZED (
+      SELECT s, v FROM vis_{p} UNION ALL SELECT s, v FROM f_{i}
+    )"""
+    sql += f""",
+    d_{depth} AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM f_{depth})"""
+    for i in range(depth - 1, -1, -1):
+        a = i + 1
+        sql += f""",
+    c_{i} AS (
+      SELECT fw.s, e.src AS v,
+             sum(fv.sigma / fw.sigma * (1.0 + dw.delta)) AS delta
+      FROM f_{a} fw
+      JOIN d_{a} dw ON dw.s = fw.s AND dw.v = fw.v
+      JOIN e ON e.dst = fw.v
+      JOIN f_{i} fv ON fv.s = fw.s AND fv.v = e.src
+      GROUP BY fw.s, e.src
+    ),
+    d_{i} AS MATERIALIZED (
+      SELECT f.s, f.v, coalesce(c.delta, 0.0) AS delta
+      FROM f_{i} f LEFT JOIN c_{i} c ON c.s = f.s AND c.v = f.v
+    )"""
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM d_{i}" for i in range(depth + 1)
+    )
+    sql += f""",
+    allx AS ({union})
+    SELECT v AS key, round(0.5 * sum(delta), 8) AS betweenness
+    FROM allx WHERE v <> s GROUP BY v
+    """
+    return sql
+
+
+@register("q_betweenness", _betweenness_oracle_sql(5))
+def q_betweenness(spark, sf_dir):
+    """G19 exact Brandes betweenness (all sources) on the term graph,
+    value-checked against the 5-layer unrolled DuckDB forward/backward
+    accumulation.  Pair dependencies are halved (undirected), matching
+    networkx.betweenness_centrality(normalized=False) — the same
+    semantics the NetworkX golden pins (test_linkgraph_ops.py)."""
+    from sparkgatha.graph.betweenness import betweenness
+
+    nodes, id_edges = _doc_graph(spark, sf_dir)
+    b = betweenness(id_edges)
+    return b.join(nodes, b.vertex == nodes.id).select(
+        "key", F.round("betweenness", 8).alias("betweenness")
+    )
+
+
 def _sssp_oracle_sql(rounds: int = 10) -> str:
     """G9 unrolled Bellman-Ford: dist_r(v) = min(dist_{r-1}(v),
     min over in-edges of dist_{r-1}(src) + w).  min-plus has NO fp

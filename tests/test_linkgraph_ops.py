@@ -438,3 +438,59 @@ def test_ego_hops_bounds_radius_and_counts_hops(spark):
     assert got == {0: 0, 1: 1, 2: 2}
     with pytest.raises(ValueError, match="hops"):
         ego_hops(edges, 0, hops=0)
+
+
+# ---------------------------------------------------------------------------
+# betweenness centrality
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph import betweenness  # noqa: E402
+
+
+def test_betweenness_exact_matches_networkx(spark):
+    """All-sources mode reproduces
+    networkx.betweenness_centrality(normalized=False) on the undirected
+    graph to fp precision."""
+    triples = random_graph(n=40, m=90, seed=5)
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    want = nx.betweenness_centrality(g, normalized=False)
+    got = {
+        r["vertex"]: r["betweenness"] for r in betweenness(edges).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-9, abs_tol=1e-9), v
+
+
+def test_betweenness_sampled_is_deterministic_and_scales(spark):
+    triples = random_graph(n=40, m=90, seed=5)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    a = {r["vertex"]: r["betweenness"]
+         for r in betweenness(edges, n_sources=10).collect()}
+    b = {r["vertex"]: r["betweenness"]
+         for r in betweenness(edges, n_sources=10).collect()}
+    assert a == b  # md5-pivot sampling: no RNG, bit-identical reruns
+    # k >= n degenerates to the exact computation
+    n = len({v for t in triples for v in t[:2]})
+    exact = {r["vertex"]: r["betweenness"]
+             for r in betweenness(edges).collect()}
+    full = {r["vertex"]: r["betweenness"]
+            for r in betweenness(edges, n_sources=n).collect()}
+    for v in exact:
+        assert math.isclose(full[v], exact[v], rel_tol=1e-9, abs_tol=1e-9), v
+
+
+def test_betweenness_path_graph_values(spark):
+    """Path 0-1-2-3-4: interior betweenness is (i)(n-1-i) pairs."""
+    triples = [(i, i + 1, 1.0) for i in range(4)]
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {r["vertex"]: r["betweenness"] for r in betweenness(edges).collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+
+
+def test_betweenness_rejects_bad_sources(spark):
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="n_sources"):
+        betweenness(edges, n_sources=0)
