@@ -168,6 +168,8 @@ def main() -> None:
         "q_hits",
         "q_clustering_coeff",
         "q_random_walks",
+        "q_betweenness",
+        "q_ego_2hop",
         "q_rollup",
         "q_asof",
     ):
