@@ -292,21 +292,19 @@ def main(argv=None) -> int:
 
         from sparkgatha.construct import load_adjacency
         from sparkgatha.graph.degrees import out_degrees
-        from sparkgatha.graph.triangles import (
-            clustering_coefficients,
-            triangle_counts,
-        )
+        from sparkgatha.graph.triangles import triangle_profile
 
         nodes, edges = load_adjacency(spark, args.graph)
         # the stored adjacency is symmetrized (construct.py phase 3), so
         # out-degree IS the undirected degree — the same denominator the
-        # clustering coefficient uses; degrees() would double-count
+        # clustering coefficient uses; degrees() would double-count.
+        # triangle_profile runs the O(m^1.5) wedge join ONCE for both
+        # the counts and the coefficients.
         prof = (
             out_degrees(edges)
             .withColumnRenamed("out_degree", "degree")
             .drop("out_weight")
-            .join(triangle_counts(edges), "vertex", "left")
-            .join(clustering_coefficients(edges), "vertex", "left")
+            .join(triangle_profile(edges), "vertex", "left")
             .join(nodes, F.col("vertex") == nodes.id)
             .select(
                 "key",

@@ -101,12 +101,6 @@ def betweenness(
             visited = frontier.select("s", "v").localCheckpoint(eager=True)
             depth = 0
             while True:
-                if depth >= max_depth:
-                    raise RuntimeError(
-                        f"betweenness BFS exceeded max_depth={max_depth}; "
-                        "raise max_depth (the accumulation would silently "
-                        "lose the deep tail otherwise)"
-                    )
                 nxt = (
                     layers[-1]
                     .join(adj, layers[-1].v == adj.src)
@@ -118,6 +112,15 @@ def betweenness(
                 )
                 if nxt.limit(1).count() == 0:
                     break
+                # Raise only when a NON-EMPTY frontier would exceed the
+                # rail — a graph whose eccentricity equals max_depth
+                # exactly is fully computable and must not trip it.
+                if depth + 1 > max_depth:
+                    raise RuntimeError(
+                        f"betweenness BFS exceeded max_depth={max_depth}; "
+                        "raise max_depth (the accumulation would silently "
+                        "lose the deep tail otherwise)"
+                    )
                 layers.append(nxt)
                 visited = (
                     visited.unionByName(nxt.select("s", "v"))

@@ -88,6 +88,12 @@ def hits(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every} "
+            "(1 = checkpoint every round; there is no 'off' setting — "
+            "the lineage grows ~4x per round unchecked)"
+        )
     spark = edges.sparkSession
     with no_aqe(spark):
         e = (

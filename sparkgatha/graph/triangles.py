@@ -86,31 +86,46 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def clustering_coefficients(edges: DataFrame) -> DataFrame:
-    """(vertex, clustering): the local clustering coefficient
-    2·T(v) / (deg(v)·(deg(v)−1)), 0.0 below degree 2 —
-    ``networkx.clustering`` (unweighted) semantics.
+def triangle_profile(edges: DataFrame) -> DataFrame:
+    """(vertex, n_triangles, clustering) in ONE wedge-join pass.
 
-    One canonicalization shuffle feeds degrees AND the oriented wedge
-    join (the und set is checkpointed once and reused), so the cost over
-    plain triangle counting is a single |V|-row degree join."""
+    The wedge self-join is the dominant cost of both per-vertex triangle
+    counts and clustering coefficients; callers that want both (the
+    ``profile`` CLI) must not pay it twice.  Vertex coverage matches
+    ``triangle_counts``: every raw src/dst endpoint appears, zero-filled
+    — including vertices whose only edges are self-loops (dropped by
+    canonicalization, hence absent from ``deg``; they get deg 0 →
+    clustering 0.0)."""
     und = canonical_undirected(edges).localCheckpoint(eager=True)
     deg = _degrees(und)
     o = _orient(und, deg).localCheckpoint(eager=True)
     per_corner = _corner_counts(o)
-    d = F.col("deg").cast("double")
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    d = F.coalesce("deg", F.lit(0)).cast("double")
+    nt = F.coalesce("n_triangles", F.lit(0))
     return (
-        deg.join(per_corner, "vertex", "left")
+        vertices.join(deg, "vertex", "left")
+        .join(per_corner, "vertex", "left")
         .select(
             "vertex",
-            F.when(
-                F.col("deg") >= 2,
-                2.0 * F.coalesce("n_triangles", F.lit(0)) / (d * (d - 1.0)),
-            )
+            nt.alias("n_triangles"),
+            F.when(F.coalesce("deg", F.lit(0)) >= 2, 2.0 * nt / (d * (d - 1.0)))
             .otherwise(0.0)
             .alias("clustering"),
         )
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(vertex, clustering): the local clustering coefficient
+    2·T(v) / (deg(v)·(deg(v)−1)), 0.0 below degree 2 —
+    ``networkx.clustering`` (unweighted) semantics, over every raw
+    src/dst endpoint (same vertex coverage as ``triangle_counts``)."""
+    return triangle_profile(edges).select("vertex", "clustering")
 
 
 def global_triangle_count(edges: DataFrame) -> int:

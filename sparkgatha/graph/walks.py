@@ -41,14 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from sparkgatha.util import no_aqe
-
-
-def _md5int(col):
-    """First 15 hex chars of md5 as a positive bigint — the
-    engine-independent hash convention (DuckDB:
-    ('0x' || substr(md5(x),1,15))::BIGINT)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+from sparkgatha.util import md5_long as _md5int, no_aqe
 
 
 def random_walks(

@@ -6,7 +6,15 @@ import os
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def md5_long(col):
+    """First 15 hex chars of md5 as a non-negative 60-bit bigint — the
+    engine-wide cross-engine hash convention (DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``).  Lives here so the
+    dedup signatures and the walk-step hash can never drift apart."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 #: default input bound for operators whose cost is quadratic in input
 #: rows (standalone all-pairs verification ops) — override per call or
