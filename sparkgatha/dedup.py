@@ -22,16 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from sparkgatha.relational import _t, register
+from sparkgatha.util import md5_long as _md5_long  # shared hash convention
 
 N_SHINGLE = 3          # word-shingle width
 N_HASHES = 16          # minhash signature length
 N_BANDS = 4            # LSH bands (rows-per-band = N_HASHES / N_BANDS)
 SIMHASH_BITS = 32
-
-
-def _md5_long(col):
-    """60-bit non-negative int from md5 — identical in Spark & DuckDB."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def _shingles(text_col: str = "text"):
@@ -449,6 +445,80 @@ def q_near_dup_clusters(spark, sf_dir):
     replay of the whole pipeline plus a recursive-CTE closure over the
     verified pairs (the q_g5 pattern on the dup subgraph)."""
     return near_duplicate_clusters(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_modularity",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    {_BANDS_CAND_SQL},
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ix
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    ver AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION SELECT doc_b, doc_a FROM ver
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+    ),
+    lab AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    per AS (
+      SELECT lu.cluster_id AS c, count(*) AS d_c,
+             sum(CASE WHEN lu.cluster_id = lv.cluster_id
+                 THEN 1 ELSE 0 END) AS intra2
+      FROM und JOIN lab lu ON lu.doc_id = und.a
+               JOIN lab lv ON lv.doc_id = und.b
+      GROUP BY lu.cluster_id
+    )
+    SELECT round(sum(intra2)::DOUBLE / sum(d_c)
+                 - sum(d_c::DOUBLE * d_c) / (sum(d_c)::DOUBLE * sum(d_c)),
+                 8) AS modularity
+    FROM per
+    """,
+)
+def q_modularity(spark, sf_dir):
+    """G21 Newman–Girvan modularity of the transitive near-dup cluster
+    partition over its verified-pair graph — composes the full dedup
+    pipeline, the G5 closure, and the stats.modularity aggregate, all
+    replayed in SQL (labels AND quality score pinned cross-engine).
+    Components are disjoint, so Q = 1 − Σ(D_c/2m)² — the value checks
+    the per-cluster degree-mass distribution, not a constant (≈0.95 on
+    the fixtures; a single-cluster partition would be 0).  The general-
+    partition formula is NetworkX-golden-tested in
+    tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.stats import modularity
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = verified_near_dup_pairs(d)
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = near_duplicate_clusters(d).select(
+        F.col("doc_id").alias("vertex"), F.col("cluster_id").alias("label")
+    )
+    return modularity(sym, labels).select(
+        F.round("modularity", 8).alias("modularity")
+    )
 
 
 @register(

@@ -1,0 +1,91 @@
+"""G20/G21 — whole-graph topology statistics: degree assortativity and
+community modularity.
+
+Both are single-pass DataFrame aggregations over the edge table — no
+iteration, no driver loop — and both reduce to ONE output row, so their
+cost at 10^12 edges is exactly one degree shuffle plus one edge-wide
+join against a |V|-row (broadcast-able after aggregation) side:
+
+  * assortativity: Pearson correlation of the endpoint degrees across
+    the directed (symmetrized) edge list — ``F.corr`` is a partial-
+    aggregable JVM aggregate, so the edge scan never re-shuffles;
+  * modularity: Q = Σ_c [ L_c/m − (D_c/(2m))² ] needs only per-label
+    degree sums and the intra-community edge count — two groupBys over
+    |V|- and |E|-sized inputs with map-side partial aggregation.
+
+Semantics pinned to the public definitions (Newman 2002 assortativity;
+Newman–Girvan 2004 modularity), validated against
+``networkx.degree_assortativity_coefficient`` and
+``networkx.algorithms.community.modularity`` in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (assortativity double): Pearson degree correlation over
+    the DISTINCT symmetrized edge list read as an undirected graph.
+
+    ``edges(src, dst, *)`` must carry both orientations of every
+    undirected edge (extract.symmetrize); each undirected edge then
+    contributes both (deg u, deg v) and (deg v, deg u) — exactly the
+    double-counted sum networkx.degree_assortativity_coefficient uses,
+    so the coefficient matches it to fp precision.  Degree = distinct-
+    neighbor count.
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    x = F.col("du").cast("double")
+    y = F.col("dv").cast("double")
+    # explicit Pearson with try_divide: a regular graph (zero degree
+    # variance — e.g. a complete fixture graph) yields NULL, matching
+    # DuckDB's corr() instead of tripping the ANSI divide-by-zero rail
+    return (
+        e.join(du, e.src == du.u)
+        .join(dv, e.dst == dv.v)
+        .agg(
+            F.try_divide(
+                F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+            ).alias("assortativity")
+        )
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row (modularity double): Newman–Girvan modularity of the
+    ``labels(vertex, label)`` partition over the DISTINCT symmetrized
+    ``edges`` read as an unweighted undirected graph (self-loops are
+    ignored).
+
+        Q = Σ_c [ L_c / m  −  (D_c / 2m)² ]
+
+    with m undirected edges, L_c intra-community undirected edges and
+    D_c the summed degree of community c.  Computed from the directed
+    (both-orientations) list: 2m = |e|, intra directed edges = 2·L_c.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lu = labels.select(F.col("vertex").alias("src"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("vertex").alias("dst"), F.col("label").alias("cv"))
+    both = e.join(lu, "src").join(lv, "dst")
+    # per-community directed-degree sums and intra-community directed counts
+    per_c = both.groupBy("cu").agg(
+        F.count("*").alias("d_c"),  # Σ deg over community cu
+        F.sum((F.col("cu") == F.col("cv")).cast("long")).alias("intra2"),
+    )
+    # Q = Σ intra2 / 2m − Σ d_c² / (2m)², all plain aggregates over the
+    # per-community table (no window, no second pass over the edges)
+    two_m = F.sum("d_c").cast("double")
+    return per_c.agg(
+        (
+            F.sum("intra2").cast("double") / two_m
+            - F.sum(F.col("d_c").cast("double") * F.col("d_c")) / (two_m * two_m)
+        ).alias("modularity")
+    )

@@ -1404,13 +1404,13 @@ def q_g5_connected_components(spark, sf_dir):
     return keyed.join(comp_key, "component").select("key", "component_key")
 
 
-def _lpa_oracle_sql(rounds: int = 10) -> str:
-    """G6 unrolled: LPA is k bounded synchronous rounds — express them
-    as k non-recursive CTE rounds over md5-derived numeric node ids (the
-    cross-engine id trick, dedup.py module doc), with the exact Spark
-    tie-break (wsum desc, label asc).  Early Spark convergence is safe:
-    changed==0 makes every later round a no-op, so exactly-k SQL rounds
-    equal Spark's early-stopped state."""
+def _lpa_rounds_prefix(rounds: int) -> str:
+    """The WITH-body shared by every LPA-derived oracle: md5 ids, the
+    weighted id-level edge set ``ie``, and ``labels_0 .. labels_k`` as
+    k unrolled synchronous rounds with the exact Spark tie-break
+    (wsum desc, label asc).  Callers append their own final SELECT
+    (q_g6: the labels themselves; q_modularity: the Q of the
+    partition)."""
     sql = f"""
     WITH {_GRAPH_CTE},
     ids AS (
@@ -1448,11 +1448,20 @@ def _lpa_oracle_sql(rounds: int = 10) -> str:
       SELECT v.vertex, coalesce(b.label, v.label) AS label
       FROM labels_{p} v LEFT JOIN best_{r} b ON b.dst = v.vertex
     )"""
-    sql += f"""
+    return sql
+
+
+def _lpa_oracle_sql(rounds: int = 10) -> str:
+    """G6 unrolled: LPA is k bounded synchronous rounds — express them
+    as k non-recursive CTE rounds over md5-derived numeric node ids (the
+    cross-engine id trick, dedup.py module doc), with the exact Spark
+    tie-break (wsum desc, label asc).  Early Spark convergence is safe:
+    changed==0 makes every later round a no-op, so exactly-k SQL rounds
+    equal Spark's early-stopped state."""
+    return _lpa_rounds_prefix(rounds) + f"""
     SELECT ids.term AS key, l.label
     FROM labels_{rounds} l JOIN ids ON ids.id = l.vertex
     """
-    return sql
 
 
 @register("q_g6_label_propagation", _lpa_oracle_sql(10))
@@ -1565,6 +1574,67 @@ def q_clustering_coeff(spark, sf_dir):
     )
 
 
+#: window-1 (adjacent-token) pair CTE — the POSITIONAL token graph the
+#: G1-variant extractor builds (extract.extract_adjacency_edges); pairs
+#: form over raw positions, then stopword/empty/self pairs drop.
+#: Parallel unnest keeps term+position aligned without WITH ORDINALITY.
+_ADJ_CTE = """
+    raw AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ),
+    ptoks AS (
+      SELECT doc_id, unnest(ts) AS term,
+             unnest(range(1, len(ts) + 1)) AS i
+      FROM raw
+    ),
+    apairs AS (
+      SELECT a.term AS x, b.term AS y
+      FROM ptoks a JOIN ptoks b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE a.term NOT IN ('a','the') AND b.term NOT IN ('a','the')
+        AND a.term <> '' AND b.term <> '' AND a.term <> b.term
+    ),
+    ae AS (
+      SELECT least(x, y) AS src, greatest(x, y) AS dst, count(*) AS weight
+      FROM apairs GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q_assortativity",
+    f"""
+    WITH {_ADJ_CTE},
+    se AS (
+      SELECT src, dst FROM ae UNION ALL SELECT dst, src FROM ae
+    ),
+    deg AS (SELECT src AS v, count(*) AS d FROM se GROUP BY src)
+    SELECT round(corr(du.d::DOUBLE, dv.d::DOUBLE), 8) AS assortativity
+    FROM se JOIN deg du ON du.v = se.src JOIN deg dv ON dv.v = se.dst
+    """,
+)
+def q_assortativity(spark, sf_dir):
+    """G20 degree assortativity (Newman 2002) of the window-1 adjacency
+    graph — one Pearson correlation over the symmetrized distinct edge
+    list, value-checked against DuckDB's corr() over the identical CTE
+    (both engines use the sample correlation; round(,8) absorbs
+    summation-order noise).  The window-1 graph, not the all-pairs one:
+    the all-pairs fixture graph is regular (zero degree variance →
+    NULL), so only the sparser graph makes this a value check.
+    NetworkX-golden-tested in tests/test_linkgraph_ops.py."""
+    from sparkgatha.extract import extract_adjacency_edges, symmetrize
+    from sparkgatha.graph.stats import degree_assortativity
+
+    edges = symmetrize(
+        extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    )
+    return degree_assortativity(edges).select(
+        F.round("assortativity", 8).alias("assortativity")
+    )
+
+
 def _walks_oracle_sql(length: int, seed: int = 0) -> str:
     """G18 unrolled: each round indexes the SORTED neighbor list at
     md5int(walk_id:step:seed) mod deg — the same md5→bigint convention
@@ -1645,8 +1715,8 @@ def q_ego_2hop(spark, sf_dir):
     from sparkgatha.graph.paths import ego_hops
 
     nodes, id_edges = _doc_graph(spark, sf_dir)
-    seed_key = nodes.agg(F.min("key").alias("k")).collect()[0]["k"]
-    seed_id = nodes.filter(F.col("key") == seed_key).collect()[0]["id"]
+    # one TakeOrderedAndProject job fetches (key, id) together
+    seed_id = nodes.orderBy("key").limit(1).collect()[0]["id"]
     e = ego_hops(id_edges, seed_id, hops=2)
     return e.join(nodes, e.vertex == nodes.id).select("key", "hop")
 

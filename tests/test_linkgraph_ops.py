@@ -107,6 +107,8 @@ def test_hits_rejects_bad_max_iter(spark):
     edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
     with pytest.raises(ValueError, match="max_iter"):
         hits(edges, max_iter=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        hits(edges, checkpoint_every=0)
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +283,27 @@ def test_clustering_coefficients_match_networkx(spark, triples):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12, v
+
+
+def test_clustering_covers_self_loop_only_vertices(spark):
+    """triangle_counts and clustering_coefficients must agree on vertex
+    coverage: a vertex whose only edge is a self-loop (dropped by
+    canonicalization) appears in BOTH outputs, zero-filled (regression:
+    clustering used to omit it)."""
+    from sparkgatha.graph.triangles import triangle_counts, triangle_profile
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (5, 5, 1.0)],
+        "src long, dst long, weight double",
+    )
+    tc = {r["vertex"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    cc = {r["vertex"]: r["clustering"]
+          for r in clustering_coefficients(edges).collect()}
+    assert set(tc) == set(cc) == {1, 2, 5}
+    assert tc[5] == 0 and cc[5] == 0.0
+    prof = {r["vertex"]: (r["n_triangles"], r["clustering"])
+            for r in triangle_profile(edges).collect()}
+    assert prof == {v: (tc[v], cc[v]) for v in tc}
 
 
 def test_random_walks_follow_edges_and_are_deterministic(spark, triples):
@@ -494,3 +517,63 @@ def test_betweenness_rejects_bad_sources(spark):
     edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
     with pytest.raises(ValueError, match="n_sources"):
         betweenness(edges, n_sources=0)
+
+
+def test_betweenness_eccentricity_exactly_max_depth_completes(spark):
+    """A graph whose BFS depth EQUALS max_depth is fully computable —
+    the rail must only trip when a non-empty frontier would exceed it
+    (regression: the check used to fire one layer early)."""
+    triples = [(i, i + 1, 1.0) for i in range(4)]  # path 0-1-2-3-4, ecc 4
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {r["vertex"]: r["betweenness"]
+           for r in betweenness(edges, max_depth=4).collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+    with pytest.raises(RuntimeError, match="max_depth"):
+        betweenness(edges, max_depth=3)
+
+
+# ---------------------------------------------------------------------------
+# graph statistics: assortativity + modularity
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.stats import degree_assortativity, modularity  # noqa: E402
+
+
+def test_degree_assortativity_matches_networkx(spark, triples):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = degree_assortativity(edges).collect()[0]["assortativity"]
+    want = nx.degree_assortativity_coefficient(g)
+    assert math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    """A regular graph has zero degree variance — NULL, not a crash
+    (ANSI divide-by-zero is the failure mode try_divide guards)."""
+    cyc = [(i, (i + 1) % 6, 1.0) for i in range(6)]
+    edges = to_spark_edges(spark, cyc, symmetric=True)
+    assert degree_assortativity(edges).collect()[0]["assortativity"] is None
+
+
+def test_modularity_matches_networkx(spark, triples):
+    from networkx.algorithms import community as nxc
+
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    parts = nxc.greedy_modularity_communities(g)
+    want = nxc.modularity(g, parts)
+    lab = [(v, i) for i, p in enumerate(parts) for v in p]
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    labels = spark.createDataFrame(lab, "vertex long, label long")
+    got = modularity(edges, labels).collect()[0]["modularity"]
+    assert math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_modularity_single_community_is_zero(spark, triples):
+    verts = sorted({v for t in triples for v in t[:2]})
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    labels = spark.createDataFrame([(v, 0) for v in verts],
+                                   "vertex long, label long")
+    got = modularity(edges, labels).collect()[0]["modularity"]
+    assert abs(got) < 1e-12
