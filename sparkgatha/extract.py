@@ -321,6 +321,7 @@ def extract_adjacency_edges(
     docs: DataFrame,
     text_col: str = "text",
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    directed: bool = False,
 ) -> DataFrame:
     """G1 variant — window-1 (adjacent-token) co-occurrence edges.
 
@@ -334,7 +335,10 @@ def extract_adjacency_edges(
     Pairs are formed over RAW token positions (a stopword neighbor
     drops the pair rather than bridging across it), then filtered and
     canonicalized.  Output: (src, dst, weight) with src < dst, weight =
-    occurrence count.
+    occurrence count.  ``directed=True`` keeps the token ORDER instead
+    of canonicalizing — (src → dst) means "src immediately precedes
+    dst" — the directed bigram graph the SCC / reachability queries
+    consume.
 
     Physical shape: split → two slices → arrays_zip → explode → filter
     → partial-agg groupBy, all JVM whole-stage-codegen expressions — no
@@ -359,12 +363,16 @@ def extract_adjacency_edges(
         & ~F.col("x").isin(*stopwords)
         & ~F.col("y").isin(*stopwords)
     )
-    return (
-        zipped.filter(keep)
-        .select(F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("weight"))
-    )
+    if directed:
+        oriented = zipped.filter(keep).select(
+            F.col("x").alias("src"), F.col("y").alias("dst")
+        )
+    else:
+        oriented = zipped.filter(keep).select(
+            F.least("x", "y").alias("src"),
+            F.greatest("x", "y").alias("dst"),
+        )
+    return oriented.groupBy("src", "dst").agg(F.count("*").alias("weight"))
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:

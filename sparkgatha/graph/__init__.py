@@ -12,6 +12,12 @@ from sparkgatha.graph.kcore import core_numbers, k_core
 from sparkgatha.graph.linkpred import link_prediction_features
 from sparkgatha.graph.walks import random_walks
 from sparkgatha.graph.betweenness import betweenness
+from sparkgatha.graph.scc import strongly_connected_components
+from sparkgatha.graph.neighborhood import (
+    hop_neighborhood_exact,
+    neighborhood_function,
+)
+from sparkgatha.graph.stats import degree_assortativity, modularity
 
 __all__ = [
     "degrees",
@@ -30,4 +36,9 @@ __all__ = [
     "k_core",
     "core_numbers",
     "link_prediction_features",
+    "strongly_connected_components",
+    "hop_neighborhood_exact",
+    "neighborhood_function",
+    "degree_assortativity",
+    "modularity",
 ]

@@ -1,0 +1,126 @@
+"""G22 — neighborhood function / ANF (approximate neighborhood
+function, Palmer-Gibbons-Faloutsos "ANF" KDD 2002; HADI's Hadoop
+formulation, Kang et al. ICDM 2009).
+
+Per-vertex h-hop reach sizes over a DIRECTED edge table:
+
+    R_0(v) = {v};   R_h(v) = {v} ∪ ⋃_{(v,u) ∈ E} R_{h-1}(u)
+
+Two paths, same recurrence:
+
+  * :func:`hop_neighborhood_exact` materializes the (source, reached)
+    pair set — exact, but the pair table grows toward |V|·ball-size, so
+    it is the ORACLE-SCALE verification form (used by the DuckDB-checked
+    registry query);
+  * :func:`neighborhood_function` carries one fixed-size HLL sketch per
+    vertex (Spark's built-in Apache DataSketches ``hll_sketch_agg`` /
+    ``hll_union_agg`` / ``hll_union`` — JVM aggregates, no UDF) — the
+    10^12-edge path: per superstep one join + one partial-aggregable
+    union-agg, state stays |V| rows × ~2^lgk bytes regardless of how
+    large the reach balls grow.  This is the same sketch-instead-of-set
+    trade the engine already makes for distinct counts (A2 HLL variant).
+
+Both raise (never truncate silently) only via the caller-visible
+``hops`` bound — there is no hidden convergence cutoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkgatha.util import no_aqe
+
+
+def _prep(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def hop_neighborhood_exact(edges: DataFrame, hops: int) -> DataFrame:
+    """(vertex, n_reach): EXACT count of distinct vertices within
+    ``hops`` forward hops, the vertex itself included.
+
+    Materializes the reach-pair table (s, v) and distincts it per hop —
+    exact and simple, but output is Σ ball sizes: use for verification
+    and small/bounded-hop graphs; the sketch path scales.
+    """
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        e = _prep(edges).localCheckpoint(eager=True)
+        verts = (
+            e.select(F.col("src").alias("v"))
+            .unionByName(e.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        reach = verts.select(
+            F.col("v").alias("s"), F.col("v")
+        ).localCheckpoint(eager=True)
+        for _ in range(hops):
+            step = (
+                reach.join(e, reach.v == e.src)
+                .select("s", F.col("dst").alias("v"))
+            )
+            reach = (
+                reach.unionByName(step).distinct().localCheckpoint(eager=True)
+            )
+        return reach.groupBy(F.col("s").alias("vertex")).agg(
+            F.count("*").alias("n_reach")
+        )
+
+
+def neighborhood_function(
+    edges: DataFrame, hops: int, lgk: int = 12
+) -> DataFrame:
+    """(vertex, est_reach): HLL-sketch ESTIMATE of the ≤``hops``-hop
+    forward reach size, self included — the ANF/HADI scale path.
+
+    State is one DataSketches HLL sketch (≈ 2^lgk bytes) per vertex;
+    each superstep is one edge join + one ``hll_union_agg`` groupBy
+    (partial-aggregable) + one two-sketch ``hll_union`` with the
+    previous state.  Default lgk=12 ≈ 1.6 % standard error
+    (tests pin a 5 % band vs the exact form).
+    """
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        e = _prep(edges).localCheckpoint(eager=True)
+        verts = (
+            e.select(F.col("src").alias("v"))
+            .unionByName(e.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        # build the singleton sketches: hll_sketch_agg is an aggregate,
+        # so group by the vertex itself (one-row groups)
+        state = (
+            verts.groupBy("v")
+            .agg(F.hll_sketch_agg("v", lgk).alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(hops):
+            gathered = (
+                e.join(state, e.dst == state.v)
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.hll_union_agg("sk").alias("gsk"))
+            )
+            state = (
+                state.join(gathered, "v", "left")
+                .select(
+                    "v",
+                    F.when(
+                        F.col("gsk").isNull(), F.col("sk")
+                    )
+                    .otherwise(F.hll_union("sk", "gsk"))
+                    .alias("sk"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return state.select(
+            F.col("v").alias("vertex"),
+            F.hll_sketch_estimate("sk").alias("est_reach"),
+        )

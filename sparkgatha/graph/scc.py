@@ -1,0 +1,153 @@
+"""G23 — strongly connected components of a DIRECTED edge table via
+iterative coloring (Orzan 2004; the Pregel/GraphX "coloring" SCC, e.g.
+Slota-Rajamanickam-Madduri IPDPS 2014's FW-BW-coloring family).
+
+Each outer round:
+
+  1. **color**: propagate the MAX vertex id forward along edges to a
+     fixpoint — color(v) = max id over {v} ∪ ancestors(v) within the
+     remaining subgraph (a min/max-label loop, the same superstep shape
+     as connected components: join + partial-aggregable groupBy().max());
+  2. **collect**: every color root r (color(r) == r) backward-BFSes
+     along reversed edges restricted to its own color class; the
+     vertices it reaches ARE exactly SCC(r);
+  3. **peel**: assign those vertices their component id (the MIN member
+     id, a canonical choice independent of the algorithm's max-based
+     coloring), drop them from the vertex and edge sets, repeat.
+
+Rounds needed = longest chain of SCCs whose root ids decrease along the
+chain — small on real link graphs (few deep decreasing chains), O(n)
+adversarial worst case (a path with strictly decreasing ids), which the
+``max_rounds`` rail turns into an explicit error instead of a hang.
+
+Every per-round state is eagerly localCheckpointed: lineage stays O(1)
+per round, and the loop is AQE-scoped off like the other superstep
+loops (util.no_aqe).
+
+Output: (vertex long, scc_id long), scc_id = min vertex id in the SCC —
+matching the DuckDB mutual-reachability closure oracle and
+``networkx.strongly_connected_components`` partition in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkgatha.util import no_aqe
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 100,
+    max_color_iter: int = 200,
+) -> DataFrame:
+    """(vertex, scc_id) over directed ``edges(src, dst, ...)``.
+
+    ``max_rounds`` bounds the outer peel loop, ``max_color_iter`` the
+    inner max-propagation fixpoint; both RAISE on exhaustion (a silent
+    cut would mislabel components)."""
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        e = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        verts = (
+            e.select(F.col("src").alias("v"))
+            .unionByName(e.select(F.col("dst").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        assigned = None  # union of (vertex, scc_id) across rounds
+        for _ in range(max_rounds):
+            if verts.limit(1).count() == 0:
+                break
+            # ---- 1. forward max-color fixpoint --------------------------
+            color = verts.select("v", F.col("v").alias("c")).localCheckpoint(
+                eager=True
+            )
+            for _ in range(max_color_iter):
+                incoming = (
+                    e.join(color, e.src == color.v)
+                    .groupBy(F.col("dst").alias("v"))
+                    .agg(F.max("c").alias("ic"))
+                )
+                nxt = (
+                    color.join(incoming, "v", "left")
+                    .select(
+                        "v",
+                        # greatest() skips NULLs, so a no-incoming vertex
+                        # keeps its own color
+                        F.greatest("c", "ic").alias("c"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                changed = (
+                    nxt.join(
+                        color.withColumnRenamed("c", "old"), "v"
+                    )
+                    .filter(F.col("c") != F.col("old"))
+                    .limit(1)
+                    .count()
+                )
+                color = nxt
+                if changed == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"SCC coloring exceeded max_color_iter={max_color_iter}"
+                )
+            # ---- 2. backward BFS from roots within each color class -----
+            # members(v, c): v known to be in SCC(root of color c)
+            members = color.filter(F.col("v") == F.col("c")).localCheckpoint(
+                eager=True
+            )
+            while True:
+                # reversed step: (u → w) with w already a member and
+                # color(u) == the member's color → u joins that SCC
+                step = (
+                    e.join(members, e.dst == members.v)
+                    .select(F.col("src").alias("v"), "c")
+                    .join(color.withColumnRenamed("c", "uc"), "v")
+                    .filter(F.col("c") == F.col("uc"))
+                    .select("v", "c")
+                    .join(members, ["v", "c"], "left_anti")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                if step.limit(1).count() == 0:
+                    break
+                members = members.unionByName(step).localCheckpoint(
+                    eager=True
+                )
+            # ---- 3. canonical id + peel ---------------------------------
+            comp = members.groupBy("c").agg(F.min("v").alias("scc_id"))
+            found = (
+                members.join(comp, "c")
+                .select(F.col("v").alias("vertex"), "scc_id")
+                .localCheckpoint(eager=True)
+            )
+            assigned = (
+                found
+                if assigned is None
+                else assigned.unionByName(found).localCheckpoint(eager=True)
+            )
+            done = found.select(F.col("vertex").alias("v"))
+            verts = verts.join(done, "v", "left_anti").localCheckpoint(
+                eager=True
+            )
+            e = (
+                e.join(done.withColumnRenamed("v", "src"), "src", "left_anti")
+                .join(done.withColumnRenamed("v", "dst"), "dst", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"SCC peel loop exceeded max_rounds={max_rounds}; the "
+                "remaining subgraph still has vertices (raise max_rounds)"
+            )
+        if assigned is None:
+            return spark.createDataFrame([], "vertex long, scc_id long")
+        return assigned

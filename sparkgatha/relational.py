@@ -1635,6 +1635,143 @@ def q_assortativity(spark, sf_dir):
     )
 
 
+#: directed top-2 bigram digraph — the adjacency pairs keep token ORDER
+#: and each src keeps only its 2 strongest out-edges (count desc, dst
+#: asc tie-break).  The raw bigram digraph on this fixture vocabulary is
+#: near-complete (one giant trivial SCC); the top-k sparsification gives
+#: it real reachability structure (several SCCs, varied 2-hop balls) so
+#: the SCC / neighborhood checks are value checks, not constants.
+_DIGRAPH_CTE = (
+    _ADJ_CTE
+    + """,
+    dcnt AS (SELECT x, y, count(*) AS c FROM apairs GROUP BY 1, 2),
+    de AS (
+      SELECT x AS src, y AS dst FROM (
+        SELECT x, y,
+               row_number() OVER (PARTITION BY x
+                                  ORDER BY c DESC, y ASC) AS rn
+        FROM dcnt
+      ) WHERE rn <= 2
+    )
+"""
+)
+
+
+def _bigram_digraph(spark, sf_dir, k: int = 2):
+    """(nodes(key, id), id_edges(src, dst, weight)) for the directed
+    top-k bigram graph, md5-derived ids (cross-engine order trick)."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.util import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    edges = extract_adjacency_edges(d, directed=True)
+    w = W.partitionBy("src").orderBy(
+        F.col("weight").desc(), F.col("dst").asc()
+    )
+    top = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "weight")
+    )
+    nodes = (
+        top.select(F.col("src").alias("key"))
+        .unionByName(top.select(F.col("dst").alias("key")))
+        .distinct()
+        .select("key", md5_long(F.col("key")).alias("id"))
+    )
+    id_edges = top.select(
+        md5_long(F.col("src")).alias("src"),
+        md5_long(F.col("dst")).alias("dst"),
+        "weight",
+    )
+    return nodes, id_edges
+
+
+@register(
+    "q_scc",
+    f"""
+    WITH RECURSIVE {_DIGRAPH_CTE},
+    ids AS (
+      SELECT DISTINCT term,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT AS id
+      FROM (SELECT src AS term FROM de UNION ALL SELECT dst FROM de)
+    ),
+    ide AS (
+      SELECT s.id AS src, d.id AS dst
+      FROM de JOIN ids s ON s.term = de.src JOIN ids d ON d.term = de.dst
+    ),
+    reach(s, v) AS (
+      SELECT id, id FROM ids
+      UNION
+      SELECT r.s, ide.dst FROM reach r JOIN ide ON ide.src = r.v
+    ),
+    scc AS (
+      SELECT r1.s AS vertex, min(r1.v) AS scc_id
+      FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s
+      GROUP BY r1.s
+    )
+    SELECT ids.term AS key, scc.scc_id
+    FROM scc JOIN ids ON ids.id = scc.vertex
+    """,
+)
+def q_scc(spark, sf_dir):
+    """G23 strongly connected components (iterative coloring + peel,
+    graph/scc.py) over the directed top-2 bigram digraph, value-checked
+    against DuckDB's mutual-reachability closure (reach ∩ reverse-reach,
+    scc_id = min member) on md5-derived ids.  NetworkX-golden-tested on
+    random digraphs in tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.scc import strongly_connected_components
+
+    nodes, id_edges = _bigram_digraph(spark, sf_dir)
+    s = strongly_connected_components(id_edges)
+    return s.join(nodes, s.vertex == nodes.id).select("key", "scc_id")
+
+
+@register(
+    "q_hop_neighborhood",
+    f"""
+    WITH {_DIGRAPH_CTE},
+    dverts AS (SELECT src AS v FROM de UNION SELECT dst FROM de),
+    r0 AS (SELECT v AS s, v FROM dverts),
+    r1 AS (
+      SELECT * FROM r0
+      UNION
+      SELECT r0.s, de.dst FROM r0 JOIN de ON de.src = r0.v
+    ),
+    r2 AS (
+      SELECT * FROM r1
+      UNION
+      SELECT r1.s, de.dst FROM r1 JOIN de ON de.src = r1.v
+    )
+    SELECT s AS key, count(*) AS n_reach FROM r2 GROUP BY s
+    """,
+)
+def q_hop_neighborhood(spark, sf_dir):
+    """G22 exact ≤2-hop neighborhood sizes (self included) over the
+    directed top-2 bigram digraph — the exact form of the ANF/HADI
+    neighborhood function, value-checked against DuckDB's unioned
+    2-hop expansion.  The HLL-sketch scale path is q_anf_sketch."""
+    from sparkgatha.graph.neighborhood import hop_neighborhood_exact
+
+    nodes, id_edges = _bigram_digraph(spark, sf_dir)
+    n = hop_neighborhood_exact(id_edges, hops=2)
+    return n.join(nodes, n.vertex == nodes.id).select("key", "n_reach")
+
+
+@register("q_anf_sketch", None)  # estimates: rows-only + pytest err band
+def q_anf_sketch(spark, sf_dir):
+    """G22 HLL-sketch neighborhood function (ANF, hops=2) — the 10^12
+    path: per-vertex DataSketches HLL state, one join + one
+    hll_union_agg per superstep.  Values are estimates, so the driver
+    records rows+schema; the error band vs the exact form is pinned by
+    tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.neighborhood import neighborhood_function
+
+    nodes, id_edges = _bigram_digraph(spark, sf_dir)
+    n = neighborhood_function(id_edges, hops=2)
+    return n.join(nodes, n.vertex == nodes.id).select("key", "est_reach")
+
+
 def _walks_oracle_sql(length: int, seed: int = 0) -> str:
     """G18 unrolled: each round indexes the SORTED neighbor list at
     md5int(walk_id:step:seed) mod deg — the same md5→bigint convention

@@ -577,3 +577,118 @@ def test_modularity_single_community_is_zero(spark, triples):
                                    "vertex long, label long")
     got = modularity(edges, labels).collect()[0]["modularity"]
     assert abs(got) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components + neighborhood function (ANF)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.neighborhood import (  # noqa: E402
+    hop_neighborhood_exact,
+    neighborhood_function,
+)
+from sparkgatha.graph.scc import strongly_connected_components  # noqa: E402
+
+
+def _nx_scc_labels(edge_list):
+    g = nx.DiGraph(edge_list)
+    want = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    return want
+
+
+def _digraph_triples(n, m, seed):
+    import random as _r
+
+    _r.seed(seed)
+    es = set()
+    while len(es) < m:
+        a, b = _r.randrange(n), _r.randrange(n)
+        if a != b:
+            es.add((a, b))
+    return sorted(es)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scc_matches_networkx_random(spark, seed):
+    es = _digraph_triples(60, 90, seed)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {r["vertex"]: r["scc_id"]
+           for r in strongly_connected_components(df).collect()}
+    assert got == _nx_scc_labels(es)
+
+
+def test_scc_shapes(spark):
+    """Two cycles bridged one-way + tail; decreasing path (adversarial
+    for the coloring round count); a single big cycle."""
+    for es in (
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 12), (12, 10),
+         (12, 20)],
+        [(i + 1, i) for i in range(10)],
+        [(i, (i + 1) % 12) for i in range(12)],
+    ):
+        df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                                   "src long, dst long, weight double")
+        got = {r["vertex"]: r["scc_id"]
+               for r in strongly_connected_components(df).collect()}
+        assert got == _nx_scc_labels(es)
+
+
+def test_scc_round_rails_raise(spark):
+    es = [(i + 1, i) for i in range(8)]  # 9 singleton SCCs, 9 peel rounds
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        strongly_connected_components(df, max_rounds=3)
+
+
+def test_hop_neighborhood_exact_matches_networkx(spark):
+    es = _digraph_triples(80, 200, 7)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    g = nx.DiGraph(es)
+    for hops in (0, 1, 3):
+        got = {r["vertex"]: r["n_reach"]
+               for r in hop_neighborhood_exact(df, hops).collect()}
+        want = {v: len(nx.single_source_shortest_path_length(g, v,
+                                                             cutoff=hops))
+                for v in g}
+        assert got == want, f"hops={hops}"
+
+
+def test_neighborhood_sketch_within_error_band(spark):
+    """HLL estimates stay within 5% of the exact ball sizes (lgk=12 is
+    ~1.6% standard error; small balls are exact via the sparse mode)."""
+    es = _digraph_triples(150, 600, 9)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    exact = {r["vertex"]: r["n_reach"]
+             for r in hop_neighborhood_exact(df, 2).collect()}
+    est = {r["vertex"]: r["est_reach"]
+           for r in neighborhood_function(df, 2).collect()}
+    assert set(est) == set(exact)
+    for v, n in exact.items():
+        assert abs(est[v] - n) <= max(1, 0.05 * n), (v, est[v], n)
+
+
+def test_neighborhood_rejects_bad_hops(spark):
+    df = spark.createDataFrame([(1, 2, 1.0)],
+                               "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="hops"):
+        hop_neighborhood_exact(df, -1)
+    with pytest.raises(ValueError, match="hops"):
+        neighborhood_function(df, -1)
+
+
+def test_extract_adjacency_directed_keeps_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z y x"), (2, "z y")], "doc_id long, text string"
+    )
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in extract_adjacency_edges(docs, directed=True).collect()}
+    assert got == {("x", "y"): 1.0, ("y", "z"): 1.0, ("z", "y"): 2.0,
+                   ("y", "x"): 1.0}
