@@ -85,10 +85,20 @@ PRIORITY_WINDOW = [
     "q_groupby_agg",        # A1
     "q_count_distinct",     # A2
     "q_grouping_sets",      # A3 (explicit grouping sets)
-    "q_adjacency",          # A4
+    "q_scc",                # G23 strongly connected components
+                            # (coloring+peel vs the mutual-reachability
+                            # closure oracle; rotated in r4 continuation
+                            # displacing q_adjacency — A4's collect-list
+                            # adjacency build runs inside driver-green
+                            # q_random_walks' indexed adjacency layout;
+                            # q_adjacency stays in the replica)
     "q_window_rank",        # W1
     "q_window_lag",         # W2
-    "q_window_frame",       # W3
+    "q_hop_neighborhood",   # G22 exact ANF neighborhood sizes (rotated
+                            # in r4 continuation displacing
+                            # q_window_frame — W3's frame specs stay
+                            # replica-checked; W1/W2/W4 keep the window
+                            # family driver-green)
     "q_topk_per_group",     # W4
     "q_sort",               # O1
     "q_topk",               # O2
@@ -130,7 +140,12 @@ PRIORITY_WINDOW = [
                             # exp, sqrt) runs inside many checked
                             # outputs: adamic_adar's ln, every rounded
                             # double; q_math stays in the replica)
-    "q_array_dot",          # §2.8 array
+    "q_assortativity",      # G20 degree assortativity (rotated in r4
+                            # continuation displacing q_array_dot — the
+                            # §2.8 array family (aggregate, zip_with,
+                            # transform) runs inside driver-green
+                            # q_knn_topk_per_vec's checked cosine;
+                            # q_array_dot stays in the replica)
     "q_json_props",         # §2.8 map/json + S3 (the conditional family
                             # q_case_when rotated out in r4 — CASE/WHEN
                             # coverage stays via q_filter/q_asof, which
@@ -147,7 +162,15 @@ PRIORITY_WINDOW = [
     "q_udf_weighted_mean",  # F5 grouped-agg pandas UDF
     "q_udtf_split_terms",   # F6 UDTF + lateral join
     "q_degrees",            # G3 (via F3 mapInPandas extraction)
-    "q_edges_idf",          # G1 idf-weighted edge extraction
+    "q_modularity",         # G21 Newman–Girvan modularity of the
+                            # near-dup cluster partition (full dedup
+                            # pipeline + G5 closure + the Q aggregate,
+                            # all replayed in SQL; rotated in r4
+                            # continuation displacing q_edges_idf — G1
+                            # extraction is driver-green via
+                            # q_selfjoin_cooc and the F3 extractor in
+                            # every q_g*; idf weighting stays in the
+                            # replica)
     "q_g4_pagerank",        # G4
     "q_g4_pagerank_personalized",  # G4 personalized/topic teleport
                                    # (rotated in r4, unrolled oracle)
