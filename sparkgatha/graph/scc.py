@@ -61,8 +61,14 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
         assigned = None  # union of (vertex, scc_id) across rounds
+        # Job-count discipline: every per-iteration frame is a LAZY
+        # localCheckpoint whose materialization rides on the one FULL
+        # count() the loop already needs for its convergence test — one
+        # Spark job per superstep instead of two (the counts are full
+        # scans on purpose: a limit() probe would materialize only some
+        # partitions of the lazy checkpoint).
         for _ in range(max_rounds):
-            if verts.limit(1).count() == 0:
+            if verts.count() == 0:
                 break
             # ---- 1. forward max-color fixpoint --------------------------
             color = verts.select("v", F.col("v").alias("c")).localCheckpoint(
@@ -78,21 +84,15 @@ def strongly_connected_components(
                     color.join(incoming, "v", "left")
                     .select(
                         "v",
+                        F.col("c").alias("old"),
                         # greatest() skips NULLs, so a no-incoming vertex
                         # keeps its own color
                         F.greatest("c", "ic").alias("c"),
                     )
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
-                changed = (
-                    nxt.join(
-                        color.withColumnRenamed("c", "old"), "v"
-                    )
-                    .filter(F.col("c") != F.col("old"))
-                    .limit(1)
-                    .count()
-                )
-                color = nxt
+                changed = nxt.filter(F.col("c") != F.col("old")).count()
+                color = nxt.select("v", "c")
                 if changed == 0:
                     break
             else:
@@ -101,9 +101,7 @@ def strongly_connected_components(
                 )
             # ---- 2. backward BFS from roots within each color class -----
             # members(v, c): v known to be in SCC(root of color c)
-            members = color.filter(F.col("v") == F.col("c")).localCheckpoint(
-                eager=True
-            )
+            members = color.filter(F.col("v") == F.col("c"))
             while True:
                 # reversed step: (u → w) with w already a member and
                 # color(u) == the member's color → u joins that SCC
@@ -115,33 +113,33 @@ def strongly_connected_components(
                     .select("v", "c")
                     .join(members, ["v", "c"], "left_anti")
                     .distinct()
-                    .localCheckpoint(eager=True)
+                    .localCheckpoint(eager=False)
                 )
-                if step.limit(1).count() == 0:
+                if step.count() == 0:
                     break
                 members = members.unionByName(step).localCheckpoint(
-                    eager=True
+                    eager=False
                 )
             # ---- 3. canonical id + peel ---------------------------------
             comp = members.groupBy("c").agg(F.min("v").alias("scc_id"))
             found = (
                 members.join(comp, "c")
                 .select(F.col("v").alias("vertex"), "scc_id")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             assigned = (
                 found
                 if assigned is None
-                else assigned.unionByName(found).localCheckpoint(eager=True)
+                else assigned.unionByName(found).localCheckpoint(eager=False)
             )
             done = found.select(F.col("vertex").alias("v"))
             verts = verts.join(done, "v", "left_anti").localCheckpoint(
-                eager=True
+                eager=False
             )
             e = (
                 e.join(done.withColumnRenamed("v", "src"), "src", "left_anti")
                 .join(done.withColumnRenamed("v", "dst"), "dst", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         else:
             raise RuntimeError(
