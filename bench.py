@@ -170,6 +170,10 @@ def main() -> None:
         "q_random_walks",
         "q_betweenness",
         "q_ego_2hop",
+        "q_scc",
+        "q_hop_neighborhood",
+        "q_anf_sketch",
+        "q_assortativity",
         "q_rollup",
         "q_asof",
     ):
