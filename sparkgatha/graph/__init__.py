@@ -14,6 +14,7 @@ from sparkgatha.graph.walks import random_walks
 from sparkgatha.graph.betweenness import betweenness
 from sparkgatha.graph.scc import strongly_connected_components
 from sparkgatha.graph.neighborhood import (
+    harmonic_centrality,
     hop_neighborhood_exact,
     neighborhood_function,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "link_prediction_features",
     "strongly_connected_components",
     "hop_neighborhood_exact",
+    "harmonic_centrality",
     "neighborhood_function",
     "degree_assortativity",
     "modularity",

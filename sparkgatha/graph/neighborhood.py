@@ -73,6 +73,58 @@ def hop_neighborhood_exact(edges: DataFrame, hops: int) -> DataFrame:
         )
 
 
+def harmonic_centrality(edges: DataFrame, hops: int) -> DataFrame:
+    """(vertex, harmonic): OUT-harmonic centrality Σ_{u reachable,
+    u≠v} 1/d(v,u) over exact BFS hop distances, bounded at ``hops``.
+
+    With ``hops`` ≥ the graph diameter this is exactly
+    ``networkx.harmonic_centrality(G.reverse())`` (NetworkX sums over
+    INCOMING distances; this engine ranks how well a vertex REACHES the
+    graph, the natural direction for a link graph).  Same all-sources
+    BFS-layer machinery as the exact neighborhood function: the first
+    time a (source, vertex) pair is reached IS its min hop, so each
+    layer is one join + one anti-join vs the seen set — no per-pair
+    min-agg needed.
+    """
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        e = _prep(edges).localCheckpoint(eager=True)
+        verts = (
+            e.select(F.col("src").alias("v"))
+            .unionByName(e.select(F.col("dst").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        seen = verts.select(
+            F.col("v").alias("s"), F.col("v"), F.lit(0).alias("hop")
+        ).localCheckpoint(eager=True)
+        frontier = seen
+        for h in range(1, hops + 1):
+            nxt = (
+                frontier.join(e, frontier.v == e.src)
+                .select("s", F.col("dst").alias("v"))
+                .distinct()
+                .join(seen, ["s", "v"], "left_anti")
+                .select("s", "v", F.lit(h).alias("hop"))
+                .localCheckpoint(eager=False)
+            )
+            if nxt.count() == 0:
+                break
+            seen = seen.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt
+        h = (
+            seen.filter(F.col("hop") > 0)
+            .groupBy("s")
+            .agg(F.sum(1.0 / F.col("hop")).alias("harmonic"))
+        )
+        return verts.join(h, verts.v == h.s, "left").select(
+            F.col("v").alias("vertex"),
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        )
+
+
 def neighborhood_function(
     edges: DataFrame, hops: int, lgk: int = 12
 ) -> DataFrame:

@@ -1758,6 +1758,56 @@ def q_hop_neighborhood(spark, sf_dir):
     return n.join(nodes, n.vertex == nodes.id).select("key", "n_reach")
 
 
+@register(
+    "q_harmonic",
+    f"""
+    WITH {_DIGRAPH_CTE},
+    dverts AS (
+      SELECT DISTINCT term
+      FROM (SELECT src AS term FROM de UNION ALL SELECT dst FROM de)
+    ),
+    h0 AS (SELECT term AS s, term AS v, 0 AS hop FROM dverts),
+    h1 AS (
+      SELECT DISTINCT h0.s, de.dst AS v, 1 AS hop
+      FROM h0 JOIN de ON de.src = h0.v
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.s, de.dst AS v, 2 AS hop
+      FROM h1 JOIN de ON de.src = h1.v
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.s, de.dst AS v, 3 AS hop
+      FROM h2 JOIN de ON de.src = h2.v
+    ),
+    allh AS (
+      SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+    ),
+    mh AS (SELECT s, v, min(hop) AS hop FROM allh GROUP BY s, v),
+    hsum AS (
+      SELECT s, sum(1.0 / hop) AS harmonic FROM mh WHERE hop > 0 GROUP BY s
+    )
+    SELECT dverts.term AS key,
+           round(coalesce(hsum.harmonic, 0.0), 8) AS harmonic
+    FROM dverts LEFT JOIN hsum ON hsum.s = dverts.term
+    """,
+)
+def q_harmonic(spark, sf_dir):
+    """G24 bounded-hop OUT-harmonic centrality (Σ 1/d within ≤3 hops)
+    over the directed top-2 bigram digraph — the closeness-family
+    ranking beside PageRank (volume) and betweenness (brokerage);
+    value-checked against DuckDB's 3-layer min-hop union.  Full-diameter
+    equivalence to networkx.harmonic_centrality(G.reverse()) is
+    golden-tested in tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.neighborhood import harmonic_centrality
+
+    nodes, id_edges = _bigram_digraph(spark, sf_dir)
+    h = harmonic_centrality(id_edges, hops=3)
+    return h.join(nodes, h.vertex == nodes.id).select(
+        "key", F.round("harmonic", 8).alias("harmonic")
+    )
+
+
 @register("q_anf_sketch", None)  # estimates: rows-only + pytest err band
 def q_anf_sketch(spark, sf_dir):
     """G22 HLL-sketch neighborhood function (ANF, hops=2) — the 10^12

@@ -692,3 +692,28 @@ def test_extract_adjacency_directed_keeps_order(spark):
            for r in extract_adjacency_edges(docs, directed=True).collect()}
     assert got == {("x", "y"): 1.0, ("y", "z"): 1.0, ("z", "y"): 2.0,
                    ("y", "x"): 1.0}
+
+
+def test_harmonic_centrality_matches_networkx(spark):
+    """Full-diameter bounded run equals
+    networkx.harmonic_centrality(G.reverse()) (the OUT-direction sum)."""
+    from sparkgatha.graph.neighborhood import harmonic_centrality
+
+    es = _digraph_triples(50, 120, 5)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {r["vertex"]: r["harmonic"]
+           for r in harmonic_centrality(df, hops=60).collect()}
+    want = nx.harmonic_centrality(nx.DiGraph(es).reverse())
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-12, abs_tol=1e-12), v
+
+
+def test_harmonic_centrality_rejects_bad_hops(spark):
+    from sparkgatha.graph.neighborhood import harmonic_centrality
+
+    df = spark.createDataFrame([(1, 2, 1.0)],
+                               "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="hops"):
+        harmonic_centrality(df, 0)
