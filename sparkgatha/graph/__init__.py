@@ -19,6 +19,7 @@ from sparkgatha.graph.neighborhood import (
     neighborhood_function,
 )
 from sparkgatha.graph.stats import degree_assortativity, modularity
+from sparkgatha.graph.truss import k_truss
 
 __all__ = [
     "degrees",
@@ -43,4 +44,5 @@ __all__ = [
     "neighborhood_function",
     "degree_assortativity",
     "modularity",
+    "k_truss",
 ]

@@ -1641,9 +1641,12 @@ def q_assortativity(spark, sf_dir):
 #: near-complete (one giant trivial SCC); the top-k sparsification gives
 #: it real reachability structure (several SCCs, varied 2-hop balls) so
 #: the SCC / neighborhood checks are value checks, not constants.
-_DIGRAPH_CTE = (
-    _ADJ_CTE
-    + """,
+def _topk_digraph_cte(k: int) -> str:
+    """Directed bigram pairs, each src keeping its k strongest
+    out-edges (count desc, dst asc) — the W4 shape, both engines."""
+    return (
+        _ADJ_CTE
+        + f""",
     dcnt AS (SELECT x, y, count(*) AS c FROM apairs GROUP BY 1, 2),
     de AS (
       SELECT x AS src, y AS dst FROM (
@@ -1651,10 +1654,13 @@ _DIGRAPH_CTE = (
                row_number() OVER (PARTITION BY x
                                   ORDER BY c DESC, y ASC) AS rn
         FROM dcnt
-      ) WHERE rn <= 2
+      ) WHERE rn <= {k}
     )
 """
-)
+    )
+
+
+_DIGRAPH_CTE = _topk_digraph_cte(2)
 
 
 def _bigram_digraph(spark, sf_dir, k: int = 2):
@@ -1805,6 +1811,87 @@ def q_harmonic(spark, sf_dir):
     h = harmonic_centrality(id_edges, hops=3)
     return h.join(nodes, h.vertex == nodes.id).select(
         "key", F.round("harmonic", 8).alias("harmonic")
+    )
+
+
+def _truss_oracle_sql(k: int, rounds: int) -> str:
+    """G25 unrolled: ``rounds`` synchronous truss-peel rounds over the
+    undirected top-4 bigram graph (monotone fixpoint, so extra rounds
+    past convergence are no-ops — the q_g6 early-stop argument).  Each
+    round enumerates triangles u<v<w canonically, counts per-edge
+    support, and keeps edges with support ≥ k−2; MATERIALIZED stops
+    DuckDB's CTE inlining from going exponential (the LPA lesson)."""
+    need = k - 2
+    sql = "WITH " + _topk_digraph_cte(4) + """,
+    und_0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM de WHERE src <> dst
+    )"""
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql += f""",
+    t_{r} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und_{p} e1
+      JOIN und_{p} e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN und_{p} e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    sup_{r} AS MATERIALIZED (
+      SELECT u, v, count(*) AS cnt FROM (
+        SELECT a AS u, b AS v FROM t_{r}
+        UNION ALL SELECT a, c FROM t_{r}
+        UNION ALL SELECT b, c FROM t_{r}
+      ) GROUP BY u, v
+    ),
+    und_{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM und_{p} e
+      JOIN sup_{r} s ON s.u = e.u AND s.v = e.v
+      WHERE s.cnt >= {need}
+    )"""
+    sql += f""",
+    t_f AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und_{rounds} e1
+      JOIN und_{rounds} e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN und_{rounds} e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    sup_f AS (
+      SELECT u, v, count(*) AS cnt FROM (
+        SELECT a AS u, b AS v FROM t_f
+        UNION ALL SELECT a, c FROM t_f
+        UNION ALL SELECT b, c FROM t_f
+      ) GROUP BY u, v
+    )
+    SELECT e.u AS src, e.v AS dst, coalesce(s.cnt, 0) AS support
+    FROM und_{rounds} e
+    LEFT JOIN sup_f s ON s.u = e.u AND s.v = e.v
+    """
+    return sql
+
+
+@register("q_k_truss", _truss_oracle_sql(k=4, rounds=8))
+def q_k_truss(spark, sf_dir):
+    """G25 k-truss (k=4) of the undirected top-4 bigram graph —
+    edge-level cohesion one level above k-core; value-checked against
+    DuckDB's 8-round unrolled synchronous peel (the fixture converges in
+    ≤5 rounds; extra rounds are no-ops by monotonicity).  String keys
+    end-to-end: both engines canonicalize with the same binary
+    least/greatest, so no id mapping is needed.
+    networkx.k_truss-golden-tested in tests/test_linkgraph_ops.py."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.truss import k_truss
+
+    d = _t(spark, sf_dir, "documents")
+    edges = extract_adjacency_edges(d, directed=True)
+    w = W.partitionBy("src").orderBy(F.col("weight").desc(), F.col("dst").asc())
+    top = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("src", "dst", "weight")
+    )
+    t = k_truss(top, k=4)
+    return t.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "support"
     )
 
 

@@ -57,6 +57,39 @@ def guard_input_rows(
     return df
 
 
+def checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that also RESETS the plan-size statistics.
+
+    ``Dataset.localCheckpoint`` copies the optimized plan's estimated
+    ``sizeInBytes`` (an unbounded BigInt) into the checkpointed
+    ``LogicalRDD``'s computedStats.  In an iterative operator whose
+    per-round plan references the previous round's checkpoint through
+    MANY joins (k-truss: the wedge join reads the edge set ~12 times),
+    the size-only estimator multiplies that inherited estimate per join,
+    so the stored BigInt COMPOUNDS exponentially across rounds —
+    measured here: ×3 in bit length per truss round, a ~600-digit
+    estimate by round 4, Toom-Cook BigInteger multiplies dominating
+    planning by round 10, and a driver heap OOM inside
+    SizeInBytesOnlyStatsPlanVisitor by round 12 — on a 200-edge graph.
+    (One-join-per-round loops like PageRank/CC only ADD ~63 bits per
+    round, which is why they never trip this.)
+
+    The reset: checkpoint eagerly, then rebuild the DataFrame from the
+    checkpointed dataset's JVM ``Dataset.rdd()`` via the public
+    ``createDataFrame(RDD[Row], schema)`` — a fresh leaf with default
+    stats.  ``Dataset.rdd()`` deserializes to external Row objects
+    JVM-side (safely COPYING rows — wrapping ``queryExecution.toRdd``
+    directly corrupts data through UnsafeRow reuse), and nothing
+    crosses into Python, so this is a JVM plumbing seam, not a use of
+    the banned PySpark RDD API (SURVEY.md B:15 note).
+    """
+    jdf = df.localCheckpoint(eager=True)._jdf
+    jdf2 = df.sparkSession._jsparkSession.createDataFrame(
+        jdf.rdd(), jdf.schema()
+    )
+    return DataFrame(jdf2, df.sparkSession)
+
+
 @contextmanager
 def no_aqe(spark: SparkSession):
     """Disable adaptive query execution for the duration of an iterative

@@ -717,3 +717,55 @@ def test_harmonic_centrality_rejects_bad_hops(spark):
                                "src long, dst long, weight double")
     with pytest.raises(ValueError, match="hops"):
         harmonic_centrality(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# k-truss
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.truss import k_truss  # noqa: E402
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_k_truss_matches_networkx(spark, k):
+    es = _digraph_triples(40, 200, 4)
+    es = sorted({tuple(sorted(e)) for e in es})
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    rows = k_truss(df, k).collect()
+    t = nx.k_truss(nx.Graph(es), k)
+    want = {tuple(sorted(e)) for e in t.edges()}
+    assert {(r["u"], r["v"]) for r in rows} == want
+    # final support = common-neighbor count within the truss
+    for r in rows:
+        assert r["support"] == len(set(t[r["u"]]) & set(t[r["v"]])), r
+
+
+def test_k_truss_k5_with_pendant_path(spark):
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in k5 + [(4, 10), (10, 11)]],
+        "src long, dst long, weight double",
+    )
+    got = {(r["u"], r["v"]) for r in k_truss(df, 5).collect()}
+    assert got == set(k5)  # the pendant path peels, the clique survives
+
+
+def test_k_truss_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, 2, 1.0)],
+                               "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="k must be"):
+        k_truss(df, 1)
+
+
+def test_k_truss_fixed_round_mode_truncates(spark):
+    """Integer max_iter = the oracle mode: exactly that many peel
+    rounds.  One round of k=4 on a triangle chain drops only the edges
+    with support < 2 at the ORIGINAL supports."""
+    # two triangles sharing edge (1,2): (1,2) has support 2, rest 1
+    es = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {(r["u"], r["v"]) for r in k_truss(df, 4, max_iter=1).collect()}
+    assert got == {(1, 2)}  # after one round; fixpoint would be empty
+    assert k_truss(df, 4).count() == 0
