@@ -503,18 +503,27 @@ def q_modularity(spark, sf_dir):
     the fixtures; a single-cluster partition would be 0).  The general-
     partition formula is NetworkX-golden-tested in
     tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.cc import connected_components
     from sparkgatha.graph.stats import modularity
 
     d = _t(spark, sf_dir, "documents")
+    # ONE pipeline run: the pair graph feeds both the G5 closure (the
+    # cluster labels, same composition near_duplicate_clusters wraps)
+    # and the modularity aggregate — calling near_duplicate_clusters
+    # here would re-run the whole LSH+verify pipeline a second time
     pairs = verified_near_dup_pairs(d)
     e = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"),
     )
+    # materialize the (tiny) pair graph once: both the CC supersteps and
+    # the modularity joins read it repeatedly
     sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    labels = near_duplicate_clusters(d).select(
-        F.col("doc_id").alias("vertex"), F.col("cluster_id").alias("label")
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                 "weight")
+    ).localCheckpoint(eager=True)
+    labels = connected_components(sym).select(
+        "vertex", F.col("component").alias("label")
     )
     return modularity(sym, labels).select(
         F.round("modularity", 8).alias("modularity")

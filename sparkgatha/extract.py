@@ -375,6 +375,24 @@ def extract_adjacency_edges(
     return oriented.groupBy("src", "dst").agg(F.count("*").alias("weight"))
 
 
+def top_k_out_edges(edges: DataFrame, k: int) -> DataFrame:
+    """Keep each src's k strongest out-edges (weight desc, dst asc —
+    the W4 tie-break both engines' oracles replicate as a row_number
+    window).  The deterministic sparsifier behind the SCC / reachability
+    / truss fixture graphs: shared here so the Spark side and every
+    oracle CTE (_topk_digraph_cte) pin ONE tie-break convention."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy("src").orderBy(
+        F.col("weight").desc(), F.col("dst").asc()
+    )
+    return (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "weight")
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """U1: store both orientations of each undirected edge."""
     rev = edges.select(

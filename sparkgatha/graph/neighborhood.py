@@ -31,12 +31,23 @@ from pyspark.sql import DataFrame, functions as F
 from sparkgatha.util import no_aqe
 
 
-def _prep(edges: DataFrame) -> DataFrame:
-    return (
+def _prep(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(traversal edges, vertex universe): self-loops are dropped from
+    the TRAVERSAL set (they never change a hop distance) but their
+    endpoints stay in the vertex universe — a self-loop-only vertex is
+    a row with reach {itself}, not an absent row (the same coverage
+    rule triangle_profile pins for the triangle family)."""
+    e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    return e, verts
 
 
 def hop_neighborhood_exact(edges: DataFrame, hops: int) -> DataFrame:
@@ -51,12 +62,8 @@ def hop_neighborhood_exact(edges: DataFrame, hops: int) -> DataFrame:
         raise ValueError(f"hops must be >= 0, got {hops}")
     spark = edges.sparkSession
     with no_aqe(spark):
-        e = _prep(edges).localCheckpoint(eager=True)
-        verts = (
-            e.select(F.col("src").alias("v"))
-            .unionByName(e.select(F.col("dst").alias("v")))
-            .distinct()
-        )
+        e, verts = _prep(edges)
+        e = e.localCheckpoint(eager=True)
         reach = verts.select(
             F.col("v").alias("s"), F.col("v")
         ).localCheckpoint(eager=True)
@@ -90,13 +97,9 @@ def harmonic_centrality(edges: DataFrame, hops: int) -> DataFrame:
         raise ValueError(f"hops must be >= 1, got {hops}")
     spark = edges.sparkSession
     with no_aqe(spark):
-        e = _prep(edges).localCheckpoint(eager=True)
-        verts = (
-            e.select(F.col("src").alias("v"))
-            .unionByName(e.select(F.col("dst").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        e, verts = _prep(edges)
+        e = e.localCheckpoint(eager=True)
+        verts = verts.localCheckpoint(eager=True)
         seen = verts.select(
             F.col("v").alias("s"), F.col("v"), F.lit(0).alias("hop")
         ).localCheckpoint(eager=True)
@@ -141,12 +144,8 @@ def neighborhood_function(
         raise ValueError(f"hops must be >= 0, got {hops}")
     spark = edges.sparkSession
     with no_aqe(spark):
-        e = _prep(edges).localCheckpoint(eager=True)
-        verts = (
-            e.select(F.col("src").alias("v"))
-            .unionByName(e.select(F.col("dst").alias("v")))
-            .distinct()
-        )
+        e, verts = _prep(edges)
+        e = e.localCheckpoint(eager=True)
         # build the singleton sketches: hll_sketch_agg is an aggregate,
         # so group by the vertex itself (one-row groups)
         state = (

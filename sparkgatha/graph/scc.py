@@ -46,6 +46,12 @@ def strongly_connected_components(
     ``max_rounds`` bounds the outer peel loop, ``max_color_iter`` the
     inner max-propagation fixpoint; both RAISE on exhaustion (a silent
     cut would mislabel components)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if max_color_iter < 1:
+        raise ValueError(
+            f"max_color_iter must be >= 1, got {max_color_iter}"
+        )
     spark = edges.sparkSession
     with no_aqe(spark):
         e = (
@@ -54,9 +60,12 @@ def strongly_connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # vertex universe from the RAW endpoints, BEFORE the self-loop
+        # filter: a vertex whose only edge is a self-loop is a singleton
+        # SCC (networkx semantics), not an absent row
         verts = (
-            e.select(F.col("src").alias("v"))
-            .unionByName(e.select(F.col("dst").alias("v")))
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -96,9 +105,13 @@ def strongly_connected_components(
                 if changed == 0:
                     break
             else:
-                raise RuntimeError(
-                    f"SCC coloring exceeded max_color_iter={max_color_iter}"
-                )
+                # convergence on the LAST allowed iteration is success —
+                # only a still-changing coloring is an overrun
+                if changed != 0:
+                    raise RuntimeError(
+                        "SCC coloring exceeded "
+                        f"max_color_iter={max_color_iter}"
+                    )
             # ---- 2. backward BFS from roots within each color class -----
             # members(v, c): v known to be in SCC(root of color c)
             members = color.filter(F.col("v") == F.col("c"))
@@ -142,10 +155,14 @@ def strongly_connected_components(
                 .localCheckpoint(eager=False)
             )
         else:
-            raise RuntimeError(
-                f"SCC peel loop exceeded max_rounds={max_rounds}; the "
-                "remaining subgraph still has vertices (raise max_rounds)"
-            )
+            # a graph needing EXACTLY max_rounds peels is fully labeled —
+            # raise only if vertices genuinely remain
+            if verts.count() > 0:
+                raise RuntimeError(
+                    f"SCC peel loop exceeded max_rounds={max_rounds}; the "
+                    "remaining subgraph still has vertices (raise "
+                    "max_rounds)"
+                )
         if assigned is None:
             return spark.createDataFrame([], "vertex long, scc_id long")
         return assigned

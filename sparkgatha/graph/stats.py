@@ -74,7 +74,20 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     lu = labels.select(F.col("vertex").alias("src"), F.col("label").alias("cu"))
     lv = labels.select(F.col("vertex").alias("dst"), F.col("label").alias("cv"))
-    both = e.join(lu, "src").join(lv, "dst")
+    both = e.join(lu, "src", "left").join(lv, "dst", "left")
+    # raise-don't-truncate: an endpoint missing from ``labels`` would
+    # silently shrink m and the degree masses — Q for a different graph
+    # (networkx raises NotAPartition for the same input)
+    n_unlabeled = (
+        both.filter(F.col("cu").isNull() | F.col("cv").isNull())
+        .limit(1)
+        .count()
+    )
+    if n_unlabeled:
+        raise ValueError(
+            "modularity: labels do not cover every edge endpoint — not a "
+            "partition of the graph's vertex set"
+        )
     # per-community directed-degree sums and intra-community directed counts
     per_c = both.groupBy("cu").agg(
         F.count("*").alias("d_c"),  # Σ deg over community cu

@@ -48,9 +48,11 @@ def _oriented(edges: DataFrame) -> DataFrame:
     return _orient(und, _degrees(und))
 
 
-def _corner_counts(o: DataFrame) -> DataFrame:
-    """(vertex, n_triangles) for triangle CORNERS only (no zero-fill),
-    from a degree-oriented edge set."""
+def _triangles(o: DataFrame) -> DataFrame:
+    """(p, x, y): ONE row per triangle of a degree-oriented edge set —
+    the shared enumeration behind per-corner counts (G7/G17) and
+    per-edge support (G25).  p is the wedge pivot, x < y the closing
+    pair."""
     # wedges at pivot a: (a→b, a→c) with b < c to canonicalize
     e1 = o.select(F.col("a").alias("p"), F.col("b").alias("x"))
     e2 = o.select(F.col("a").alias("p"), F.col("b").alias("y"))
@@ -58,7 +60,13 @@ def _corner_counts(o: DataFrame) -> DataFrame:
     closing = o.select(
         F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
     )
-    tris = wedges.join(closing, ["x", "y"])  # one row per triangle
+    return wedges.join(closing, ["x", "y"])
+
+
+def _corner_counts(o: DataFrame) -> DataFrame:
+    """(vertex, n_triangles) for triangle CORNERS only (no zero-fill),
+    from a degree-oriented edge set."""
+    tris = _triangles(o)
     return (
         tris.select(F.col("p").alias("vertex"))
         .unionByName(tris.select(F.col("x").alias("vertex")))

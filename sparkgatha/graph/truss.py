@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from sparkgatha.graph.canon import canonical_undirected
-from sparkgatha.graph.triangles import _degrees, _orient
+from sparkgatha.graph.triangles import _degrees, _orient, _triangles
 from sparkgatha.util import checkpoint_reset_stats, no_aqe
 
 #: runaway rail for fixpoint mode — each round drops ≥1 edge, so this
@@ -42,16 +42,11 @@ FIXPOINT_MAX_ROUNDS = 10_000
 
 def _edge_support(und: DataFrame) -> DataFrame:
     """(u, v, support) per canonical undirected edge: the number of
-    triangles the edge participates in, via the degree-oriented wedge
-    join (hub-safe, one row per triangle)."""
+    triangles the edge participates in — the G7 degree-oriented wedge
+    enumeration (triangles._triangles, hub-safe, one row per triangle)
+    projected onto the three edges of each triangle."""
     o = _orient(und, _degrees(und))
-    e1 = o.select(F.col("a").alias("p"), F.col("b").alias("x"))
-    e2 = o.select(F.col("a").alias("p"), F.col("b").alias("y"))
-    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
-    closing = o.select(
-        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
-    )
-    tris = wedges.join(closing, ["x", "y"])  # (p, x, y): one row/triangle
+    tris = _triangles(o)  # (p, x, y)
     sides = (
         tris.select(
             F.least("p", "x").alias("u"), F.greatest("p", "x").alias("v")
@@ -73,6 +68,12 @@ def k_truss(
     graph (self-loops dropped, orientations merged)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if max_iter is not None and max_iter < 1:
+        raise ValueError(
+            f"max_iter must be >= 1 (or None for fixpoint), got {max_iter} "
+            "— zero rounds would return the unpeeled input labeled as a "
+            "truss"
+        )
     spark = edges.sparkSession
     need = k - 2
     with no_aqe(spark):

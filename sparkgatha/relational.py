@@ -1666,19 +1666,11 @@ _DIGRAPH_CTE = _topk_digraph_cte(2)
 def _bigram_digraph(spark, sf_dir, k: int = 2):
     """(nodes(key, id), id_edges(src, dst, weight)) for the directed
     top-k bigram graph, md5-derived ids (cross-engine order trick)."""
-    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.extract import extract_adjacency_edges, top_k_out_edges
     from sparkgatha.util import md5_long
 
     d = _t(spark, sf_dir, "documents")
-    edges = extract_adjacency_edges(d, directed=True)
-    w = W.partitionBy("src").orderBy(
-        F.col("weight").desc(), F.col("dst").asc()
-    )
-    top = (
-        edges.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("src", "dst", "weight")
-    )
+    top = top_k_out_edges(extract_adjacency_edges(d, directed=True), k)
     nodes = (
         top.select(F.col("src").alias("key"))
         .unionByName(top.select(F.col("dst").alias("key")))
@@ -1878,17 +1870,11 @@ def q_k_truss(spark, sf_dir):
     end-to-end: both engines canonicalize with the same binary
     least/greatest, so no id mapping is needed.
     networkx.k_truss-golden-tested in tests/test_linkgraph_ops.py."""
-    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.extract import extract_adjacency_edges, top_k_out_edges
     from sparkgatha.graph.truss import k_truss
 
     d = _t(spark, sf_dir, "documents")
-    edges = extract_adjacency_edges(d, directed=True)
-    w = W.partitionBy("src").orderBy(F.col("weight").desc(), F.col("dst").asc())
-    top = (
-        edges.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 4)
-        .select("src", "dst", "weight")
-    )
+    top = top_k_out_edges(extract_adjacency_edges(d, directed=True), 4)
     t = k_truss(top, k=4)
     return t.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "support"

@@ -769,3 +769,62 @@ def test_k_truss_fixed_round_mode_truncates(spark):
     got = {(r["u"], r["v"]) for r in k_truss(df, 4, max_iter=1).collect()}
     assert got == {(1, 2)}  # after one round; fixpoint would be empty
     assert k_truss(df, 4).count() == 0
+
+
+def test_scc_exactly_max_rounds_completes_and_self_loops_are_singletons(spark):
+    """A graph needing EXACTLY max_rounds peels must complete (the
+    betweenness rail rule), and a self-loop-only vertex is a singleton
+    SCC, not an absent row."""
+    es = [(i + 1, i) for i in range(8)]  # 9 singleton SCCs, 9 peel rounds
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {r["vertex"]: r["scc_id"]
+           for r in strongly_connected_components(df, max_rounds=9).collect()}
+    assert got == {v: v for v in range(9)}
+    loop = spark.createDataFrame([(5, 5, 1.0), (1, 2, 1.0)],
+                                 "src long, dst long, weight double")
+    got2 = {r["vertex"]: r["scc_id"]
+            for r in strongly_connected_components(loop).collect()}
+    assert got2 == {1: 1, 2: 2, 5: 5}
+    with pytest.raises(ValueError, match="max_rounds"):
+        strongly_connected_components(df, max_rounds=0)
+    with pytest.raises(ValueError, match="max_color_iter"):
+        strongly_connected_components(df, max_color_iter=0)
+
+
+def test_neighborhood_ops_cover_self_loop_only_vertices(spark):
+    """hop/harmonic/sketch all keep a self-loop-only vertex as a row
+    (reach = itself, harmonic 0.0) — networkx coverage semantics."""
+    from sparkgatha.graph.neighborhood import harmonic_centrality
+
+    df = spark.createDataFrame([(1, 1, 1.0), (2, 3, 1.0)],
+                               "src long, dst long, weight double")
+    hop = {r["vertex"]: r["n_reach"]
+           for r in hop_neighborhood_exact(df, 1).collect()}
+    assert hop == {1: 1, 2: 2, 3: 1}
+    harm = {r["vertex"]: r["harmonic"]
+            for r in harmonic_centrality(df, 2).collect()}
+    assert harm == {1: 0.0, 2: 1.0, 3: 0.0}
+    est = {r["vertex"]: r["est_reach"]
+           for r in neighborhood_function(df, 1).collect()}
+    assert set(est) == {1, 2, 3} and est[1] == 1
+
+
+def test_k_truss_rejects_zero_rounds(spark):
+    df = spark.createDataFrame([(1, 2, 1.0)],
+                               "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="max_iter"):
+        k_truss(df, 4, max_iter=0)
+
+
+def test_modularity_rejects_incomplete_partition(spark):
+    from sparkgatha.graph.stats import modularity as _mod
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    labels = spark.createDataFrame([(1, 0), (2, 0)],  # vertex 3 missing
+                                   "vertex long, label long")
+    with pytest.raises(ValueError, match="partition"):
+        _mod(edges, labels).collect()
