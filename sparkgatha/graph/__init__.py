@@ -8,6 +8,7 @@ from sparkgatha.graph.lpa import label_propagation
 from sparkgatha.graph.triangles import clustering_coefficients, triangle_counts
 from sparkgatha.graph.paths import pair_distance, shortest_paths
 from sparkgatha.graph.hits import hits
+from sparkgatha.graph.eigenvector import eigenvector_centrality
 from sparkgatha.graph.kcore import core_numbers, k_core
 from sparkgatha.graph.linkpred import link_prediction_features
 from sparkgatha.graph.walks import random_walks
@@ -35,6 +36,7 @@ __all__ = [
     "shortest_paths",
     "pair_distance",
     "hits",
+    "eigenvector_centrality",
     "k_core",
     "core_numbers",
     "link_prediction_features",

@@ -2264,6 +2264,65 @@ def q_hits(spark, sf_dir):
     )
 
 
+def _eigenvector_oracle_sql(rounds: int = 12) -> str:
+    """Eigenvector centrality unrolled: k L1-normalized (A + I)·x
+    rounds — the shifted matrix appears literally as the edge list
+    UNION one unit self-loop per vertex, exactly the Spark plan's shape
+    (graph/eigenvector.py).  Runs over the sampled window-1 bigram
+    graph (_BIGRAM_CTE), NOT the full co-occurrence graph: the latter
+    is COMPLETE on every fixture (q_kcore's discovery), where
+    eigenvector centrality is uniformly 1/n — a vacuous value check.
+    The bigram graph has real degree spread, so the 12-round iterate
+    genuinely distinguishes vertices."""
+    sql = f"""
+    WITH {_BIGRAM_CTE},
+    verts AS MATERIALIZED (
+      SELECT src AS v FROM e UNION SELECT dst FROM e
+    ),
+    es AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT v, v FROM verts
+    ),
+    nv AS (SELECT count(*) AS n FROM verts),
+    x_0 AS MATERIALIZED (
+      SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM verts
+    )"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    g_{k} AS MATERIALIZED (
+      SELECT es.dst AS v, sum(x.r) AS r
+      FROM es JOIN x_{k - 1} x ON x.v = es.src GROUP BY es.dst
+    ),
+    x_{k} AS MATERIALIZED (
+      SELECT v, r / (SELECT sum(r) FROM g_{k}) AS r FROM g_{k}
+    )"""
+    sql += f"""
+    SELECT v AS key, round(r, 8) AS score FROM x_{rounds}
+    """
+    return sql
+
+
+@register("q_eigenvector", _eigenvector_oracle_sql(12))
+def q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (G26) on the symmetrized window-1 bigram
+    graph of the md5-sampled documents: 12 fixed L1-normalized (A + I)
+    power-iteration rounds vs the DuckDB unrolled iteration (plus a
+    converged NetworkX golden in tests/test_linkgraph_ops.py)."""
+    from sparkgatha.extract import extract_adjacency_edges, symmetrize
+    from sparkgatha.graph.eigenvector import eigenvector_centrality
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    )
+    e = symmetrize(extract_adjacency_edges(sampled, text_col="text"))
+    r = eigenvector_centrality(
+        e.select("src", "dst"), max_iter=12, tol=0.0, weighted=False
+    )
+    return r.scores.select(
+        F.col("vertex").alias("key"), F.round("score", 8).alias("score")
+    )
+
+
 def _kcore_oracle_sql(rounds: int = 8) -> str:
     """k-core unrolled over the part-supplier bipartite graph (typed
     'p:'/'s:' vertex keys — the heterogeneous-multigraph key scheme).

@@ -134,6 +134,44 @@ def lpa_oracle(triples, max_iter=20):
     return labels
 
 
+def eigenvector_oracle(directed_edges, max_iter=50, tol=0.0, weighted=True):
+    """Pure-Python (A + I)·x power iteration with L1 normalization per
+    round — the engine's exact semantics (graph/eigenvector.py).
+    ``directed_edges``: (u, v) or (u, v, w) rows; pass both orientations
+    for undirected graphs.  Returns ({v: score}, iterations)."""
+    from collections import defaultdict
+
+    adj = defaultdict(float)
+    nodes = set()
+    for e in directed_edges:
+        u, v = e[0], e[1]
+        if u == v:
+            continue
+        w = float(e[2]) if weighted and len(e) > 2 else 1.0
+        if weighted and len(e) > 2:
+            adj[(u, v)] += w  # parallel edges weight-sum
+        else:
+            adj[(u, v)] = 1.0  # simple graph: duplicates collapse
+        nodes.add(u)
+        nodes.add(v)
+    if not nodes:
+        return {}, 0
+    x = {v: 1.0 / len(nodes) for v in nodes}
+    it = 0
+    while it < max_iter:
+        it += 1
+        xlast = x
+        x = dict(xlast)  # the +I term
+        for (u, v), w in adj.items():
+            x[v] += xlast[u] * w
+        s = sum(x.values())
+        x = {v: r / s for v, r in x.items()}
+        delta = sum(abs(x[v] - xlast[v]) for v in nodes)
+        if tol > 0.0 and delta <= tol:
+            break
+    return x, it
+
+
 def hits_oracle(directed_edges, max_iter=30, tol=0.0):
     """Pure-Python HITS with L1 (sum-to-one) normalization after each
     half-step — the engine's exact semantics (graph/hits.py; scipy is

@@ -828,3 +828,94 @@ def test_modularity_rejects_incomplete_partition(spark):
                                    "vertex long, label long")
     with pytest.raises(ValueError, match="partition"):
         _mod(edges, labels).collect()
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality
+# ---------------------------------------------------------------------------
+
+from graph_helpers import (  # noqa: E402
+    eigenvector_oracle,
+    nx_graph,
+    undirected_both,
+)
+
+from sparkgatha.graph.eigenvector import eigenvector_centrality  # noqa: E402
+
+
+def test_eigenvector_fixed_rounds_match_oracle(spark, triples):
+    """Strict semantic check: after exactly k rounds the engine equals
+    the pure-Python L1-normalized (A + I) iterate to fp precision."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    res = eigenvector_centrality(edges, max_iter=12, tol=0.0)
+    want, _ = eigenvector_oracle(undirected_both(triples), max_iter=12)
+    got = {r["vertex"]: r["score"] for r in res.scores.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    assert res.iterations == 12
+
+
+def test_eigenvector_converged_matches_networkx(spark, triples):
+    """Converged direction equals networkx.eigenvector_centrality
+    (weighted) after rescaling our L1-normalized vector to unit L2 —
+    scalar normalization never changes the iterate's direction."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    res = eigenvector_centrality(edges, max_iter=500, tol=1e-13)
+    assert res.iterations < 500  # converged, not exhausted
+    rows = res.scores.collect()
+    assert abs(sum(r["score"] for r in rows) - 1.0) < 1e-9
+    l2 = math.sqrt(sum(r["score"] ** 2 for r in rows))
+    got = {r["vertex"]: r["score"] / l2 for r in rows}
+    want = nx.eigenvector_centrality(
+        nx_graph(triples), max_iter=1000, tol=1e-12, weight="weight"
+    )
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-7, v
+
+
+def test_eigenvector_bipartite_converges(spark):
+    """A 4-path is bipartite: plain A·x oscillates with period 2, the
+    +I shift converges — and to the known P4 principal eigenvector."""
+    es = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    edges = to_spark_edges(spark, es, symmetric=True)
+    res = eigenvector_centrality(edges, max_iter=300, tol=1e-12)
+    assert res.iterations < 300
+    rows = res.scores.collect()
+    l2 = math.sqrt(sum(r["score"] ** 2 for r in rows))
+    got = {r["vertex"]: r["score"] / l2 for r in rows}
+    want = nx.eigenvector_centrality(nx.path_graph([1, 2, 3, 4]),
+                                     max_iter=1000, tol=1e-12)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-7, v
+
+
+def test_eigenvector_simple_graph_collapses_duplicates(spark):
+    """weighted=False must collapse parallel rows to ONE unit entry,
+    not weight-sum them — duplicated edges change nothing."""
+    base = [(1, 2, 5.0), (2, 3, 0.5)]
+    once = to_spark_edges(spark, base, symmetric=True)
+    twice = once.unionByName(once)
+    a = {r["vertex"]: r["score"]
+         for r in eigenvector_centrality(
+             once, max_iter=8, tol=0.0, weighted=False).scores.collect()}
+    b = {r["vertex"]: r["score"]
+         for r in eigenvector_centrality(
+             twice, max_iter=8, tol=0.0, weighted=False).scores.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-15, v
+    # and unweighted really ignores the 10x weight spread
+    want, _ = eigenvector_oracle(
+        undirected_both(base), max_iter=8, weighted=False)
+    for v in want:
+        assert abs(a[v] - want[v]) < 1e-12, v
+
+
+def test_eigenvector_rejects_bad_args(spark):
+    edges = spark.createDataFrame([(1, 2, 1.0)],
+                                  "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="max_iter"):
+        eigenvector_centrality(edges, max_iter=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        eigenvector_centrality(edges, checkpoint_every=0)
