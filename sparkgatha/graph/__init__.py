@@ -10,7 +10,7 @@ from sparkgatha.graph.paths import pair_distance, shortest_paths
 from sparkgatha.graph.hits import hits
 from sparkgatha.graph.eigenvector import eigenvector_centrality
 from sparkgatha.graph.kcore import core_numbers, k_core
-from sparkgatha.graph.linkpred import link_prediction_features
+from sparkgatha.graph.linkpred import edge_similarity, link_prediction_features
 from sparkgatha.graph.walks import random_walks
 from sparkgatha.graph.betweenness import betweenness
 from sparkgatha.graph.scc import strongly_connected_components
@@ -40,6 +40,7 @@ __all__ = [
     "k_core",
     "core_numbers",
     "link_prediction_features",
+    "edge_similarity",
     "strongly_connected_components",
     "hop_neighborhood_exact",
     "harmonic_centrality",

@@ -2203,6 +2203,56 @@ def q_linkpred_features(spark, sf_dir):
     )
 
 
+@register(
+    "q_edge_similarity",
+    f"""
+    WITH {_BIGRAM_CTE},
+    deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM e GROUP BY src),
+    wedge AS (
+      SELECT n1.dst AS a, n2.dst AS b, n1.src AS z
+      FROM e n1 JOIN e n2 ON n1.src = n2.src AND n1.dst < n2.dst
+    ),
+    sup AS MATERIALIZED (
+      SELECT w.a, w.b, count(*) AS cn, sum(1.0 / ln(dz.d)) AS aa
+      FROM wedge w JOIN deg dz ON dz.v = w.z
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b)
+      GROUP BY w.a, w.b
+    )
+    SELECT g.u AS term_a, g.v AS term_b,
+           coalesce(s.cn, 0) AS common_neighbors,
+           round(coalesce(s.cn, 0) * 1.0 / (da.d + db.d - coalesce(s.cn, 0)),
+                 6) AS jaccard,
+           round(coalesce(s.aa, 0.0), 6) AS adamic_adar,
+           da.d * db.d AS pref_attachment
+    FROM big g
+    LEFT JOIN sup s ON s.a = g.u AND s.b = g.v
+    JOIN deg da ON da.v = g.u JOIN deg db ON db.v = g.v
+    """,
+)
+def q_edge_similarity(spark, sf_dir):
+    """SNN edge-strength profile (the dual of q_linkpred_features):
+    common neighbors / Jaccard / Adamic-Adar / preferential attachment
+    for every ADJACENT pair of the window-1 co-occurrence graph,
+    support-0 bridges included, value-checked end-to-end against the
+    wedge-join + EXISTS oracle (extraction included)."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.linkpred import edge_similarity
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    )
+    e = extract_adjacency_edges(sampled, text_col="text")
+    return edge_similarity(e).select(
+        F.col("src").alias("term_a"),
+        F.col("dst").alias("term_b"),
+        "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        "pref_attachment",
+    )
+
+
 def _hits_oracle_sql(rounds: int = 10) -> str:
     """HITS unrolled: k L1-normalized half-step pairs over the DIRECTED
     (src < dst) co-occurrence edge set, same MATERIALIZED-CTE pattern as

@@ -919,3 +919,62 @@ def test_eigenvector_rejects_bad_args(spark):
         eigenvector_centrality(edges, max_iter=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         eigenvector_centrality(edges, checkpoint_every=0)
+
+
+# ---------------------------------------------------------------------------
+# edge similarity (SNN profile — the adjacent-pair dual of linkpred)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.linkpred import edge_similarity  # noqa: E402
+
+
+def test_edge_similarity_matches_networkx(spark, triples):
+    """One row per undirected edge; all four scores equal the NetworkX
+    generators evaluated on the EXISTING edges."""
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {
+        (r["src"], r["dst"]): r for r in edge_similarity(edges).collect()
+    }
+    want_pairs = {(min(a, b), max(a, b)) for a, b, _ in triples}
+    assert set(got) == want_pairs
+    eb = sorted(want_pairs)
+    for (a, b, j), (_, _, aa), (_, _, pa) in zip(
+        nx.jaccard_coefficient(g, eb),
+        nx.adamic_adar_index(g, eb),
+        nx.preferential_attachment(g, eb),
+    ):
+        r = got[(a, b)]
+        assert r["common_neighbors"] == len(list(nx.common_neighbors(g, a, b)))
+        assert abs(r["jaccard"] - j) < 1e-12
+        assert abs(r["adamic_adar"] - aa) < 1e-12
+        assert r["pref_attachment"] == pa
+
+
+def test_edge_similarity_zero_support_bridge(spark):
+    """A bridge between two triangles has NO shared neighbors — it must
+    still appear, zero-filled (the wedge join alone would drop it)."""
+    es = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {(r["src"], r["dst"]): r for r in edge_similarity(df).collect()}
+    assert set(got) == set(es)
+    bridge = got[(3, 4)]
+    assert bridge["common_neighbors"] == 0
+    assert bridge["jaccard"] == 0.0
+    assert bridge["adamic_adar"] == 0.0
+    assert bridge["pref_attachment"] == 9  # deg(3) = deg(4) = 3
+    # intra-triangle edges have exactly one witness each
+    assert got[(1, 2)]["common_neighbors"] == 1
+
+
+def test_edge_similarity_support_equals_truss_support(spark, triples):
+    """common_neighbors IS the k-truss edge support: k_truss(k=2) peels
+    nothing, so its per-edge support must agree edge-for-edge."""
+    df = to_spark_edges(spark, triples, symmetric=False)
+    sim = {(r["src"], r["dst"]): r["common_neighbors"]
+           for r in edge_similarity(df).collect()}
+    tr = {(r["u"], r["v"]): r["support"]
+          for r in k_truss(df, 2).collect()}
+    assert sim == tr
