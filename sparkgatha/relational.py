@@ -2253,6 +2253,30 @@ def q_edge_similarity(spark, sf_dir):
     )
 
 
+@register("q_msf", None)
+def q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest (G27) of the weighted window-1
+    bigram graph — rows-only driver check (MST is not SQL-expressible:
+    Kruskal/Prim are sequential and an unrolled Borůvka needs one
+    recursive closure per round); the value bar is the NetworkX
+    edge-set goldens in tests/test_linkgraph_ops.py, which pin the
+    (weight, u, v) tie-break order exactly."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.mst import minimum_spanning_forest
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    )
+    e = extract_adjacency_edges(sampled, text_col="text")
+    # lighter = rarer bigram: invert the co-occurrence count so the MSF
+    # keeps the strong-association skeleton
+    w = e.select("src", "dst", (1.0 / F.col("weight")).alias("weight"))
+    return minimum_spanning_forest(w).select(
+        "u", "v", F.round("weight", 6).alias("weight")
+    )
+
+
 def _hits_oracle_sql(rounds: int = 10) -> str:
     """HITS unrolled: k L1-normalized half-step pairs over the DIRECTED
     (src < dst) co-occurrence edge set, same MATERIALIZED-CTE pattern as

@@ -978,3 +978,117 @@ def test_edge_similarity_support_equals_truss_support(spark, triples):
     tr = {(r["u"], r["v"]): r["support"]
           for r in k_truss(df, 2).collect()}
     assert sim == tr
+
+
+# ---------------------------------------------------------------------------
+# minimum spanning forest (Borůvka)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.mst import minimum_spanning_forest  # noqa: E402
+
+
+def test_msf_matches_networkx_kruskal(spark, triples):
+    """random_graph weights are distinct (continuous rng), so the MST
+    is unique — exact edge-set equality with NetworkX Kruskal."""
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {(r["u"], r["v"]): r["weight"]
+           for r in minimum_spanning_forest(edges).collect()}
+    g = nx_graph(triples)
+    want = {tuple(sorted((a, b))): d["weight"]
+            for a, b, d in nx.minimum_spanning_edges(g, data=True)}
+    assert got == want
+    # spanning-forest size invariant
+    assert len(got) == g.number_of_nodes() - nx.number_connected_components(g)
+
+
+def test_msf_disconnected_forest(spark):
+    """Two islands: the result is a forest — one tree per component,
+    |E| = |V| - #components, and the cross-island pair never appears."""
+    left = random_graph(n=30, m=60, seed=3)
+    right = [(a + 100, b + 100, w) for a, b, w in random_graph(n=25, m=50, seed=4)]
+    edges = to_spark_edges(spark, left + right, symmetric=True)
+    rows = minimum_spanning_forest(edges).collect()
+    g = nx_graph(left + right)
+    assert len(rows) == g.number_of_nodes() - nx.number_connected_components(g)
+    want = {tuple(sorted((a, b))) for a, b in
+            nx.minimum_spanning_tree(g).edges()}
+    assert {(r["u"], r["v"]) for r in rows} == want
+
+
+def test_msf_tie_break_is_weight_then_endpoints(spark):
+    """All-equal weights on a 4-cycle: the (weight, u, v) total order
+    keeps (1,2), (1,4), (2,3) and drops (3,4) — deterministic, and the
+    total weight matches NetworkX (every MST has the same weight)."""
+    es = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 4, 1.0)]
+    edges = to_spark_edges(spark, es, symmetric=False)
+    got = {(r["u"], r["v"]) for r in minimum_spanning_forest(edges).collect()}
+    assert got == {(1, 2), (1, 4), (2, 3)}
+
+
+def test_msf_parallel_edges_and_self_loops(spark):
+    """Self-loops are dropped; parallel edges collapse to the lightest."""
+    rows = [(1, 1, 0.1), (1, 2, 5.0), (2, 1, 2.0), (2, 3, 1.0), (3, 2, 4.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = {(r["u"], r["v"]): r["weight"]
+           for r in minimum_spanning_forest(edges).collect()}
+    assert got == {(1, 2): 2.0, (2, 3): 1.0}
+
+
+def test_msf_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert minimum_spanning_forest(empty).count() == 0
+    only_loops = spark.createDataFrame([(7, 7, 1.0)],
+                                       "src long, dst long, weight double")
+    assert minimum_spanning_forest(only_loops).count() == 0
+    one = spark.createDataFrame([(1, 2, 3.5)],
+                                "src long, dst long, weight double")
+    assert [tuple(r) for r in minimum_spanning_forest(one).collect()] == [
+        (1, 2, 3.5)
+    ]
+
+
+def test_q_msf_fixture_matches_python_kruskal(spark):
+    """Value check for the rows-only registry entry: replay the same
+    inverted-weight bigram graph through a pure-Python Kruskal under
+    the engine's (weight, u, v) total order — with ties (inverse counts
+    collide), edge-set equality pins the tie-break, not just the
+    weight sum."""
+    import os
+
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.relational import REGISTRY, read_table
+
+    sf_dir = os.environ.get(
+        "SPARKGATHA_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    d = read_table(spark, sf_dir, "documents")
+    sampled = d.filter(
+        "substring(md5(cast(doc_id as string)), 1, 1) < '2'"
+    )
+    ew = [
+        (r["src"], r["dst"], 1.0 / r["weight"])
+        for r in extract_adjacency_edges(sampled, text_col="text").collect()
+    ]
+    # pure-Python Kruskal with union-find over the same total order
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for w, u, v in sorted(
+        (w, min(a, b), max(a, b)) for a, b, w in ew
+    ):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            want.add((u, v, round(w, 6)))
+    got = {
+        (r["u"], r["v"], r["weight"])
+        for r in REGISTRY["q_msf"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
