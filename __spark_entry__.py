@@ -56,13 +56,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator; §2.8 math by the ln/round calls inside many checked outputs;
 # W2's lag/lead by q_asof's ordered-frame last(); O1's global sort by
 # q_topk's TakeOrderedAndProject truncation.
-# Remaining oracle-backed entries (q_sort, q_window_lag, q_intersect,
-# q_math, q_window_sliding, q_crossjoin_knn, q_case_when, dedup/textan/
-# similarity extras, subquery forms) follow after position 50 and are
-# verified by the local replica in tests/test_relational.py at the
-# same sf.
+# Remaining oracle-backed entries (q_project, q_window_rank, q_sort,
+# q_window_lag, q_intersect, q_math, q_window_sliding, q_crossjoin_knn,
+# q_case_when, dedup/textan/similarity extras, subquery forms) follow
+# after position 50 and are verified by the local replica in
+# tests/test_relational.py at the same sf.
 PRIORITY_WINDOW = [
-    "q_project",            # P1
+    "q_eigenvector",        # G26 eigenvector centrality, unrolled
+                            # (A + I) oracle (rotated in r4 continuation
+                            # displacing q_project — P1's projection +
+                            # computed-column shape is in every checked
+                            # key's SELECT, e.g. q_filter's predicates
+                            # project typed columns and q_math's rounded
+                            # doubles were already replica-held;
+                            # q_project stays in the replica)
     "q_filter",             # P2
     "q_dedup_exact",        # P3 + LLM exact-dedup (digest groupBy)
     "q_sample_hash",        # P4 (deterministic hash-threshold sampling)
@@ -94,7 +101,13 @@ PRIORITY_WINDOW = [
                             # adjacency build runs inside driver-green
                             # q_random_walks' indexed adjacency layout;
                             # q_adjacency stays in the replica)
-    "q_window_rank",        # W1
+    "q_edge_similarity",    # SNN edge-strength profile (the adjacent-
+                            # pair dual of G14; rotated in r4
+                            # continuation displacing q_window_rank —
+                            # W1's ranking window is the same
+                            # row_number-over-partitioned-window
+                            # operator driver-green q_topk_per_group
+                            # runs; q_window_rank stays in the replica)
     "q_harmonic",           # G24 bounded-hop harmonic centrality
                             # (rotated in r4 continuation displacing
                             # q_window_lag — W2's analytic window family
