@@ -48,6 +48,7 @@ def main() -> None:
     from sparkgatha.graph.cc import connected_components
     from sparkgatha.graph.lpa import label_propagation
     from sparkgatha.graph.triangles import triangle_counts
+    from sparkgatha.graph.mst import minimum_spanning_forest
     from sparkgatha.graph.walks import random_walks
     from sparkgatha.io import read_table
     from sparkgatha.synthetic import powerlaw_edges
@@ -132,6 +133,17 @@ def main() -> None:
         "b_random_walks_5",
         lambda: random_walks(edges_b, length=5).count(),
     )
+    # Borůvka MSF on its own fixed 2e6-edge slice (seeded, distinct from
+    # input B only in size): the full 2e7-edge input would double the
+    # bench wall for one cell — the contraction rounds + nested G5
+    # closures are the cost being tracked, and they show at 2e6 too
+    edges_m = powerlaw_edges(
+        spark, 2_000_000, num_partitions=CPUS
+    ).localCheckpoint(eager=True)
+    timed(
+        "b_msf_2m",
+        lambda: minimum_spanning_forest(edges_m).count(),
+    )
 
     # --- input A: extraction spine + algorithms on the documents graph ---
     docs = read_table(spark, SF_DIR, "documents")
@@ -174,6 +186,11 @@ def main() -> None:
         "q_hop_neighborhood",
         "q_anf_sketch",
         "q_assortativity",
+        "q_k_truss",
+        "q_harmonic",
+        "q_eigenvector",
+        "q_edge_similarity",
+        "q_msf",
         "q_rollup",
         "q_asof",
     ):
