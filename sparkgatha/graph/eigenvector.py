@@ -64,6 +64,13 @@ def eigenvector_centrality(
     (or a missing ``weight`` column) scores the simple graph; parallel
     (src, dst) duplicates are weight-summed either way, so the input
     need not be pre-deduplicated.
+
+    Self-loops are KEPT (their weight lands on the diagonal of A and a
+    loop-only vertex still gets a row — NetworkX semantics and the
+    repo's vertex-coverage rule).  A loop's two orientations coincide,
+    so pass each loop ONCE in weighted mode — a blind symmetrize that
+    re-emits loops doubles their diagonal weight (simple mode is
+    immune: duplicates collapse).
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -75,10 +82,13 @@ def eigenvector_centrality(
     spark = edges.sparkSession
     use_w = weighted and "weight" in edges.columns
     with no_aqe(spark):
+        # NetworkX keeps self-loops in A (a loop's weight lands on the
+        # diagonal), and the repo's vertex-coverage rule (triangle_
+        # profile / neighborhood._prep) says a self-loop-only vertex is
+        # a ROW, not an absent row — so no src != dst filter anywhere
         if use_w:
             e = (
                 edges.select("src", "dst", F.col("weight").cast("double"))
-                .filter(F.col("src") != F.col("dst"))
                 .groupBy("src", "dst")
                 .agg(F.sum("weight").alias("weight"))
             )
@@ -87,7 +97,6 @@ def eigenvector_centrality(
             # must not weight-sum
             e = (
                 edges.select("src", "dst")
-                .filter(F.col("src") != F.col("dst"))
                 .distinct()
                 .withColumn("weight", F.lit(1.0))
             )

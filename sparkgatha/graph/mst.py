@@ -95,11 +95,14 @@ def minimum_spanning_forest(edges: DataFrame) -> DataFrame:
                 .distinct()  # one edge may be picked by both endpoints
             )
             chosen = checkpoint_reset_stats(chosen)
+            # the forest is never joined or re-referenced inside a
+            # round, and each picked frame is a select of the already-
+            # checkpointed `chosen` — a plain union chain of ≤ 64 flat
+            # leaves needs no re-materialization of its own
             picked = chosen.select("u", "v", "weight")
             forest = (
                 picked if forest is None else forest.unionByName(picked)
             )
-            forest = checkpoint_reset_stats(forest)
             # merge: G5 on the chosen component-pair graph (tiny —
             # ≤ #components rows); component label = min member id
             cmap = connected_components(

@@ -145,8 +145,8 @@ def eigenvector_oracle(directed_edges, max_iter=50, tol=0.0, weighted=True):
     nodes = set()
     for e in directed_edges:
         u, v = e[0], e[1]
-        if u == v:
-            continue
+        # self-loops stay: their weight lands on the diagonal of A
+        # (networkx semantics), and a loop-only vertex still gets a row
         w = float(e[2]) if weighted and len(e) > 2 else 1.0
         if weighted and len(e) > 2:
             adj[(u, v)] += w  # parallel edges weight-sum

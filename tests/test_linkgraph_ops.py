@@ -1079,16 +1079,55 @@ def test_q_msf_fixture_matches_python_kruskal(spark):
             x = parent[x]
         return x
 
-    want = set()
+    want = {}
     for w, u, v in sorted(
         (w, min(a, b), max(a, b)) for a, b, w in ew
     ):
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[ru] = rv
-            want.add((u, v, round(w, 6)))
+            want[(u, v)] = w
     got = {
-        (r["u"], r["v"], r["weight"])
+        (r["u"], r["v"]): r["weight"]
         for r in REGISTRY["q_msf"].fn(spark, sf_dir).collect()
     }
-    assert got == want
+    # edge sets must agree exactly; weights within the 6-digit rounding
+    # the registry applies (Spark F.round is HALF_UP, Python round is
+    # HALF_EVEN — comparing rounded-to-rounded would flake on any
+    # exactly-half-way 1/count weight)
+    assert set(got) == set(want)
+    for uv, w in want.items():
+        assert abs(got[uv] - w) <= 6e-7, uv
+
+
+def test_eigenvector_self_loops_kept_and_loop_only_vertex_covered(spark):
+    """The repo's vertex-coverage rule: a self-loop-only vertex gets a
+    ROW; and a loop's weight lands on the diagonal of A (NetworkX
+    semantics), boosting its owner."""
+    es = [(7, 7, 1.0), (1, 2, 1.0), (2, 1, 1.0)]
+    df = spark.createDataFrame(es, "src long, dst long, weight double")
+    got = {r["vertex"]: r["score"]
+           for r in eigenvector_centrality(df, max_iter=10,
+                                           tol=0.0).scores.collect()}
+    assert set(got) == {1, 2, 7}
+    want, _ = eigenvector_oracle(es, max_iter=10)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    # weighted diagonal parity with networkx on a looped triangle —
+    # the loop is passed ONCE (its two orientations coincide; the
+    # docstring's symmetrize caveat), non-loop edges both ways
+    es2 = [(1, 1, 3.0), (1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)]
+    g = nx.Graph()
+    for a, b, w in es2:
+        g.add_edge(a, b, weight=w)
+    rows2 = [(a, b, w) for a, b, w in es2] + [
+        (b, a, w) for a, b, w in es2 if a != b
+    ]
+    edges2 = spark.createDataFrame(rows2, "src long, dst long, weight double")
+    res = eigenvector_centrality(edges2, max_iter=400, tol=1e-13)
+    rows = res.scores.collect()
+    l2 = math.sqrt(sum(r["score"] ** 2 for r in rows))
+    nxw = nx.eigenvector_centrality(g, max_iter=2000, tol=1e-12,
+                                    weight="weight")
+    for r in rows:
+        assert abs(r["score"] / l2 - nxw[r["vertex"]]) < 1e-7, r["vertex"]
