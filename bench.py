@@ -191,6 +191,7 @@ def main() -> None:
         "q_eigenvector",
         "q_edge_similarity",
         "q_msf",
+        "q_mis",
         "q_rollup",
         "q_asof",
     ):

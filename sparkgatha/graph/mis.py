@@ -1,0 +1,127 @@
+"""Maximal independent set via deterministic Luby rounds
+(SURVEY.md §2.11 G29).
+
+MIS is the classic symmetry-breaking primitive (Luby 1986): the
+standard way to pick a non-conflicting vertex subset in parallel —
+scheduling independent updates, seeding cluster centers, or thinning a
+near-duplicate graph to representatives no two of which are adjacent.
+
+Rule (pinned, engine-independent): in round r an ACTIVE vertex joins
+the MIS iff its priority is a strict minimum among its active
+neighbors, where
+
+    priority_r(v) = ( md5int(v ':' r ':' seed), v )
+
+with ``md5int`` the engine-wide first-15-hex-chars-of-md5 convention
+(util.md5_long — the same hash the walk stepper and dedup signatures
+use, so DuckDB replays it exactly); the vertex id itself breaks md5
+ties, making the winner set unique.  Winners and their neighbors
+deactivate; iterate until no active vertex remains.  Fresh priorities
+per round give Luby's O(log n) expected round count; at least the
+globally-smallest-priority active vertex wins every round, so
+termination is unconditional.
+
+Physical shape (the 100 TB story): the priority is a PURE EXPRESSION
+of (vertex, round, seed) — no priority table, no priority join.  Per
+round: one whole-stage-codegen projection over the active edge set
+finds every BLOCKED vertex (the larger-priority endpoint of each
+edge), one anti-join yields the winners (isolated actives win by
+having no blocking row), one semi-join marks the winners' neighbors,
+and a double semi-join (the k-core discipline) shrinks the edge set —
+which only ever SHRINKS, geometrically in practice.  Per-round frames
+go through ``checkpoint_reset_stats`` (multi-reference rounds,
+util.py:60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sparkgatha.util import checkpoint_reset_stats, md5_long, no_aqe
+
+
+def _priority(v: Column, rnd: int, seed: int) -> Column:
+    return md5_long(
+        F.concat(v.cast("string"), F.lit(f":{rnd}:{seed}"))
+    )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    seed: int = 0,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """(vertex, round) — the deterministic-Luby MIS members of the
+    undirected graph of ``edges`` and the round each joined.
+
+    Self-loops are ignored for adjacency (a loop-only vertex is
+    isolated, wins round 1).  ``max_rounds=None`` (default) runs to the
+    empty-frontier fixpoint; an integer runs EXACTLY that many rounds
+    and stops silently — the oracle-comparison mode (the unrolled SQL
+    replay runs the same fixed rounds; MIS growth is monotone, so the
+    fixed-round result is a prefix of the fixpoint)."""
+    if max_rounds is not None and max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = checkpoint_reset_stats(e)
+        active = (
+            edges.select(F.col("src").alias("x"))
+            .unionByName(edges.select(F.col("dst").alias("x")))
+            .distinct()
+        )
+        active = checkpoint_reset_stats(active)
+        mis = None
+        rnd = 0
+        while active.limit(1).count() > 0:
+            rnd += 1
+            pu, pv = _priority(F.col("u"), rnd, seed), _priority(
+                F.col("v"), rnd, seed
+            )
+            u_loses = (pu > pv) | ((pu == pv) & (F.col("u") > F.col("v")))
+            # the larger-priority endpoint of every active edge cannot
+            # win this round — a pure projection, no join
+            blocked = e.select(
+                F.when(u_loses, F.col("u")).otherwise(F.col("v")).alias("x")
+            ).distinct()
+            winners = checkpoint_reset_stats(
+                active.join(blocked, "x", "left_anti")
+            )
+            picked = winners.select("x", F.lit(rnd).alias("round"))
+            mis = picked if mis is None else mis.unionByName(picked)
+            # winners + their neighbors deactivate
+            removed = (
+                winners.unionByName(
+                    e.join(
+                        winners.withColumnRenamed("x", "u"), "u", "left_semi"
+                    ).select(F.col("v").alias("x"))
+                )
+                .unionByName(
+                    e.join(
+                        winners.withColumnRenamed("x", "v"), "v", "left_semi"
+                    ).select(F.col("u").alias("x"))
+                )
+                .distinct()
+            )
+            active = checkpoint_reset_stats(
+                active.join(removed, "x", "left_anti")
+            )
+            e = checkpoint_reset_stats(
+                e.join(active.withColumnRenamed("x", "u"), "u", "left_semi")
+                .join(active.withColumnRenamed("x", "v"), "v", "left_semi")
+            )
+            if max_rounds is not None and rnd >= max_rounds:
+                break
+        if mis is None:
+            return active.select(
+                F.col("x").alias("vertex"), F.lit(0).alias("round")
+            )
+        return mis.select(F.col("x").alias("vertex"), "round")

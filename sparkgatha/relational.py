@@ -2277,6 +2277,78 @@ def q_msf(spark, sf_dir):
     )
 
 
+def _mis_oracle_sql(rounds: int = 6, seed: int = 0) -> str:
+    """Deterministic-Luby MIS unrolled: per round, the larger-priority
+    endpoint of every surviving edge is blocked, the unblocked actives
+    win, winners + neighbors deactivate, the edge set double-semi-joins
+    down — the literal SQL transcription of graph/mis.py with the
+    engine-wide md5→bigint priority (util.md5_long's DuckDB form)."""
+
+    def pri(col: str, r: int) -> str:
+        return (
+            f"('0x' || substr(md5({col} || ':{r}:{seed}'), 1, 15))::BIGINT"
+        )
+
+    sql = """
+    WITH big AS MATERIALIZED (
+      SELECT DISTINCT 'p:' || l_partkey AS u, 's:' || l_suppkey AS v
+      FROM lineitem
+    ),
+    act_0 AS MATERIALIZED (SELECT u AS x FROM big UNION SELECT v FROM big),
+    e_0 AS MATERIALIZED (SELECT u, v FROM big)"""
+    for r in range(1, rounds + 1):
+        pu, pv = pri("u", r), pri("v", r)
+        sql += f""",
+    blk_{r} AS (
+      SELECT DISTINCT CASE WHEN ({pu} > {pv})
+                             OR ({pu} = {pv} AND u > v)
+                      THEN u ELSE v END AS x
+      FROM e_{r - 1}
+    ),
+    win_{r} AS MATERIALIZED (
+      SELECT x FROM act_{r - 1} EXCEPT SELECT x FROM blk_{r}
+    ),
+    rem_{r} AS (
+      SELECT x FROM win_{r}
+      UNION SELECT e.v FROM e_{r - 1} e JOIN win_{r} w ON w.x = e.u
+      UNION SELECT e.u FROM e_{r - 1} e JOIN win_{r} w ON w.x = e.v
+    ),
+    act_{r} AS MATERIALIZED (
+      SELECT x FROM act_{r - 1} EXCEPT SELECT x FROM rem_{r}
+    ),
+    e_{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e_{r - 1} e
+      JOIN act_{r} a ON a.x = e.u JOIN act_{r} b ON b.x = e.v
+    )"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT x AS key, {r} AS round FROM win_{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql
+
+
+@register("q_mis", _mis_oracle_sql(6))
+def q_mis(spark, sf_dir):
+    """Maximal independent set (G29, deterministic Luby) on the
+    part-supplier bipartite graph (the q_k_core input — the bigram
+    graph is so dense its MIS is 2 vertices, a near-vacuous check;
+    this one yields hundreds of members with real round spread):
+    6 fixed rounds vs the unrolled blocked/win/remove/shrink SQL
+    replay — vertex AND join-round value-checked (plus the pure-Python
+    oracle + independence/maximality invariants in
+    tests/test_linkgraph_ops.py)."""
+    from sparkgatha.graph.mis import maximal_independent_set
+
+    l = _t(spark, sf_dir, "lineitem")
+    big = l.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return maximal_independent_set(big, seed=0, max_rounds=6).select(
+        F.col("vertex").alias("key"), "round"
+    )
+
+
 def _hits_oracle_sql(rounds: int = 10) -> str:
     """HITS unrolled: k L1-normalized half-step pairs over the DIRECTED
     (src < dst) co-occurrence edge set, same MATERIALIZED-CTE pattern as

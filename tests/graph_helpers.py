@@ -172,6 +172,50 @@ def eigenvector_oracle(directed_edges, max_iter=50, tol=0.0, weighted=True):
     return x, it
 
 
+def mis_oracle(pairs, seed=0, max_rounds=None):
+    """Pure-Python deterministic-Luby MIS — the engine's exact pinned
+    rule (graph/mis.py): priority_r(v) = (md5int(f"{v}:{r}:{seed}"),
+    v); strict-minimum-among-active-neighbors wins; winners + neighbors
+    deactivate.  ``pairs``: (u, v) edges, loops ignored for adjacency.
+    Returns {vertex: round_joined}."""
+    import hashlib
+    from collections import defaultdict
+
+    def pri(v, r):
+        h = hashlib.md5(f"{v}:{r}:{seed}".encode()).hexdigest()[:15]
+        return (int(h, 16), v)
+
+    adj = defaultdict(set)
+    active = set()
+    for e in pairs:
+        u, v = e[0], e[1]
+        active.add(u)
+        active.add(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    mis = {}
+    r = 0
+    while active:
+        r += 1
+        winners = {
+            v
+            for v in active
+            if all(
+                pri(v, r) < pri(n, r) for n in adj[v] if n in active
+            )
+        }
+        for v in winners:
+            mis[v] = r
+        removed = set(winners)
+        for v in winners:
+            removed |= adj[v] & active
+        active -= removed
+        if max_rounds is not None and r >= max_rounds:
+            break
+    return mis
+
+
 def hits_oracle(directed_edges, max_iter=30, tol=0.0):
     """Pure-Python HITS with L1 (sum-to-one) normalization after each
     half-step — the engine's exact semantics (graph/hits.py; scipy is

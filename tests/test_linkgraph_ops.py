@@ -1131,3 +1131,70 @@ def test_eigenvector_self_loops_kept_and_loop_only_vertex_covered(spark):
                                     weight="weight")
     for r in rows:
         assert abs(r["score"] / l2 - nxw[r["vertex"]]) < 1e-7, r["vertex"]
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (deterministic Luby)
+# ---------------------------------------------------------------------------
+
+from graph_helpers import mis_oracle  # noqa: E402
+
+from sparkgatha.graph.mis import maximal_independent_set  # noqa: E402
+
+
+def test_mis_matches_python_oracle_to_the_round(spark, triples):
+    """Exact semantic check: vertex set AND join-round of every member
+    equal the pure-Python pinned rule, fixpoint mode."""
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {r["vertex"]: r["round"]
+           for r in maximal_independent_set(edges, seed=7).collect()}
+    assert got == mis_oracle([(a, b) for a, b, _ in triples], seed=7)
+
+
+def test_mis_fixed_rounds_is_prefix_of_fixpoint(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    fix = {r["vertex"]: r["round"]
+           for r in maximal_independent_set(edges, seed=7).collect()}
+    two = {r["vertex"]: r["round"]
+           for r in maximal_independent_set(edges, seed=7,
+                                            max_rounds=2).collect()}
+    assert two == {v: r for v, r in fix.items() if r <= 2}
+    assert two == mis_oracle([(a, b) for a, b, _ in triples], seed=7,
+                             max_rounds=2)
+
+
+def test_mis_independent_and_maximal(spark, triples):
+    """The two defining properties, against the NetworkX graph."""
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    mis = {r["vertex"]
+           for r in maximal_independent_set(edges, seed=3).collect()}
+    for u, v in g.edges():
+        assert not (u in mis and v in mis), (u, v)  # independent
+    for v in g:
+        assert v in mis or any(n in mis for n in g[v]), v  # maximal
+
+
+def test_mis_partitioning_invariant(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    a = {(r["vertex"], r["round"])
+         for r in maximal_independent_set(
+             edges.repartition(2), seed=1).collect()}
+    b = {(r["vertex"], r["round"])
+         for r in maximal_independent_set(
+             edges.repartition(16), seed=1).collect()}
+    assert a == b
+
+
+def test_mis_loop_only_vertex_and_empty(spark):
+    df = spark.createDataFrame([(7, 7, 1.0), (1, 2, 1.0)],
+                               "src long, dst long, weight double")
+    got = {r["vertex"]: r["round"]
+           for r in maximal_independent_set(df).collect()}
+    assert got[7] == 1  # isolated-by-loop vertex wins round 1
+    assert set(got) == {7} | ({1} if 1 in got else {2})
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert maximal_independent_set(empty).count() == 0
+    with pytest.raises(ValueError, match="max_rounds"):
+        maximal_independent_set(df, max_rounds=0)
