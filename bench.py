@@ -192,6 +192,7 @@ def main() -> None:
         "q_edge_similarity",
         "q_msf",
         "q_mis",
+        "q_condensation",
         "q_rollup",
         "q_asof",
     ):

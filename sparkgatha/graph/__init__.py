@@ -13,7 +13,7 @@ from sparkgatha.graph.kcore import core_numbers, k_core
 from sparkgatha.graph.linkpred import edge_similarity, link_prediction_features
 from sparkgatha.graph.walks import random_walks
 from sparkgatha.graph.betweenness import betweenness
-from sparkgatha.graph.scc import strongly_connected_components
+from sparkgatha.graph.scc import condensation, strongly_connected_components
 from sparkgatha.graph.neighborhood import (
     harmonic_centrality,
     hop_neighborhood_exact,
@@ -44,6 +44,7 @@ __all__ = [
     "link_prediction_features",
     "edge_similarity",
     "strongly_connected_components",
+    "condensation",
     "hop_neighborhood_exact",
     "harmonic_centrality",
     "neighborhood_function",

@@ -166,3 +166,29 @@ def strongly_connected_components(
         if assigned is None:
             return spark.createDataFrame([], "vertex long, scc_id long")
         return assigned
+
+
+def condensation(edges: DataFrame) -> DataFrame:
+    """(src_scc, dst_scc) — the condensation DAG: every SCC collapsed
+    to one node (labeled by its min member id, the
+    ``strongly_connected_components`` convention), distinct
+    cross-component edges only.  Always acyclic (``networkx.
+    condensation`` semantics, with min-member labels instead of nx's
+    dense renumbering) — the topological skeleton a pipeline needs to
+    process a cyclic link graph in dependency order.
+
+    One SCC run + two label joins + a partial-agg distinct; the label
+    frame is checkpointed by the SCC loop, so the relabel plan is
+    flat."""
+    labels = strongly_connected_components(edges)
+    ls = labels.select(F.col("vertex").alias("src"), F.col("scc_id").alias("src_scc"))
+    ld = labels.select(F.col("vertex").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )

@@ -1685,9 +1685,10 @@ def _bigram_digraph(spark, sf_dir, k: int = 2):
     return nodes, id_edges
 
 
-@register(
-    "q_scc",
-    f"""
+#: SCC labels via mutual-reachability closure (reach ∩ reverse-reach,
+#: scc_id = min member) on md5-derived ids — shared by the q_scc and
+#: q_condensation oracles
+_SCC_CLOSURE_CTE = f"""
     WITH RECURSIVE {_DIGRAPH_CTE},
     ids AS (
       SELECT DISTINCT term,
@@ -1708,6 +1709,12 @@ def _bigram_digraph(spark, sf_dir, k: int = 2):
       FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s
       GROUP BY r1.s
     )
+"""
+
+
+@register(
+    "q_scc",
+    f"""{_SCC_CLOSURE_CTE}
     SELECT ids.term AS key, scc.scc_id
     FROM scc JOIN ids ON ids.id = scc.vertex
     """,
@@ -1723,6 +1730,32 @@ def q_scc(spark, sf_dir):
     nodes, id_edges = _bigram_digraph(spark, sf_dir)
     s = strongly_connected_components(id_edges)
     return s.join(nodes, s.vertex == nodes.id).select("key", "scc_id")
+
+
+@register(
+    "q_condensation",
+    f"""{_SCC_CLOSURE_CTE},
+    ce AS (
+      SELECT DISTINCT a.scc_id AS src_scc, b.scc_id AS dst_scc
+      FROM ide
+      JOIN scc a ON a.vertex = ide.src
+      JOIN scc b ON b.vertex = ide.dst
+      WHERE a.scc_id <> b.scc_id
+    )
+    SELECT src_scc, dst_scc FROM ce
+    """,
+)
+def q_condensation(spark, sf_dir):
+    """Condensation DAG (G23b): collapse every SCC of the top-2 bigram
+    digraph to one node and keep the distinct cross-component edges —
+    the acyclic dependency skeleton (topological processing order over
+    cyclic link graphs).  Value-checked against the closure-labeled
+    edge relabel; acyclicity is pytest-asserted against
+    networkx.condensation on random digraphs."""
+    from sparkgatha.graph.scc import condensation
+
+    _, id_edges = _bigram_digraph(spark, sf_dir)
+    return condensation(id_edges)
 
 
 @register(

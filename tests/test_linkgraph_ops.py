@@ -1198,3 +1198,34 @@ def test_mis_loop_only_vertex_and_empty(spark):
     assert maximal_independent_set(empty).count() == 0
     with pytest.raises(ValueError, match="max_rounds"):
         maximal_independent_set(df, max_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# condensation (SCC DAG)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.scc import condensation  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_condensation_matches_networkx(spark, seed):
+    """Edge set equals networkx.condensation after mapping nx's dense
+    SCC numbers to min-member labels — and the result is a DAG."""
+    es = _digraph_triples(60, 150, seed)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {(r["src_scc"], r["dst_scc"]) for r in condensation(df).collect()}
+    g = nx.DiGraph(es)
+    c = nx.condensation(g)
+    lab = {i: min(members) for i, members in c.nodes(data="members")}
+    want = {(lab[a], lab[b]) for a, b in c.edges()}
+    assert got == want
+    assert nx.is_directed_acyclic_graph(nx.DiGraph(got))
+
+
+def test_condensation_single_cycle_collapses_to_point(spark):
+    """A pure cycle is one SCC: the condensation has no edges."""
+    es = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    assert condensation(df).count() == 0
