@@ -107,6 +107,35 @@ def main(argv=None) -> int:
     pr.add_argument("--graph", required=True)
     pr.add_argument("--out", required=True)
 
+    bb = sub.add_parser(
+        "backbone",
+        help="minimum-spanning-forest backbone export (Borůvka over "
+             "inverse co-occurrence weights: the strong-association "
+             "skeleton / single-linkage tree)",
+    )
+    bb.add_argument("--graph", required=True)
+    bb.add_argument("--out", required=True)
+
+    mi = sub.add_parser(
+        "mis",
+        help="maximal-independent-set representative thinning "
+             "(deterministic Luby; no two selected terms adjacent)",
+    )
+    mi.add_argument("--graph", required=True)
+    mi.add_argument("--out", required=True)
+    mi.add_argument("--seed", type=int, default=0)
+
+    ce = sub.add_parser(
+        "centrality",
+        help="eigenvector centrality export ((A + I) power iteration, "
+             "NetworkX semantics, L1-normalized)",
+    )
+    ce.add_argument("--graph", required=True)
+    ce.add_argument("--out", required=True)
+    ce.add_argument("--tol", type=float, default=1e-8)
+    ce.add_argument("--max-iter", type=int, default=100)
+    ce.add_argument("--unweighted", action="store_true")
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -324,6 +353,76 @@ def main(argv=None) -> int:
             "vertices": stats["vertices"],
             "avg_clustering": round(float(stats["avg_clustering"]), 6),
             "triangles": int(stats["triangles"]),
+        }))
+
+    elif args.cmd == "backbone":
+        from pyspark.sql import functions as F
+
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.mst import minimum_spanning_forest
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        inv = edges.select(
+            "src", "dst", (F.lit(1.0) / F.col("weight")).alias("weight")
+        )
+        forest = minimum_spanning_forest(inv)
+        ku = nodes.select(F.col("id").alias("u"), F.col("key").alias("key_u"))
+        kv = nodes.select(F.col("id").alias("v"), F.col("key").alias("key_v"))
+        out = forest.join(ku, "u").join(kv, "v").select(
+            "key_u", "key_v", "weight"
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        stats = written.agg(
+            F.count("*").alias("edges"), F.sum("weight").alias("total_w")
+        ).collect()[0]
+        print(json.dumps({
+            "forest_edges": stats["edges"],
+            "total_weight": round(float(stats["total_w"] or 0.0), 6),
+        }))
+
+    elif args.cmd == "mis":
+        from pyspark.sql import functions as F
+
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.mis import maximal_independent_set
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        mis = maximal_independent_set(edges, seed=args.seed)
+        out = mis.join(nodes, mis.vertex == nodes.id).select("key", "round")
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        stats = written.agg(
+            F.count("*").alias("members"), F.max("round").alias("rounds")
+        ).collect()[0]
+        print(json.dumps({
+            "members": stats["members"],
+            "rounds": int(stats["rounds"] or 0),
+            "seed": args.seed,
+        }))
+
+    elif args.cmd == "centrality":
+        from pyspark.sql import functions as F
+
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.eigenvector import eigenvector_centrality
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        r = eigenvector_centrality(
+            edges,
+            max_iter=args.max_iter,
+            tol=args.tol,
+            weighted=not args.unweighted,
+        )
+        out = (
+            r.scores.join(nodes, r.scores.vertex == nodes.id)
+            .select("key", "score")
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "vertices": spark.read.parquet(args.out).count(),
+            "iterations": r.iterations,
+            "delta": r.delta,
         }))
 
     if pre_existing is None:

@@ -282,3 +282,45 @@ def test_cli_construct_and_query(spark, tmp_path):
         d, t = r["degree"], r["n_triangles"]
         want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
         assert abs(r["clustering"] - want) < 1e-12, r
+
+
+def test_cli_backbone_mis_centrality(spark, tmp_path):
+    """The round-4 export commands: MSF backbone, MIS thinning, and
+    eigenvector centrality over a built graph."""
+    import sparkgatha.__main__ as cli
+
+    corpus_dir = str(tmp_path / "c")
+    generate_corpus(spark, 150, num_partitions=2).write.parquet(corpus_dir)
+    g = str(tmp_path / "g")
+    assert cli.main(["construct", "--corpus", corpus_dir, "--out", g,
+                     "--partitions", "4"]) == 0
+
+    assert cli.main(["backbone", "--graph", g,
+                     "--out", str(tmp_path / "bb")]) == 0
+    bb = spark.read.parquet(str(tmp_path / "bb"))
+    from sparkgatha.construct import load_adjacency
+    nodes, edges = load_adjacency(spark, g)
+    n_vertices = nodes.count()
+    # spanning forest: |E| = |V| - #components, and here <= |V| - 1
+    assert 0 < bb.count() <= n_vertices - 1
+    assert set(bb.columns) == {"key_u", "key_v", "weight"}
+
+    assert cli.main(["mis", "--graph", g, "--out", str(tmp_path / "m"),
+                     "--seed", "3"]) == 0
+    m = spark.read.parquet(str(tmp_path / "m"))
+    assert 0 < m.count() <= n_vertices
+    # independence spot-check against the stored adjacency
+    mem = {r["key"] for r in m.collect()}
+    ek = (edges.join(nodes.select(F.col("id").alias("src"),
+                                  F.col("key").alias("ku")), "src")
+          .join(nodes.select(F.col("id").alias("dst"),
+                             F.col("key").alias("kv")), "dst")
+          .select("ku", "kv").collect())
+    assert not any(r["ku"] in mem and r["kv"] in mem for r in ek)
+
+    assert cli.main(["centrality", "--graph", g,
+                     "--out", str(tmp_path / "ce"),
+                     "--max-iter", "30"]) == 0
+    ce = spark.read.parquet(str(tmp_path / "ce"))
+    assert ce.count() == n_vertices
+    assert abs(ce.agg(F.sum("score")).collect()[0][0] - 1.0) < 1e-9
