@@ -193,6 +193,7 @@ def main() -> None:
         "q_msf",
         "q_mis",
         "q_condensation",
+        "q_coloring",
         "q_rollup",
         "q_asof",
     ):

@@ -19,7 +19,7 @@ from sparkgatha.graph.neighborhood import (
     hop_neighborhood_exact,
     neighborhood_function,
 )
-from sparkgatha.graph.mis import maximal_independent_set
+from sparkgatha.graph.mis import luby_coloring, maximal_independent_set
 from sparkgatha.graph.mst import minimum_spanning_forest, msf_total_weight
 from sparkgatha.graph.stats import degree_assortativity, modularity
 from sparkgatha.graph.truss import k_truss
@@ -49,6 +49,7 @@ __all__ = [
     "harmonic_centrality",
     "neighborhood_function",
     "maximal_independent_set",
+    "luby_coloring",
     "minimum_spanning_forest",
     "msf_total_weight",
     "degree_assortativity",

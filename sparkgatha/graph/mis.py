@@ -125,3 +125,94 @@ def maximal_independent_set(
                 F.col("x").alias("vertex"), F.lit(0).alias("round")
             )
         return mis.select(F.col("x").alias("vertex"), "round")
+
+
+#: colors are bounded by greedy chromatic number ≤ Δ+1; a web-scale
+#: co-occurrence graph's MIS-greedy coloring runs a few dozen colors,
+#: so 256 only trips on a broken shrink step
+_COLOR_RAIL = 256
+
+
+def luby_coloring(
+    edges: DataFrame,
+    seed: int = 0,
+    max_colors: int | None = None,
+) -> DataFrame:
+    """(vertex, color) — a PROPER vertex coloring (no edge
+    monochromatic) by iterated deterministic-Luby MIS: color c is the
+    MIS of the still-uncolored induced subgraph (seeded ``seed + c`` so
+    every color draws fresh priorities), colored vertices drop out,
+    repeat until none remain.  The classic parallel scheduling
+    primitive: each color class is an independent set whose members can
+    be processed concurrently with no neighbor conflicts.
+
+    Deterministic and partitioning-independent (everything reduces to
+    the md5 priority rule), so the pure-Python replay in the tests
+    matches vertex-for-vertex.  ``max_colors``: integer = stop silently
+    after that many classes (prefix semantics, mirroring
+    ``maximal_independent_set``'s fixed-round mode); None = run until
+    every vertex is colored, with a rail at 256 classes.
+    """
+    if max_colors is not None and max_colors < 1:
+        raise ValueError(f"max_colors must be >= 1, got {max_colors}")
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = checkpoint_reset_stats(e)
+        remaining = (
+            edges.select(F.col("src").alias("x"))
+            .unionByName(edges.select(F.col("dst").alias("x")))
+            .distinct()
+        )
+        remaining = checkpoint_reset_stats(remaining)
+        colored = None
+        c = 0
+        while remaining.limit(1).count() > 0:
+            c += 1
+            if c > _COLOR_RAIL:
+                raise RuntimeError(
+                    f"coloring exceeded {_COLOR_RAIL} classes — the "
+                    "uncolored subgraph is not shrinking (shrink-step "
+                    "bug), not a legitimately dense graph"
+                )
+            mis = maximal_independent_set(
+                e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+                seed=seed + c,
+            ).select("vertex")
+            # isolated uncolored vertices never appear in e — they are
+            # trivially independent, so the whole remainder joins this
+            # class alongside the MIS of the edged part
+            eps = (
+                e.select(F.col("u").alias("x"))
+                .unionByName(e.select(F.col("v").alias("x")))
+                .distinct()
+            )
+            isolated = remaining.join(eps, "x", "left_anti")
+            cls = checkpoint_reset_stats(
+                mis.withColumnRenamed("vertex", "x").unionByName(isolated)
+            )
+            picked = cls.select("x", F.lit(c).alias("color"))
+            colored = (
+                picked if colored is None else colored.unionByName(picked)
+            )
+            remaining = checkpoint_reset_stats(
+                remaining.join(cls, "x", "left_anti")
+            )
+            e = checkpoint_reset_stats(
+                e.join(remaining.withColumnRenamed("x", "u"), "u", "left_semi")
+                .join(remaining.withColumnRenamed("x", "v"), "v", "left_semi")
+            )
+            if max_colors is not None and c >= max_colors:
+                break
+        if colored is None:
+            return remaining.select(
+                F.col("x").alias("vertex"), F.lit(0).alias("color")
+            )
+        return colored.select(F.col("x").alias("vertex"), "color")

@@ -2382,6 +2382,26 @@ def q_mis(spark, sf_dir):
     )
 
 
+@register("q_coloring", None)
+def q_coloring(spark, sf_dir):
+    """Luby-MIS greedy coloring (G29b) of the part-supplier bipartite
+    graph — rows-only driver check (each color class is a full nested
+    MIS fixpoint; unrolling closures-within-closures in SQL is not
+    practical).  The value bar is tests/test_linkgraph_ops.py: exact
+    vertex-for-vertex equality with a pure-Python replay of the pinned
+    md5-priority rule, plus proper/total/maximality invariants."""
+    from sparkgatha.graph.mis import luby_coloring
+
+    l = _t(spark, sf_dir, "lineitem")
+    big = l.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return luby_coloring(big, seed=0).select(
+        F.col("vertex").alias("key"), "color"
+    )
+
+
 def _hits_oracle_sql(rounds: int = 10) -> str:
     """HITS unrolled: k L1-normalized half-step pairs over the DIRECTED
     (src < dst) co-occurrence edge set, same MATERIALIZED-CTE pattern as

@@ -1229,3 +1229,64 @@ def test_condensation_single_cycle_collapses_to_point(spark):
     df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
                                "src long, dst long, weight double")
     assert condensation(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Luby-MIS greedy coloring
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.mis import luby_coloring  # noqa: E402
+
+
+def _coloring_replay(pairs, seed=0):
+    """Pure-Python replay of luby_coloring's pinned rule: per color c,
+    the mis_oracle of the remaining edged subgraph (seed + c) plus any
+    remaining edge-free vertices."""
+    verts = {x for e in pairs for x in e[:2]}
+    edges = {(u, v) for u, v, *_ in [e for e in pairs] if u != v}
+    colors = {}
+    c = 0
+    while verts:
+        c += 1
+        sub = [(u, v) for u, v in edges if u in verts and v in verts]
+        cls = set(mis_oracle(sub, seed=seed + c))
+        edged = {x for e in sub for x in e}
+        cls |= verts - edged  # isolated remainder joins this class
+        for v in cls:
+            colors[v] = c
+        verts -= cls
+    return colors
+
+
+def test_luby_coloring_matches_python_replay(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {r["vertex"]: r["color"]
+           for r in luby_coloring(edges, seed=5).collect()}
+    assert got == _coloring_replay([(a, b) for a, b, _ in triples], seed=5)
+
+
+def test_luby_coloring_is_proper_and_total(spark, triples):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {r["vertex"]: r["color"]
+           for r in luby_coloring(edges, seed=1).collect()}
+    assert set(got) == set(g.nodes)  # every vertex colored exactly once
+    for u, v in g.edges():
+        assert got[u] != got[v], (u, v)  # proper
+    # each class is independent AND (by MIS maximality) class 1 is
+    # maximal: every other vertex has a class-1 neighbor
+    c1 = {v for v, c in got.items() if c == 1}
+    for v in set(g.nodes) - c1:
+        assert any(n in c1 for n in g[v]), v
+
+
+def test_luby_coloring_prefix_and_bad_args(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    full = {r["vertex"]: r["color"]
+            for r in luby_coloring(edges, seed=5).collect()}
+    two = {r["vertex"]: r["color"]
+           for r in luby_coloring(edges, seed=5, max_colors=2).collect()}
+    assert two == {v: c for v, c in full.items() if c <= 2}
+    with pytest.raises(ValueError, match="max_colors"):
+        luby_coloring(edges, max_colors=0)
