@@ -1,5 +1,5 @@
-"""Maximal independent set via deterministic Luby rounds
-(SURVEY.md §2.11 G29).
+"""Maximal independent set via deterministic Luby rounds, and the
+greedy coloring built on it (SURVEY.md §2.11 G29/G29b).
 
 MIS is the classic symmetry-breaking primitive (Luby 1986): the
 standard way to pick a non-conflicting vertex subset in parallel —
@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from sparkgatha.graph.canon import canonical_undirected
 from sparkgatha.util import checkpoint_reset_stats, md5_long, no_aqe
 
 
@@ -50,6 +51,8 @@ def maximal_independent_set(
     edges: DataFrame,
     seed: int = 0,
     max_rounds: int | None = None,
+    assume_canonical: bool = False,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
     """(vertex, round) — the deterministic-Luby MIS members of the
     undirected graph of ``edges`` and the round each joined.
@@ -59,26 +62,31 @@ def maximal_independent_set(
     empty-frontier fixpoint; an integer runs EXACTLY that many rounds
     and stops silently — the oracle-comparison mode (the unrolled SQL
     replay runs the same fixed rounds; MIS growth is monotone, so the
-    fixed-round result is a prefix of the fixpoint)."""
+    fixed-round result is a prefix of the fixpoint).
+
+    ``assume_canonical``: the caller guarantees ``edges`` is already
+    the distinct canonical src<dst loop-free set with flat lineage
+    (k_core's contract) — skips the canonicalization shuffle +
+    checkpoint.  ``vertices``: optional pre-built distinct single-
+    column ``x`` endpoint universe (must cover the edge endpoints);
+    skips the endpoint union+distinct.  Both exist for composition
+    (luby_coloring calls this once per color class)."""
     if max_rounds is not None and max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     spark = edges.sparkSession
     with no_aqe(spark):
-        e = (
-            edges.select(
-                F.least("src", "dst").alias("u"),
-                F.greatest("src", "dst").alias("v"),
+        if assume_canonical:
+            e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        else:
+            e = checkpoint_reset_stats(canonical_undirected(edges))
+        if vertices is not None:
+            active = vertices.select("x")
+        else:
+            active = checkpoint_reset_stats(
+                edges.select(F.col("src").alias("x"))
+                .unionByName(edges.select(F.col("dst").alias("x")))
+                .distinct()
             )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        e = checkpoint_reset_stats(e)
-        active = (
-            edges.select(F.col("src").alias("x"))
-            .unionByName(edges.select(F.col("dst").alias("x")))
-            .distinct()
-        )
-        active = checkpoint_reset_stats(active)
         mis = None
         rnd = 0
         while active.limit(1).count() > 0:
@@ -97,6 +105,8 @@ def maximal_independent_set(
             )
             picked = winners.select("x", F.lit(rnd).alias("round"))
             mis = picked if mis is None else mis.unionByName(picked)
+            if max_rounds is not None and rnd >= max_rounds:
+                break  # before the shrink: its frames would never be read
             # winners + their neighbors deactivate
             removed = (
                 winners.unionByName(
@@ -118,8 +128,6 @@ def maximal_independent_set(
                 e.join(active.withColumnRenamed("x", "u"), "u", "left_semi")
                 .join(active.withColumnRenamed("x", "v"), "v", "left_semi")
             )
-            if max_rounds is not None and rnd >= max_rounds:
-                break
         if mis is None:
             return active.select(
                 F.col("x").alias("vertex"), F.lit(0).alias("round")
@@ -129,7 +137,8 @@ def maximal_independent_set(
 
 #: colors are bounded by greedy chromatic number ≤ Δ+1; a web-scale
 #: co-occurrence graph's MIS-greedy coloring runs a few dozen colors,
-#: so 256 only trips on a broken shrink step
+#: so 256 only trips on a broken shrink step.  Applies only in
+#: fixpoint mode — an explicit max_colors is the caller's bound.
 _COLOR_RAIL = 256
 
 
@@ -157,43 +166,38 @@ def luby_coloring(
         raise ValueError(f"max_colors must be >= 1, got {max_colors}")
     spark = edges.sparkSession
     with no_aqe(spark):
-        e = (
-            edges.select(
-                F.least("src", "dst").alias("u"),
-                F.greatest("src", "dst").alias("v"),
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        e = checkpoint_reset_stats(e)
-        remaining = (
+        e = checkpoint_reset_stats(canonical_undirected(edges))
+        remaining = checkpoint_reset_stats(
             edges.select(F.col("src").alias("x"))
             .unionByName(edges.select(F.col("dst").alias("x")))
             .distinct()
         )
-        remaining = checkpoint_reset_stats(remaining)
         colored = None
         c = 0
         while remaining.limit(1).count() > 0:
             c += 1
-            if c > _COLOR_RAIL:
+            if max_colors is None and c > _COLOR_RAIL:
                 raise RuntimeError(
                     f"coloring exceeded {_COLOR_RAIL} classes — the "
                     "uncolored subgraph is not shrinking (shrink-step "
                     "bug), not a legitimately dense graph"
                 )
-            mis = maximal_independent_set(
-                e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-                seed=seed + c,
-            ).select("vertex")
-            # isolated uncolored vertices never appear in e — they are
-            # trivially independent, so the whole remainder joins this
-            # class alongside the MIS of the edged part
-            eps = (
+            # endpoint universe of the surviving edge set, built ONCE
+            # per class and shared with the MIS call
+            eps = checkpoint_reset_stats(
                 e.select(F.col("u").alias("x"))
                 .unionByName(e.select(F.col("v").alias("x")))
                 .distinct()
             )
+            mis = maximal_independent_set(
+                e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+                seed=seed + c,
+                assume_canonical=True,
+                vertices=eps,
+            ).select("vertex")
+            # isolated uncolored vertices never appear in e — they are
+            # trivially independent, so the whole remainder joins this
+            # class alongside the MIS of the edged part
             isolated = remaining.join(eps, "x", "left_anti")
             cls = checkpoint_reset_stats(
                 mis.withColumnRenamed("vertex", "x").unionByName(isolated)
@@ -202,6 +206,8 @@ def luby_coloring(
             colored = (
                 picked if colored is None else colored.unionByName(picked)
             )
+            if max_colors is not None and c >= max_colors:
+                break  # before the shrink: its frames would never be read
             remaining = checkpoint_reset_stats(
                 remaining.join(cls, "x", "left_anti")
             )
@@ -209,8 +215,6 @@ def luby_coloring(
                 e.join(remaining.withColumnRenamed("x", "u"), "u", "left_semi")
                 .join(remaining.withColumnRenamed("x", "v"), "v", "left_semi")
             )
-            if max_colors is not None and c >= max_colors:
-                break
         if colored is None:
             return remaining.select(
                 F.col("x").alias("vertex"), F.lit(0).alias("color")

@@ -2389,7 +2389,12 @@ def q_coloring(spark, sf_dir):
     MIS fixpoint; unrolling closures-within-closures in SQL is not
     practical).  The value bar is tests/test_linkgraph_ops.py: exact
     vertex-for-vertex equality with a pure-Python replay of the pinned
-    md5-priority rule, plus proper/total/maximality invariants."""
+    md5-priority rule, plus proper/total/maximality invariants.
+
+    ``max_colors=6`` bounds the nested-fixpoint job count at any scale
+    factor (documented prefix semantics); the graph colors completely
+    in 2 classes at every fixture sf, so the cap never binds here —
+    tests/test_linkgraph_ops.py pins that with an uncapped replay."""
     from sparkgatha.graph.mis import luby_coloring
 
     l = _t(spark, sf_dir, "lineitem")
@@ -2397,7 +2402,7 @@ def q_coloring(spark, sf_dir):
         F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).distinct()
-    return luby_coloring(big, seed=0).select(
+    return luby_coloring(big, seed=0, max_colors=6).select(
         F.col("vertex").alias("key"), "color"
     )
 
