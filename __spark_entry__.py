@@ -71,7 +71,14 @@ PRIORITY_WINDOW = [
                             # doubles were already replica-held;
                             # q_project stays in the replica)
     "q_filter",             # P2
-    "q_dedup_exact",        # P3 + LLM exact-dedup (digest groupBy)
+    "q_mis",                # G29 deterministic-Luby MIS, join-round
+                            # value-checked vs the unrolled
+                            # blocked/win/remove/shrink replay (rotated
+                            # in r4 continuation displacing
+                            # q_dedup_exact — P3's digest groupBy
+                            # dedup runs inside driver-green
+                            # q_clean_corpus's exact-dedup stage;
+                            # q_dedup_exact stays in the replica)
     "q_sample_hash",        # P4 (deterministic hash-threshold sampling)
     "q_join_broadcast",     # J1
     "q_join_smj",           # J2
