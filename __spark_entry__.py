@@ -126,7 +126,13 @@ PRIORITY_WINDOW = [
                             # q_window_frame — W3's frame specs stay
                             # replica-checked; W1/W2/W4 keep the window
                             # family driver-green)
-    "q_topk_per_group",     # W4
+    "q_sample_stratified",  # P4 per-group quota sample (rotated in r4
+                            # continuation displacing q_topk_per_group —
+                            # the identical partitioned row_number<=k
+                            # ranking window IS this key's quota rule
+                            # and also runs inside driver-green
+                            # q_knn_topk_per_vec's per-vector top-k;
+                            # q_topk_per_group stays in the replica)
     "q_k_truss",            # G25 k-truss edge cohesion (rotated in r4
                             # continuation displacing q_sort — O1's
                             # global ordering semantics are value-checked
@@ -196,7 +202,16 @@ PRIORITY_WINDOW = [
     "q_udf_group_zscore",   # F4 applyInPandas grouped map
     "q_udf_weighted_mean",  # F5 grouped-agg pandas UDF
     "q_udtf_split_terms",   # F6 UDTF + lateral join
-    "q_degrees",            # G3 (via F3 mapInPandas extraction)
+    "q_katz",               # G30 Katz centrality, unrolled affine
+                            # oracle (rotated in r4 continuation
+                            # displacing q_degrees — G3's degree
+                            # aggregation runs inside driver-green
+                            # q_assortativity / q_clustering_coeff /
+                            # q_linkpred_features degree joins and
+                            # q_g7's degree orientation; q_degrees
+                            # stays in the replica.  The F3 extractor
+                            # q_degrees also exercised runs inside
+                            # every q_g* key)
     "q_modularity",         # G21 Newman–Girvan modularity of the
                             # near-dup cluster partition (full dedup
                             # pipeline + G5 closure + the Q aggregate,

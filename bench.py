@@ -194,6 +194,11 @@ def main() -> None:
         "q_mis",
         "q_condensation",
         "q_coloring",
+        "q_katz",
+        "q_closeness",
+        "q_transitivity",
+        "q_reciprocity",
+        "q_sample_stratified",
         "q_rollup",
         "q_asof",
     ):

@@ -9,19 +9,26 @@ from sparkgatha.graph.triangles import clustering_coefficients, triangle_counts
 from sparkgatha.graph.paths import pair_distance, shortest_paths
 from sparkgatha.graph.hits import hits
 from sparkgatha.graph.eigenvector import eigenvector_centrality
+from sparkgatha.graph.katz import katz_centrality, katz_l2
 from sparkgatha.graph.kcore import core_numbers, k_core
 from sparkgatha.graph.linkpred import edge_similarity, link_prediction_features
 from sparkgatha.graph.walks import random_walks
 from sparkgatha.graph.betweenness import betweenness
 from sparkgatha.graph.scc import condensation, strongly_connected_components
 from sparkgatha.graph.neighborhood import (
+    closeness_centrality,
     harmonic_centrality,
     hop_neighborhood_exact,
     neighborhood_function,
 )
 from sparkgatha.graph.mis import luby_coloring, maximal_independent_set
 from sparkgatha.graph.mst import minimum_spanning_forest, msf_total_weight
-from sparkgatha.graph.stats import degree_assortativity, modularity
+from sparkgatha.graph.stats import (
+    degree_assortativity,
+    modularity,
+    reciprocity,
+    transitivity,
+)
 from sparkgatha.graph.truss import k_truss
 
 __all__ = [
@@ -38,6 +45,11 @@ __all__ = [
     "shortest_paths",
     "pair_distance",
     "hits",
+    "katz_centrality",
+    "katz_l2",
+    "closeness_centrality",
+    "transitivity",
+    "reciprocity",
     "eigenvector_centrality",
     "k_core",
     "core_numbers",

@@ -80,6 +80,38 @@ def hop_neighborhood_exact(edges: DataFrame, hops: int) -> DataFrame:
         )
 
 
+def _min_hop_pairs(edges: DataFrame, hops: int) -> tuple[DataFrame, DataFrame]:
+    """(seen(s, v, hop), verts(v)): exact all-sources BFS min-hop pairs
+    within ``hops`` forward hops — the machinery harmonic and closeness
+    centrality share.  The first time a (source, vertex) pair is reached
+    IS its min hop, so each layer is one join + one anti-join vs the
+    seen set — no per-pair min-agg needed.  Both returned frames are
+    materialized (localCheckpoint) before returning."""
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    e, verts = _prep(edges)
+    e = e.localCheckpoint(eager=True)
+    verts = verts.localCheckpoint(eager=True)
+    seen = verts.select(
+        F.col("v").alias("s"), F.col("v"), F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = seen
+    for h in range(1, hops + 1):
+        nxt = (
+            frontier.join(e, frontier.v == e.src)
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(seen, ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return seen, verts
+
+
 def harmonic_centrality(edges: DataFrame, hops: int) -> DataFrame:
     """(vertex, harmonic): OUT-harmonic centrality Σ_{u reachable,
     u≠v} 1/d(v,u) over exact BFS hop distances, bounded at ``hops``.
@@ -87,36 +119,11 @@ def harmonic_centrality(edges: DataFrame, hops: int) -> DataFrame:
     With ``hops`` ≥ the graph diameter this is exactly
     ``networkx.harmonic_centrality(G.reverse())`` (NetworkX sums over
     INCOMING distances; this engine ranks how well a vertex REACHES the
-    graph, the natural direction for a link graph).  Same all-sources
-    BFS-layer machinery as the exact neighborhood function: the first
-    time a (source, vertex) pair is reached IS its min hop, so each
-    layer is one join + one anti-join vs the seen set — no per-pair
-    min-agg needed.
+    graph, the natural direction for a link graph).
     """
-    if hops < 1:
-        raise ValueError(f"hops must be >= 1, got {hops}")
     spark = edges.sparkSession
     with no_aqe(spark):
-        e, verts = _prep(edges)
-        e = e.localCheckpoint(eager=True)
-        verts = verts.localCheckpoint(eager=True)
-        seen = verts.select(
-            F.col("v").alias("s"), F.col("v"), F.lit(0).alias("hop")
-        ).localCheckpoint(eager=True)
-        frontier = seen
-        for h in range(1, hops + 1):
-            nxt = (
-                frontier.join(e, frontier.v == e.src)
-                .select("s", F.col("dst").alias("v"))
-                .distinct()
-                .join(seen, ["s", "v"], "left_anti")
-                .select("s", "v", F.lit(h).alias("hop"))
-                .localCheckpoint(eager=False)
-            )
-            if nxt.count() == 0:
-                break
-            seen = seen.unionByName(nxt).localCheckpoint(eager=False)
-            frontier = nxt
+        seen, verts = _min_hop_pairs(edges, hops)
         h = (
             seen.filter(F.col("hop") > 0)
             .groupBy("s")
@@ -125,6 +132,47 @@ def harmonic_centrality(edges: DataFrame, hops: int) -> DataFrame:
         return verts.join(h, verts.v == h.s, "left").select(
             F.col("v").alias("vertex"),
             F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        )
+
+
+def closeness_centrality(
+    edges: DataFrame, hops: int, wf_improved: bool = True
+) -> DataFrame:
+    """(vertex, closeness): OUT-closeness centrality over exact BFS hop
+    distances bounded at ``hops`` — reach / total-distance, scaled by
+    the Wasserman-Faust reachable fraction when ``wf_improved``:
+
+        closeness(v) = (r_v / Σ_{u reached} d(v,u)) · (r_v / (n − 1))
+
+    with r_v the number of vertices v reaches (self excluded) and n the
+    vertex-universe size; the second factor is dropped when
+    ``wf_improved=False`` (the classic per-component formula).  With
+    ``hops`` ≥ the graph diameter this is exactly
+    ``networkx.closeness_centrality(G.reverse(), wf_improved=...)`` —
+    NetworkX closeness uses INCOMING distance; this engine ranks how
+    well a vertex REACHES the graph, the same direction harmonic uses.
+    Vertices reaching nothing score 0.0 (the NetworkX convention).
+    """
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        seen, verts = _min_hop_pairs(edges, hops)
+        n = verts.count()
+        c = (
+            seen.filter(F.col("hop") > 0)
+            .groupBy("s")
+            .agg(
+                F.count("*").alias("r"),
+                F.sum(F.col("hop").cast("double")).alias("totd"),
+            )
+        )
+        score = F.col("r") / F.col("totd")
+        if wf_improved:
+            # n > 1 is guaranteed on any row here: a reached pair needs
+            # two distinct vertices, so the n-1 denominator is safe
+            score = score * (F.col("r") / F.lit(float(n - 1)))
+        return verts.join(c, verts.v == c.s, "left").select(
+            F.col("v").alias("vertex"),
+            F.coalesce(score, F.lit(0.0)).alias("closeness"),
         )
 
 

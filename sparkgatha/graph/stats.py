@@ -1,5 +1,6 @@
-"""G20/G21 — whole-graph topology statistics: degree assortativity and
-community modularity.
+"""G20/G21/G31/G32 — whole-graph topology statistics: degree
+assortativity, community modularity, global transitivity, and directed
+reciprocity.
 
 Both are single-pass DataFrame aggregations over the edge table — no
 iteration, no driver loop — and both reduce to ONE output row, so their
@@ -22,6 +23,8 @@ Newman–Girvan 2004 modularity), validated against
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from sparkgatha.graph.canon import canonical_undirected
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:
@@ -101,4 +104,59 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.sum("intra2").cast("double") / two_m
             - F.sum(F.col("d_c").cast("double") * F.col("d_c")) / (two_m * two_m)
         ).alias("modularity")
+    )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """One row (transitivity double): the GLOBAL clustering coefficient
+    3·triangles / triads = 6·T / Σ_v d(v)·(d(v)−1) over the DISTINCT
+    symmetrized edge list read as an undirected simple graph (self-loops
+    dropped by canonicalization) — ``networkx.transitivity`` semantics,
+    including its triangle-free convention (0.0, even on a wedge-free
+    graph, rather than 0/0).
+
+    Cost shape at 10^12 edges: the same degree-oriented wedge join the
+    triangle counter runs (hub-safe — a hub's oriented out-degree is
+    tiny) feeding two single-row aggregates; no per-vertex output is
+    materialized.
+    """
+    from sparkgatha.graph.triangles import _degrees, _orient, _triangles
+
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
+    deg = _degrees(und).localCheckpoint(eager=True)
+    o = _orient(und, deg)
+    t = _triangles(o).agg(F.count("*").alias("t"))  # one row per triangle
+    d = F.col("deg").cast("double")
+    triads2 = deg.agg(F.sum(d * (d - F.lit(1.0))).alias("w2"))  # Σ d(d−1)
+    return t.crossJoin(triads2).select(
+        F.coalesce(
+            F.try_divide(F.lit(6.0) * F.col("t"), F.col("w2")), F.lit(0.0)
+        ).alias("transitivity")
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (reciprocity double): the fraction of DISTINCT directed
+    edges whose reverse edge is also present —
+    ``networkx.overall_reciprocity`` semantics: self-loops stay in the
+    DENOMINATOR but never count as reciprocated (NetworkX's
+    (|E| − |und(E)|)·2 / |E| zeroes a loop's contribution), and an
+    edge-free input yields NULL, matching SQL aggregate conventions
+    (NetworkX raises there).
+
+    One distinct pass + one self-semi-join on the reversed orientation +
+    two single-row counts — every stage partial-aggregable, nothing
+    grows past |E|.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.filter(F.col("src") != F.col("dst")).join(
+        rev, ["src", "dst"], "left_semi"
+    )
+    total = e.agg(F.count("*").alias("n_edges"))
+    mut = mutual.agg(F.count("*").alias("n_mutual"))
+    return total.crossJoin(mut).select(
+        F.try_divide(
+            F.col("n_mutual").cast("double"), F.col("n_edges").cast("double")
+        ).alias("reciprocity")
     )

@@ -141,3 +141,62 @@ def q_clean_corpus(spark, sf_dir):
     pure-SQL replay of every stage."""
     d = _t(spark, sf_dir, "documents")
     return clean_corpus(d).select("doc_id", "lang", "n_tok")
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic per-group quota sample: each group keeps its
+    ``n_per_group`` rows with the smallest (md5(key), key) — the
+    per-language / per-domain downsampling pass a 100 TB curation
+    pipeline runs to rebalance a skewed corpus before training.
+
+    The rank rule is the engine-independent md5 trick q_sample_hash
+    pins (reproducible across engines, partitionings, and retries —
+    the property training-data splits need), but quota'd per group
+    instead of a global rate, so a 90 %-English crawl can be capped at
+    N docs per language without starving the tail languages.
+
+    One shuffle on ``group_col``; the window is partitioned (never a
+    single-partition global sort), and at corpus scale a hot group is
+    bounded by the same skew story every partitioned window here has —
+    rows stream through the rank and stop counting past the quota.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    from pyspark.sql import Window
+
+    rk = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(rk.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """P4, per-group variant: deterministic per-language quota sample
+    (5 docs/lang by smallest md5 rank) — value-checked as a SET against
+    DuckDB's identical window rule.  The quota binds at every sf (each
+    fixture language holds >5 docs), so the check is never vacuous."""
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, group_col="lang", n_per_group=5, key_col="doc_id"
+    ).select("doc_id", "lang")

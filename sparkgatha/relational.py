@@ -2694,3 +2694,190 @@ def q_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 round-4 additions: Katz / closeness centrality, transitivity,
+# reciprocity
+# ---------------------------------------------------------------------------
+
+def _katz_oracle_sql(rounds: int, alpha: float = 0.01, beta: float = 1.0) -> str:
+    """Katz centrality unrolled: ``rounds`` affine x ← alpha·Aᵀx + beta
+    supersteps from the zero vector (NetworkX's start), UN-normalized —
+    the pure-sum form needs no scalar subquery per round, unlike
+    HITS/eigenvector.  Runs over the sampled window-1 bigram graph
+    (_BIGRAM_CTE) for the same reason eigenvector does: the full
+    co-occurrence fixture graph is complete (regular), where Katz is a
+    constant vector — a vacuous check.  alpha=0.01 keeps alpha·λ_max
+    well under 1 on the closed ~31-term fixture vocabulary (degree ≤ 30)
+    at every sf, so the 10-round iterate is near-converged and the
+    rounded values are stable against fp summation order."""
+    sql = f"""
+    WITH {_BIGRAM_CTE},
+    verts AS MATERIALIZED (
+      SELECT src AS v FROM e UNION SELECT dst FROM e
+    ),
+    x_0 AS MATERIALIZED (SELECT v, 0.0 AS r FROM verts)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    g_{k} AS MATERIALIZED (
+      SELECT e.dst AS v, sum(x.r) AS r
+      FROM e JOIN x_{k - 1} x ON x.v = e.src GROUP BY e.dst
+    ),
+    x_{k} AS MATERIALIZED (
+      SELECT verts.v,
+             {alpha}::DOUBLE * coalesce(g.r, 0.0) + {beta}::DOUBLE AS r
+      FROM verts LEFT JOIN g_{k} g ON g.v = verts.v
+    )"""
+    sql += f"""
+    SELECT v AS key, round(r, 8) AS score FROM x_{rounds}
+    """
+    return sql
+
+
+@register("q_katz", _katz_oracle_sql(10))
+def q_katz(spark, sf_dir):
+    """Katz centrality (G30) on the symmetrized window-1 bigram graph of
+    the md5-sampled documents: 10 fixed affine rounds (alpha=0.01,
+    beta=1.0, zero start) vs the DuckDB unrolled iteration; converged
+    NetworkX golden in tests/test_linkgraph_ops.py."""
+    from sparkgatha.extract import extract_adjacency_edges, symmetrize
+    from sparkgatha.graph.katz import katz_centrality
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    )
+    e = symmetrize(extract_adjacency_edges(sampled, text_col="text"))
+    r = katz_centrality(
+        e.select("src", "dst"),
+        alpha=0.01,
+        beta=1.0,
+        max_iter=10,
+        tol=0.0,
+        weighted=False,
+    )
+    return r.scores.select(
+        F.col("vertex").alias("key"), F.round("score", 8).alias("score")
+    )
+
+
+@register(
+    "q_closeness",
+    f"""
+    WITH {_DIGRAPH_CTE},
+    dverts AS (
+      SELECT DISTINCT term
+      FROM (SELECT src AS term FROM de UNION ALL SELECT dst FROM de)
+    ),
+    h0 AS (SELECT term AS s, term AS v, 0 AS hop FROM dverts),
+    h1 AS (
+      SELECT DISTINCT h0.s, de.dst AS v, 1 AS hop
+      FROM h0 JOIN de ON de.src = h0.v
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.s, de.dst AS v, 2 AS hop
+      FROM h1 JOIN de ON de.src = h1.v
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.s, de.dst AS v, 3 AS hop
+      FROM h2 JOIN de ON de.src = h2.v
+    ),
+    allh AS (
+      SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+    ),
+    mh AS (SELECT s, v, min(hop) AS hop FROM allh GROUP BY s, v),
+    cs AS (
+      SELECT s, count(*) AS r, sum(hop)::DOUBLE AS totd
+      FROM mh WHERE hop > 0 GROUP BY s
+    ),
+    nv AS (SELECT count(*) AS n FROM dverts)
+    SELECT dverts.term AS key,
+           round(coalesce(
+             (cs.r / cs.totd) * (cs.r / ((SELECT n FROM nv) - 1.0)),
+             0.0), 8) AS closeness
+    FROM dverts LEFT JOIN cs ON cs.s = dverts.term
+    """,
+)
+def q_closeness(spark, sf_dir):
+    """Bounded-hop OUT-closeness centrality (Wasserman-Faust scaled)
+    over the directed top-2 bigram digraph — completes the
+    distance-centrality pair with q_harmonic; value-checked against
+    DuckDB's 3-layer min-hop union + the identical reach/total-distance
+    expression.  Full-diameter equivalence to
+    networkx.closeness_centrality(G.reverse()) is golden-tested in
+    tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.neighborhood import closeness_centrality
+
+    nodes, id_edges = _bigram_digraph(spark, sf_dir)
+    c = closeness_centrality(id_edges, hops=3, wf_improved=True)
+    return c.join(nodes, c.vertex == nodes.id).select(
+        "key", F.round("closeness", 8).alias("closeness")
+    )
+
+
+@register(
+    "q_transitivity",
+    f"""
+    WITH {_BIGRAM_CTE},
+    deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY src),
+    tri AS (
+      SELECT count(*) AS t
+      FROM big ab
+      JOIN big ac ON ac.u = ab.u AND ac.v > ab.v
+      JOIN big bc ON bc.u = ab.v AND bc.v = ac.v
+    ),
+    w2 AS (SELECT sum(d * (d - 1.0)) AS w FROM deg)
+    SELECT round(coalesce(6.0 * t / nullif(w, 0), 0.0), 8) AS transitivity
+    FROM tri, w2
+    """,
+)
+def q_transitivity(spark, sf_dir):
+    """G31 global transitivity (3·triangles / triads) of the sampled
+    window-1 bigram graph — the one-number density profile beside the
+    per-vertex q_clustering_coeff; value-checked against DuckDB's
+    canonical x<y<z triangle join over the identical CTE.  The sampled
+    bigram graph, not the all-pairs one: the complete fixture graph has
+    transitivity ≡ 1.0 (a constant).  networkx.transitivity golden in
+    tests/test_linkgraph_ops.py."""
+    from sparkgatha.extract import extract_adjacency_edges, symmetrize
+    from sparkgatha.graph.stats import transitivity
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    )
+    e = symmetrize(extract_adjacency_edges(sampled, text_col="text"))
+    return transitivity(e).select(
+        F.round("transitivity", 8).alias("transitivity")
+    )
+
+
+@register(
+    "q_reciprocity",
+    f"""
+    WITH {_DIGRAPH_CTE},
+    ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM de),
+    m AS (
+      SELECT count(*) AS nm FROM ed a
+      WHERE a.src <> a.dst AND EXISTS (
+        SELECT 1 FROM ed b WHERE b.src = a.dst AND b.dst = a.src
+      )
+    ),
+    t AS (SELECT count(*) AS ne FROM ed)
+    SELECT round(nm * 1.0 / ne, 8) AS reciprocity FROM m, t
+    """,
+)
+def q_reciprocity(spark, sf_dir):
+    """G32 directed reciprocity (mutual-edge fraction) of the top-2
+    bigram digraph — the symmetry profile of the link graph
+    (networkx.overall_reciprocity semantics); value-checked against
+    DuckDB's EXISTS self-probe over the identical distinct edge set.
+    NetworkX golden in tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.stats import reciprocity
+
+    _, id_edges = _bigram_digraph(spark, sf_dir)
+    return reciprocity(id_edges).select(
+        F.round("reciprocity", 8).alias("reciprocity")
+    )

@@ -172,6 +172,36 @@ def eigenvector_oracle(directed_edges, max_iter=50, tol=0.0, weighted=True):
     return x, it
 
 
+def katz_oracle(directed_edges, alpha=0.1, beta=1.0, max_iter=10,
+                weighted=True):
+    """Pure-Python Katz iterate x ← alpha·Aᵀx + beta from the ZERO
+    vector, UN-normalized — the engine's exact fixed-round semantics
+    (graph/katz.py).  ``directed_edges``: (u, v) or (u, v, w) rows; pass
+    both orientations for undirected graphs.  Returns {v: score} after
+    exactly ``max_iter`` rounds."""
+    from collections import defaultdict
+
+    adj = defaultdict(float)
+    nodes = set()
+    for e in directed_edges:
+        u, v = e[0], e[1]
+        if weighted and len(e) > 2:
+            adj[(u, v)] += float(e[2])
+        else:
+            adj[(u, v)] = 1.0
+        nodes.add(u)
+        nodes.add(v)
+    if not nodes:
+        return {}
+    x = {v: 0.0 for v in nodes}
+    for _ in range(max_iter):
+        g = {v: 0.0 for v in nodes}
+        for (u, v), w in adj.items():
+            g[v] += x[u] * w
+        x = {v: alpha * g[v] + beta for v in nodes}
+    return x
+
+
 def mis_oracle(pairs, seed=0, max_rounds=None):
     """Pure-Python deterministic-Luby MIS — the engine's exact pinned
     rule (graph/mis.py): priority_r(v) = (md5int(f"{v}:{r}:{seed}"),

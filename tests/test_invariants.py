@@ -256,3 +256,31 @@ def test_ivf_plan_has_no_global_window(spark):
         assert "vec_id" in spec or "qid" in spec, (
             "unpartitioned Window in IVF plan: " + spec
         )
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    """Per-group quota binds exactly, membership is the md5 rank rule
+    (engine-independent), and the result is partitioning-invariant."""
+    from sparkgatha.pipeline import stratified_sample
+
+    d = read_table(spark, SF, "documents")
+    out = stratified_sample(d, "lang", 5, "doc_id")
+    per = {r["lang"]: r["n"]
+           for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"]
+             for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {g: min(5, n) for g, n in sizes.items()}
+    # sampled rows are input rows (semi-join identity)
+    assert out.join(d, ["doc_id"], "left_anti").count() == 0
+    # partitioning-invariant membership
+    a = {(r["doc_id"], r["lang"]) for r in out.select("doc_id", "lang").collect()}
+    b = {(r["doc_id"], r["lang"])
+         for r in stratified_sample(d.repartition(3), "lang", 5, "doc_id")
+         .select("doc_id", "lang").collect()}
+    assert a == b
+    # quota larger than every group: identity sample
+    big = stratified_sample(d, "lang", 10**9, "doc_id")
+    assert big.count() == d.count()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_per_group"):
+        stratified_sample(d, "lang", 0, "doc_id")

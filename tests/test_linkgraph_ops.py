@@ -1290,3 +1290,167 @@ def test_luby_coloring_prefix_and_bad_args(spark, triples):
     assert two == {v: c for v, c in full.items() if c <= 2}
     with pytest.raises(ValueError, match="max_colors"):
         luby_coloring(edges, max_colors=0)
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality
+# ---------------------------------------------------------------------------
+
+from graph_helpers import katz_oracle, undirected_both  # noqa: E402
+
+from sparkgatha.graph.katz import katz_centrality, katz_l2  # noqa: E402
+
+
+def test_katz_fixed_rounds_match_oracle(spark, triples):
+    """Strict semantic check: after exactly k rounds the engine equals
+    the pure-Python affine iterate (zero start, un-normalized) to fp
+    precision."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    res = katz_centrality(edges, alpha=0.05, beta=1.0, max_iter=8, tol=0.0)
+    want = katz_oracle(undirected_both(triples), alpha=0.05, beta=1.0,
+                       max_iter=8)
+    got = {r["vertex"]: r["score"] for r in res.scores.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    assert res.iterations == 8
+
+
+def test_katz_converged_matches_networkx(spark, triples):
+    """Converged L2-rescaled vector equals networkx.katz_centrality
+    (normalized=True) on the weighted undirected graph."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    res = katz_centrality(edges, alpha=0.05, beta=1.0, max_iter=500,
+                          tol=1e-13)
+    assert res.iterations < 500  # converged, not exhausted
+    got = {r["vertex"]: r["score"] for r in katz_l2(res).collect()}
+    want = nx.katz_centrality(
+        nx_graph(triples), alpha=0.05, beta=1.0, max_iter=5000, tol=1e-12,
+        normalized=True, weight="weight",
+    )
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-7, v
+
+
+def test_katz_in_degree_zero_holds_beta_floor(spark):
+    """A source-only vertex accumulates no walk mass: its score is
+    exactly beta every round (the resurrection-join contract)."""
+    es = [(1, 2, 1.0), (2, 3, 1.0)]
+    edges = spark.createDataFrame(es, "src long, dst long, weight double")
+    res = katz_centrality(edges, alpha=0.1, beta=2.5, max_iter=6, tol=0.0)
+    got = {r["vertex"]: r["score"] for r in res.scores.collect()}
+    assert got[1] == 2.5
+    assert got[2] == 2.5 + 0.1 * 2.5
+    want = katz_oracle(es, alpha=0.1, beta=2.5, max_iter=6)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-15, v
+
+
+def test_katz_simple_graph_collapses_duplicates(spark):
+    """weighted=False must collapse parallel rows to ONE unit entry."""
+    base = [(1, 2, 5.0), (2, 3, 0.5)]
+    once = to_spark_edges(spark, base, symmetric=True)
+    twice = once.unionByName(once)
+    a = {r["vertex"]: r["score"]
+         for r in katz_centrality(
+             once, alpha=0.1, max_iter=6, tol=0.0,
+             weighted=False).scores.collect()}
+    b = {r["vertex"]: r["score"]
+         for r in katz_centrality(
+             twice, alpha=0.1, max_iter=6, tol=0.0,
+             weighted=False).scores.collect()}
+    assert a == b
+    want = katz_oracle(undirected_both(base), alpha=0.1, max_iter=6,
+                       weighted=False)
+    for v in want:
+        assert abs(a[v] - want[v]) < 1e-12, v
+
+
+def test_katz_divergent_alpha_raises(spark, triples):
+    """tol-driven mode must RAISE on a diverging series (alpha beyond
+    the spectral bound), never return the blowing-up vector."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        katz_centrality(edges, alpha=2.0, beta=1.0, max_iter=15, tol=1e-8)
+
+
+def test_katz_rejects_bad_args(spark):
+    edges = spark.createDataFrame([(1, 2, 1.0)],
+                                  "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="max_iter"):
+        katz_centrality(edges, max_iter=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        katz_centrality(edges, checkpoint_every=0)
+    with pytest.raises(ValueError, match="alpha"):
+        katz_centrality(edges, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# closeness centrality
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.neighborhood import closeness_centrality  # noqa: E402
+
+
+@pytest.mark.parametrize("wf", [True, False])
+def test_closeness_matches_networkx(spark, wf):
+    """Full-diameter bounded run equals
+    networkx.closeness_centrality(G.reverse()) — the OUT direction, both
+    Wasserman-Faust modes."""
+    es = _digraph_triples(50, 120, 5)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {r["vertex"]: r["closeness"]
+           for r in closeness_centrality(df, hops=60,
+                                         wf_improved=wf).collect()}
+    want = nx.closeness_centrality(nx.DiGraph(es).reverse(), wf_improved=wf)
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-12, abs_tol=1e-12), v
+
+
+def test_closeness_rejects_bad_hops(spark):
+    df = spark.createDataFrame([(1, 2, 1.0)],
+                               "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="hops"):
+        closeness_centrality(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# transitivity / reciprocity
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.stats import reciprocity, transitivity  # noqa: E402
+
+
+def test_transitivity_matches_networkx(spark, triples):
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = transitivity(edges).collect()[0]["transitivity"]
+    assert math.isclose(got, nx.transitivity(g), rel_tol=1e-12)
+
+
+def test_transitivity_triangle_free_is_zero(spark):
+    """Star graph: many wedges, zero triangles → 0.0 (the NetworkX
+    convention), not NULL."""
+    es = [(0, i, 1.0) for i in range(1, 8)]
+    edges = to_spark_edges(spark, es, symmetric=True)
+    assert transitivity(edges).collect()[0]["transitivity"] == 0.0
+
+
+def test_reciprocity_matches_networkx(spark):
+    """Mutual-pair fraction incl. the self-loop rule: loops stay in the
+    denominator but never count as reciprocated."""
+    es = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 5)]
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = reciprocity(df).collect()[0]["reciprocity"]
+    want = nx.overall_reciprocity(nx.DiGraph(es))
+    assert math.isclose(got, want, rel_tol=1e-12)
+    assert got == 4 / 6
+
+
+def test_reciprocity_empty_is_null(spark):
+    df = spark.createDataFrame([], "src long, dst long, weight double")
+    assert reciprocity(df).collect()[0]["reciprocity"] is None
