@@ -194,6 +194,7 @@ def main() -> None:
         "q_mis",
         "q_condensation",
         "q_coloring",
+        "q_matching",
         "q_katz",
         "q_closeness",
         "q_transitivity",

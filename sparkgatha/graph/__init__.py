@@ -21,6 +21,7 @@ from sparkgatha.graph.neighborhood import (
     hop_neighborhood_exact,
     neighborhood_function,
 )
+from sparkgatha.graph.matching import maximal_matching, vertex_cover
 from sparkgatha.graph.mis import luby_coloring, maximal_independent_set
 from sparkgatha.graph.mst import minimum_spanning_forest, msf_total_weight
 from sparkgatha.graph.stats import (
@@ -50,6 +51,8 @@ __all__ = [
     "closeness_centrality",
     "transitivity",
     "reciprocity",
+    "maximal_matching",
+    "vertex_cover",
     "eigenvector_centrality",
     "k_core",
     "core_numbers",

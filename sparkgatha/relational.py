@@ -2881,3 +2881,76 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(id_edges).select(
         F.round("reciprocity", 8).alias("reciprocity")
     )
+
+
+def _matching_oracle_sql(rounds: int, seed: int = 0) -> str:
+    """Deterministic greedy maximal matching unrolled: per round,
+    per-edge md5 priorities (the engine-wide md5_long convention), the
+    per-endpoint minimum tuple via a partitioned ranking window, winners
+    = edges holding the minimum at BOTH endpoints, matched endpoints
+    removed.  Over the part-supplier bipartite graph ('p:'/'s:' typed
+    keys — already canonical: 'p:…' < 's:…' lexicographically), which
+    has real degree spread at every sf.  Matching growth is monotone, so
+    exactly-R SQL rounds equal Spark's fixed max_rounds=R run
+    round-for-round."""
+    sql = """
+    WITH e_0 AS MATERIALIZED (
+      SELECT DISTINCT 'p:' || l_partkey AS u, 's:' || l_suppkey AS v
+      FROM lineitem
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    p_{r} AS MATERIALIZED (
+      SELECT u, v,
+             ('0x' || substr(md5(u || ':' || v || ':{r}:{seed}'), 1, 15))::BIGINT AS p
+      FROM e_{r - 1}
+    ),
+    b_{r} AS (
+      SELECT u AS x, p, u, v FROM p_{r}
+      UNION ALL SELECT v, p, u, v FROM p_{r}
+    ),
+    m_{r} AS MATERIALIZED (
+      SELECT x, u, v FROM (
+        SELECT x, u, v,
+               row_number() OVER (PARTITION BY x ORDER BY p, u, v) AS rn
+        FROM b_{r}
+      ) WHERE rn = 1
+    ),
+    w_{r} AS MATERIALIZED (
+      SELECT p.u, p.v FROM p_{r} p
+      JOIN m_{r} a ON a.x = p.u AND a.u = p.u AND a.v = p.v
+      JOIN m_{r} b ON b.x = p.v AND b.u = p.u AND b.v = p.v
+    ),
+    g_{r} AS (SELECT u AS x FROM w_{r} UNION SELECT v FROM w_{r}),
+    e_{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e_{r - 1} e
+      WHERE NOT EXISTS (SELECT 1 FROM g_{r} WHERE g_{r}.x = e.u)
+        AND NOT EXISTS (SELECT 1 FROM g_{r} WHERE g_{r}.x = e.v)
+    )"""
+    picks = "\n    UNION ALL ".join(
+        f"SELECT u, v, {r} AS round FROM w_{r}" for r in range(1, rounds + 1)
+    )
+    sql += f"""
+    {picks}
+    """
+    return sql
+
+
+@register("q_matching", _matching_oracle_sql(4))
+def q_matching(spark, sf_dir):
+    """G33 deterministic greedy maximal matching (4 fixed rounds, the
+    oracle-comparison prefix of the fixpoint) on the part-supplier
+    bipartite graph, join-round value-checked against the unrolled
+    DuckDB replay of the same md5 priority rule.  Fixpoint validity /
+    maximality / pure-Python oracle equality are golden-tested in
+    tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.matching import maximal_matching
+
+    l = _t(spark, sf_dir, "lineitem")
+    big = l.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return maximal_matching(big, seed=0, max_rounds=4).select(
+        "u", "v", "round"
+    )

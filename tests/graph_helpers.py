@@ -202,6 +202,46 @@ def katz_oracle(directed_edges, alpha=0.1, beta=1.0, max_iter=10,
     return x
 
 
+def matching_oracle(pairs, seed=0, max_rounds=None):
+    """Pure-Python deterministic greedy maximal matching — the engine's
+    exact pinned rule (graph/matching.py): priority_r(u, v) =
+    (md5int(f"{u}:{v}:{r}:{seed}"), u, v) over canonical u < v edges; an
+    edge wins iff it holds the minimum tuple at BOTH endpoints; matched
+    endpoints deactivate.  Returns {(u, v): round_matched}."""
+    import hashlib
+
+    def pri(u, v, r):
+        h = hashlib.md5(f"{u}:{v}:{r}:{seed}".encode()).hexdigest()[:15]
+        return (int(h, 16), u, v)
+
+    edges = {
+        (min(e[0], e[1]), max(e[0], e[1])) for e in pairs if e[0] != e[1]
+    }
+    matched = {}
+    r = 0
+    while edges:
+        r += 1
+        best = {}
+        for (u, v) in edges:
+            t = pri(u, v, r)
+            for x in (u, v):
+                if x not in best or t < best[x]:
+                    best[x] = t
+        winners = {
+            (u, v) for (u, v) in edges
+            if best[u] == pri(u, v, r) == best[v]
+        }
+        for e in winners:
+            matched[e] = r
+        gone = {x for e in winners for x in e}
+        edges = {
+            (u, v) for (u, v) in edges if u not in gone and v not in gone
+        }
+        if max_rounds is not None and r >= max_rounds:
+            break
+    return matched
+
+
 def mis_oracle(pairs, seed=0, max_rounds=None):
     """Pure-Python deterministic-Luby MIS — the engine's exact pinned
     rule (graph/mis.py): priority_r(v) = (md5int(f"{v}:{r}:{seed}"),

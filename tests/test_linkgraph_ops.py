@@ -1454,3 +1454,78 @@ def test_reciprocity_matches_networkx(spark):
 def test_reciprocity_empty_is_null(spark):
     df = spark.createDataFrame([], "src long, dst long, weight double")
     assert reciprocity(df).collect()[0]["reciprocity"] is None
+
+
+# ---------------------------------------------------------------------------
+# maximal matching / vertex cover
+# ---------------------------------------------------------------------------
+
+from graph_helpers import matching_oracle  # noqa: E402
+
+from sparkgatha.graph.matching import maximal_matching, vertex_cover  # noqa: E402
+
+
+def test_matching_matches_python_oracle_to_the_round(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    got = {(r["u"], r["v"]): r["round"]
+           for r in maximal_matching(edges, seed=3).collect()}
+    want = matching_oracle([(a, b) for a, b, _ in triples], seed=3)
+    assert got == want
+
+
+def test_matching_fixed_rounds_is_prefix_of_fixpoint(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    full = {(r["u"], r["v"]): r["round"]
+            for r in maximal_matching(edges, seed=3).collect()}
+    two = {(r["u"], r["v"]): r["round"]
+           for r in maximal_matching(edges, seed=3, max_rounds=2).collect()}
+    assert two == {e: r for e, r in full.items() if r <= 2}
+    with pytest.raises(ValueError, match="max_rounds"):
+        maximal_matching(edges, max_rounds=0)
+
+
+def test_matching_is_valid_and_maximal(spark, triples):
+    """Endpoint-disjoint (valid) and every input edge touches a matched
+    endpoint (maximal)."""
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    m = [(r["u"], r["v"]) for r in maximal_matching(edges, seed=7).collect()]
+    eps = [x for e in m for x in e]
+    assert len(eps) == len(set(eps))  # valid: no endpoint reused
+    cover = set(eps)
+    for a, b, _ in triples:
+        if a != b:
+            assert a in cover or b in cover, (a, b)  # maximal
+
+
+def test_matching_partitioning_invariant(spark, triples):
+    base = to_spark_edges(spark, triples, symmetric=False)
+    a = {(r["u"], r["v"]): r["round"]
+         for r in maximal_matching(base, seed=1).collect()}
+    b = {(r["u"], r["v"]): r["round"]
+         for r in maximal_matching(base.repartition(7), seed=1).collect()}
+    assert a == b
+
+
+def test_matching_loops_and_empty(spark):
+    """Self-loops can never match; an edge-free input gives an empty
+    matching with the right schema."""
+    loops = spark.createDataFrame([(1, 1, 1.0), (1, 2, 1.0)],
+                                  "src long, dst long, weight double")
+    m = [(r["u"], r["v"]) for r in maximal_matching(loops).collect()]
+    assert m == [(1, 2)]
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    out = maximal_matching(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"u", "v", "round"}
+
+
+def test_vertex_cover_covers_and_is_2x_matching(spark, triples):
+    """The cover is exactly the matched endpoints (|C| = 2|M|) and hits
+    every edge — the textbook 2-approximation certificate."""
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    m = maximal_matching(edges, seed=0).collect()
+    cover = {r["vertex"] for r in vertex_cover(edges, seed=0).collect()}
+    assert len(cover) == 2 * len(m)
+    for a, b, _ in triples:
+        if a != b:
+            assert a in cover or b in cover, (a, b)
