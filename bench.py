@@ -195,6 +195,7 @@ def main() -> None:
         "q_condensation",
         "q_coloring",
         "q_matching",
+        "q_densest",
         "q_katz",
         "q_closeness",
         "q_transitivity",

@@ -2,6 +2,7 @@
 supersteps; no GraphFrames/GraphX dependency."""
 
 from sparkgatha.graph.degrees import degrees, in_degrees, out_degrees
+from sparkgatha.graph.densest import densest_subgraph
 from sparkgatha.graph.pagerank import pagerank
 from sparkgatha.graph.cc import connected_components
 from sparkgatha.graph.lpa import label_propagation
@@ -53,6 +54,7 @@ __all__ = [
     "reciprocity",
     "maximal_matching",
     "vertex_cover",
+    "densest_subgraph",
     "eigenvector_centrality",
     "k_core",
     "core_numbers",

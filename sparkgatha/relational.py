@@ -2954,3 +2954,90 @@ def q_matching(spark, sf_dir):
     return maximal_matching(big, seed=0, max_rounds=4).select(
         "u", "v", "round"
     )
+
+
+def _densest_oracle_sql(rounds: int, epsilon: float = 0.1) -> str:
+    """BKV densest-subgraph peel unrolled over the UNION of the dense
+    part-supplier core and the sparse customer-order star forest (typed
+    keys keep the two bipartite graphs disjoint; the fringe makes the
+    peel's best intermediate a genuine round-1 subset at every sf, not
+    the trivial whole graph): per round the degree table, the keep set (degree >
+    2(1+ε)·ρ with ρ = edges/vertices as scalar subqueries — the
+    division is written f * (E*1.0/V) so the fp association matches the
+    engine's Python-computed threshold exactly), and the double-EXISTS
+    shrink; the final SELECT picks the densest round (earliest on ties
+    — the engine's strict-improvement rule) via a rho table + argmin
+    LIMIT 1."""
+    f = 2.0 * (1.0 + epsilon)
+    sql = """
+    WITH e_0 AS MATERIALIZED (
+      SELECT DISTINCT 'p:' || l_partkey AS u, 's:' || l_suppkey AS v
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'c:' || o_custkey AS u, 'o:' || o_orderkey AS v
+      FROM orders
+    ),
+    deg_0 AS MATERIALIZED (
+      SELECT x AS vertex, count(*) AS deg FROM (
+        SELECT u AS x FROM e_0 UNION ALL SELECT v FROM e_0
+      ) GROUP BY x
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    keep_{r} AS (
+      SELECT vertex FROM deg_{r - 1}
+      WHERE deg > {f} * ((SELECT count(*) FROM e_{r - 1}) * 1.0
+                         / (SELECT count(*) FROM deg_{r - 1}))
+    ),
+    e_{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e_{r - 1} e
+      WHERE EXISTS (SELECT 1 FROM keep_{r} k WHERE k.vertex = e.u)
+        AND EXISTS (SELECT 1 FROM keep_{r} k WHERE k.vertex = e.v)
+    ),
+    deg_{r} AS MATERIALIZED (
+      SELECT x AS vertex, count(*) AS deg FROM (
+        SELECT u AS x FROM e_{r} UNION ALL SELECT v FROM e_{r}
+      ) GROUP BY x
+    )"""
+    rho_rows = "\n      UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM e_{r}) * 1.0 "
+        f"/ nullif((SELECT count(*) FROM deg_{r}), 0) AS rho"
+        for r in range(rounds + 1)
+    )
+    all_degs = "\n      UNION ALL ".join(
+        f"SELECT {r} AS r, vertex, deg FROM deg_{r}"
+        for r in range(rounds + 1)
+    )
+    sql += f""",
+    rhos AS ({rho_rows}),
+    bestr AS (SELECT r FROM rhos ORDER BY rho DESC NULLS LAST, r ASC LIMIT 1)
+    SELECT vertex, deg FROM ({all_degs}) WHERE r = (SELECT r FROM bestr)
+    """
+    return sql
+
+
+@register("q_densest", _densest_oracle_sql(3))
+def q_densest(spark, sf_dir):
+    """G34 densest subgraph (BKV threshold peel, 3 fixed rounds,
+    ε=0.1) on the part-supplier core ∪ customer-order fringe — the
+    peel strips the sparse star forest at round 1 (best_round=1 at
+    every sf, a non-trivial intermediate) and the best intermediate
+    is value-checked vertex-for-vertex (with in-subgraph degrees)
+    against the unrolled DuckDB peel incl. its densest-round argmax.
+    Fixpoint semantics, the 2(1+ε) approximation bound vs brute force,
+    and pure-Python replay equality are golden-tested in
+    tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.densest import densest_subgraph
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ps = l.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    co = o.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    res = densest_subgraph(ps.unionByName(co), epsilon=0.1, max_rounds=3)
+    return res.vertices.select("vertex", "deg")

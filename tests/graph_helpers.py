@@ -202,6 +202,42 @@ def katz_oracle(directed_edges, alpha=0.1, beta=1.0, max_iter=10,
     return x
 
 
+def densest_oracle(pairs, epsilon=0.1, max_rounds=None):
+    """Pure-Python BKV threshold peel — the engine's exact semantics
+    (graph/densest.py): per round delete vertices with degree ≤
+    2(1+ε)·ρ, remember the densest intermediate (earliest round wins
+    ties).  Returns ({vertex: deg_in_best}, best_density, best_round,
+    rounds_run)."""
+    factor = 2.0 * (1.0 + epsilon)
+    edges = {
+        (min(e[0], e[1]), max(e[0], e[1])) for e in pairs if e[0] != e[1]
+    }
+
+    def degs(es):
+        d = {}
+        for u, v in es:
+            d[u] = d.get(u, 0) + 1
+            d[v] = d.get(v, 0) + 1
+        return d
+
+    deg = degs(edges)
+    if not edges:
+        return {}, 0.0, 0, 0
+    best, best_rho, best_round = deg, len(edges) / len(deg), 0
+    rnd = 0
+    while edges and (max_rounds is None or rnd < max_rounds):
+        rnd += 1
+        rho = len(edges) / len(deg)
+        keep = {v for v, d in deg.items() if d > factor * rho}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+        if not edges:
+            break
+        deg = degs(edges)
+        if len(edges) / len(deg) > best_rho:
+            best, best_rho, best_round = deg, len(edges) / len(deg), rnd
+    return best, best_rho, best_round, rnd
+
+
 def matching_oracle(pairs, seed=0, max_rounds=None):
     """Pure-Python deterministic greedy maximal matching — the engine's
     exact pinned rule (graph/matching.py): priority_r(u, v) =

@@ -1529,3 +1529,92 @@ def test_vertex_cover_covers_and_is_2x_matching(spark, triples):
     for a, b, _ in triples:
         if a != b:
             assert a in cover or b in cover, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# densest subgraph (BKV threshold peel)
+# ---------------------------------------------------------------------------
+
+from itertools import combinations  # noqa: E402
+
+from graph_helpers import densest_oracle  # noqa: E402
+
+from sparkgatha.graph.densest import densest_subgraph  # noqa: E402
+
+
+def test_densest_matches_python_oracle(spark, triples):
+    """Fixpoint run equals the pure-Python BKV replay vertex-for-vertex
+    (degrees included), plus the bookkeeping scalars."""
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    res = densest_subgraph(edges, epsilon=0.1)
+    want, wrho, wround, wrounds = densest_oracle(
+        [(a, b) for a, b, _ in triples], epsilon=0.1
+    )
+    got = {r["vertex"]: r["deg"] for r in res.vertices.collect()}
+    assert got == want
+    assert math.isclose(res.density, wrho, rel_tol=1e-12)
+    assert (res.best_round, res.rounds) == (wround, wrounds)
+
+
+def test_densest_fixed_rounds_match_oracle(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=False)
+    res = densest_subgraph(edges, epsilon=0.1, max_rounds=2)
+    want, wrho, wround, _ = densest_oracle(
+        [(a, b) for a, b, _ in triples], epsilon=0.1, max_rounds=2
+    )
+    got = {r["vertex"]: r["deg"] for r in res.vertices.collect()}
+    assert got == want and res.best_round == wround
+
+
+def test_densest_approximation_bound_vs_bruteforce(spark):
+    """On a small graph the returned density is within 2(1+ε) of the
+    EXACT densest subgraph (brute force over all vertex subsets) — the
+    BKV guarantee, checked end-to-end.  The planted 5-clique plus a
+    sparse fringe makes the optimum non-trivial."""
+    es = [(a, b, 1.0) for a, b in combinations(range(5), 2)]
+    es += [(0, 5, 1.0), (5, 6, 1.0), (6, 7, 1.0), (3, 8, 1.0), (8, 9, 1.0)]
+    nodes = sorted({x for e in es for x in e[:2]})
+    pairs = {(a, b) for a, b, _ in es}
+    best_exact = 0.0
+    for k in range(1, len(nodes) + 1):
+        for sub in combinations(nodes, k):
+            s = set(sub)
+            m = sum(1 for a, b in pairs if a in s and b in s)
+            best_exact = max(best_exact, m / len(s))
+    eps = 0.1
+    res = densest_subgraph(to_spark_edges(spark, es, symmetric=False),
+                           epsilon=eps)
+    assert res.density >= best_exact / (2 * (1 + eps)) - 1e-12
+    # and the reported density is the actual density of the returned set
+    rows = res.vertices.collect()
+    s = {r["vertex"] for r in rows}
+    m = sum(1 for a, b in pairs if a in s and b in s)
+    assert math.isclose(res.density, m / len(s), rel_tol=1e-12)
+    for r in rows:
+        assert r["deg"] == sum(1 for a, b in pairs
+                               if (a == r["vertex"] and b in s)
+                               or (b == r["vertex"] and a in s))
+
+
+def test_densest_clique_is_kept_whole(spark):
+    """An isolated clique beside a long path: the clique IS the densest
+    subgraph and the peel must return exactly it."""
+    es = [(a, b, 1.0) for a, b in combinations(range(100, 106), 2)]
+    es += [(i, i + 1, 1.0) for i in range(20)]
+    res = densest_subgraph(to_spark_edges(spark, es, symmetric=False),
+                           epsilon=0.5)
+    got = {r["vertex"] for r in res.vertices.collect()}
+    assert got == set(range(100, 106))
+    assert math.isclose(res.density, 15 / 6, rel_tol=1e-12)
+
+
+def test_densest_empty_and_bad_args(spark):
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    res = densest_subgraph(empty)
+    assert res.vertices.count() == 0 and res.density == 0.0
+    one = spark.createDataFrame([(1, 2, 1.0)],
+                                "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="epsilon"):
+        densest_subgraph(one, epsilon=0.0)
+    with pytest.raises(ValueError, match="max_rounds"):
+        densest_subgraph(one, max_rounds=-1)
