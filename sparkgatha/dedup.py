@@ -809,3 +809,108 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     candidate SET itself is value-checked (md5-derived minhashes are
     engine-independent), not just its downstream verification."""
     return lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def shared_window_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """(doc_a < doc_b): document pairs sharing at least one EXACT run of
+    ``k`` consecutive tokens — the window-granular form of exact
+    substring dedup (the Lee et al. 2022 "Deduplicating Training Data"
+    signal at fixed window size): two crawls of the same page, quoted
+    passages, or template boilerplate share long verbatim runs even when
+    the whole documents differ, which shingle-Jaccard near-dup can miss
+    at low overall overlap.
+
+    Scale shape: each document emits len−k+1 window hashes (md5_long of
+    the joined tokens — a pure array expression, no Python), distinct
+    per doc; pairs come from an equi-join on the window hash with the
+    LSH bucket discipline — buckets above ``bucket_cap`` route through
+    the bucket-min star (O(size) rows, nothing dropped), so one viral
+    boilerplate window can never go quadratic.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+                    idx.alias("_idx"))
+    wins = F.transform(
+        F.col("_idx"),
+        lambda i: _md5_long(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+    )
+    # three lineages consume the window table (counts, join a, join b)
+    ws = (
+        d.select("doc_id", F.explode(wins).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = ws.groupBy("w").agg(
+        F.count("*").alias("c"), F.min("doc_id").alias("m")
+    )
+    ok = counts.filter((F.col("c") >= 2) & (F.col("c") <= bucket_cap)).select(
+        "w"
+    )
+    inb = ws.join(ok, "w")
+    a, b = inb.alias("a"), inb.alias("b")
+    pairwise = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    over = counts.filter(F.col("c") > bucket_cap).select("w", "m")
+    star = (
+        ws.join(over, "w")
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return pairwise.unionByName(star).distinct()
+
+
+@register(
+    "q_window_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    ws AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[r.i:r.i + 7], ' ')),
+                             1, 15))::BIGINT AS w
+      FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+    ),
+    cnt AS (SELECT w, count(*) AS c, min(doc_id) AS m FROM ws GROUP BY w),
+    ok AS (SELECT w FROM cnt WHERE c BETWEEN 2 AND {DEFAULT_BUCKET_CAP}),
+    pw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ws a
+      JOIN ok ON ok.w = a.w
+      JOIN ws b ON b.w = a.w AND b.doc_id > a.doc_id
+    ),
+    star AS (
+      SELECT c.m AS doc_a, ws.doc_id AS doc_b
+      FROM ws JOIN cnt c ON c.w = ws.w AND c.c > {DEFAULT_BUCKET_CAP}
+      WHERE ws.doc_id <> c.m
+    )
+    SELECT DISTINCT doc_a, doc_b
+    FROM (SELECT * FROM pw UNION ALL SELECT * FROM star)
+    """.replace(
+        "{toks}",
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        " x -> x <> '')",
+    ),
+)
+def q_window_dup_pairs(spark, sf_dir):
+    """Exact shared-8-token-window pairs (window-granular substring
+    dedup) with the LSH bucket-cap star discipline — the pair SET is
+    value-checked against DuckDB's identical window-hash join (the
+    fixture generator plants near-duplicates, so the check is
+    non-vacuous at every sf)."""
+    return shared_window_pairs(_t(spark, sf_dir, "documents"), k=8)

@@ -202,3 +202,86 @@ def q_top_ngrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
         .limit(20)
     )
+
+
+def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, rep_token_frac, top_bigram_frac) — the Gopher-style
+    within-document repetition profile (Rae et al. 2021 §A1.1 adapted to
+    token granularity): the fraction of tokens that are repeats of an
+    earlier token, and the mass of the single most frequent bigram among
+    all bigrams.  High values flag boilerplate / keyword-stuffed / looping
+    documents the quality gate should drop before training.
+
+    Scale shape: rep_token_frac is a pure array expression (codegen);
+    the bigram mode goes through explode → partial-aggregable
+    groupBy(id, bigram) → groupBy(id) max/sum — never an O(len²)
+    per-row expression, so a 10k-token document costs 10k rows, not
+    10^8 comparisons."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    nu = F.size(F.array_distinct(toks))
+    base = docs.select(
+        id_col,
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) - nu.cast("double") / n)
+        .alias("rep_token_frac"),
+        toks.alias("_toks"),
+    )
+    bg = F.zip_with(
+        F.expr("slice(_toks, 1, greatest(size(_toks) - 1, 0))"),
+        F.expr("slice(_toks, 2, greatest(size(_toks) - 1, 0))"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bc = (
+        base.select(id_col, F.explode(bg).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bs = bc.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+    )
+    return base.join(bs, id_col, "left").select(
+        id_col,
+        "rep_token_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "q_repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nu
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id, toks[r.i] || ' ' || toks[r.i + 1] AS b
+      FROM t, unnest(range(1, len(toks))) AS r(i)
+    ),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    bs AS (
+      SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           round(CASE WHEN n = 0 THEN 0.0
+                      ELSE 1.0 - nu * 1.0 / n END, 8) AS rep_token_frac,
+           round(coalesce(bs.top_bigram_frac, 0.0), 8) AS top_bigram_frac
+    FROM base LEFT JOIN bs ON bs.doc_id = base.doc_id
+    """,
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition profile per document (repeated-token
+    fraction + top-bigram mass) — the boilerplate/looping-text signal a
+    curation gate thresholds; value-checked against DuckDB's identical
+    token/bigram expressions."""
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_signals(d)
+    return out.select(
+        "doc_id",
+        F.round("rep_token_frac", 8).alias("rep_token_frac"),
+        F.round("top_bigram_frac", 8).alias("top_bigram_frac"),
+    )
