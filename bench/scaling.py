@@ -134,6 +134,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=20_000_000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=8,
+                    help="base parallelism N; the cell pair is local[N] "
+                         "vs local[4N] (the north rule's N->4N executors)")
     ap.add_argument("--skip-calibration", action="store_true")
     ap.add_argument("--skip-data-scaling", action="store_true")
     ap.add_argument("--skip-shuffle", action="store_true",
@@ -143,28 +146,29 @@ def main() -> None:
     strategies = ("broadcast",) if args.skip_shuffle else ("broadcast", "shuffle")
 
     # --- axis 1: host calibration ceilings -------------------------------
+    lo, hi = args.cpus, 4 * args.cpus
     calib: dict = {}
     if not args.skip_calibration:
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             spin = run_snippet(SPIN_SNIPPET.format(cpus=cpus))
             c = run_snippet(CALIB_SNIPPET.format(repo=REPO, cpus=cpus))
             calib[cpus] = {"spin": spin["iters_per_sec"], **c}
             print(f"calib local[{cpus}]: {calib[cpus]}", file=sys.stderr)
         calib["ceiling_spin"] = round(
-            calib[32]["spin"] / (4 * calib[8]["spin"]), 3)
+            calib[hi]["spin"] / (4 * calib[lo]["spin"]), 3)
         calib["ceiling_compute"] = round(
-            calib[32]["compute_rows_per_sec"]
-            / (4 * calib[8]["compute_rows_per_sec"]), 3)
+            calib[hi]["compute_rows_per_sec"]
+            / (4 * calib[lo]["compute_rows_per_sec"]), 3)
         calib["ceiling_bandwidth"] = round(
-            calib[32]["bandwidth_rows_per_sec"]
-            / (4 * calib[8]["bandwidth_rows_per_sec"]), 3)
+            calib[hi]["bandwidth_rows_per_sec"]
+            / (4 * calib[lo]["bandwidth_rows_per_sec"]), 3)
 
     # --- axis 2: engine thread-scaling (both physical strategies — the
     # 10^12-regime claim rests on the shuffle path, so it is measured,
     # not just tested) ------------------------------------------------
     strat_cells: dict = {s: {} for s in strategies}
     for strat in strategies:
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             results = [
                 run_snippet(RUN_SNIPPET.format(
                     repo=REPO, cpus=cpus, edges=args.edges, strategy=strat))
@@ -187,8 +191,9 @@ def main() -> None:
     # reported alongside, unhidden.
     def _effs(c):
         return (
-            c[32]["max"] / (4 * c[8]["max"]),
-            c[32]["median_edges_per_sec"] / (4 * c[8]["median_edges_per_sec"]),
+            c[hi]["max"] / (4 * c[lo]["max"]),
+            c[hi]["median_edges_per_sec"]
+            / (4 * c[lo]["median_edges_per_sec"]),
         )
 
     eff_best, eff_med = _effs(cells)
@@ -211,7 +216,7 @@ def main() -> None:
         big = min(args.edges * 4, 80_000_000)
         bruns = [
             run_snippet(RUN_SNIPPET.format(
-                repo=REPO, cpus=32, edges=big, strategy=strat))
+                repo=REPO, cpus=hi, edges=big, strategy=strat))
             for _ in range(args.runs)
         ]
         btputs = sorted(r["edges_per_sec"] for r in bruns)
@@ -221,10 +226,10 @@ def main() -> None:
             "edges_big": big,
             "big_edges_per_sec_best": btputs[-1],
             "big_edges_per_sec_median": statistics.median(btputs),
-            "efficiency_data": round(btputs[-1] / base_cells[32]["max"], 3),
+            "efficiency_data": round(btputs[-1] / base_cells[hi]["max"], 3),
             "runs": bruns,
         }
-        print(f"data-scaling {strat} local[32] {big:,} edges: best "
+        print(f"data-scaling {strat} local[{hi}] {big:,} edges: best "
               f"{btputs[-1]:,.0f} e/s", file=sys.stderr)
         return out
 
@@ -238,10 +243,11 @@ def main() -> None:
 
     summary = {
         "edges": args.edges,
-        "local8_edges_per_sec": cells[8]["max"],
-        "local32_edges_per_sec": cells[32]["max"],
-        "local8_median": cells[8]["median_edges_per_sec"],
-        "local32_median": cells[32]["median_edges_per_sec"],
+        "cpu_pair": [lo, hi],
+        "localN_edges_per_sec": cells[lo]["max"],
+        "local4N_edges_per_sec": cells[hi]["max"],
+        "localN_median": cells[lo]["median_edges_per_sec"],
+        "local4N_median": cells[hi]["median_edges_per_sec"],
         "scaling_efficiency": round(eff_best, 3),
         "scaling_efficiency_median": round(eff_med, 3),
         "host_ceilings": {
@@ -253,13 +259,14 @@ def main() -> None:
         # the beyond-broadcast strategy (src-partitioned layout + state
         # shuffle + hot-src salting), measured under the same protocol
         "shuffle": {
-            "local8_edges_per_sec": strat_cells["shuffle"][8]["max"],
-            "local32_edges_per_sec": strat_cells["shuffle"][32]["max"],
-            "local8_median": strat_cells["shuffle"][8]["median_edges_per_sec"],
-            "local32_median": strat_cells["shuffle"][32]["median_edges_per_sec"],
+            "localN_edges_per_sec": strat_cells["shuffle"][lo]["max"],
+            "local4N_edges_per_sec": strat_cells["shuffle"][hi]["max"],
+            "localN_median": strat_cells["shuffle"][lo]["median_edges_per_sec"],
+            "local4N_median": strat_cells["shuffle"][hi]["median_edges_per_sec"],
             **shuffle_eff,
             "data_scaling": shuffle_data_scaling or None,
-            "runs": {str(c): strat_cells["shuffle"][c]["runs"] for c in (8, 32)},
+            "runs": {str(c): strat_cells["shuffle"][c]["runs"]
+                     for c in (lo, hi)},
         } if "shuffle" in strat_cells else None,
         "estimator": "raw = median-of-N per cell; best-of-N and "
                      "ceiling-normalized (best / bandwidth-bound host "
@@ -272,21 +279,21 @@ def main() -> None:
         "pass_raw_median": eff_med >= 0.8,
         "pass_raw_best": eff_best >= 0.8,
         "pass_normalized": (eff_norm is not None and eff_norm >= 0.8),
-        "runs": {str(c): cells[c]["runs"] for c in (8, 32)},
+        "runs": {str(c): cells[c]["runs"] for c in (lo, hi)},
         "calibration": calib or None,
     }
     print(json.dumps(summary))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    r8, r32 = cells[8], cells[32]
+    r8, r32 = cells[lo], cells[hi]
     sh_rows = ""
     sh_eff_line = ""
     if "shuffle" in strat_cells:
-        s8, s32 = strat_cells["shuffle"][8], strat_cells["shuffle"][32]
+        s8, s32 = strat_cells["shuffle"][lo], strat_cells["shuffle"][hi]
         sh_rows = (
-            f"| S-N  | shuffle | local[8]  | {args.edges:,} | 10 | "
+            f"| S-N  | shuffle | local[{lo}]  | {args.edges:,} | 10 | "
             f"{s8['max']:,.0f} | {s8['median_edges_per_sec']:,.0f} | {s8['min']:,.0f} |\n"
-            f"| S-4N | shuffle | local[32] | {args.edges:,} | 10 | "
+            f"| S-4N | shuffle | local[{hi}] | {args.edges:,} | 10 | "
             f"{s32['max']:,.0f} | {s32['median_edges_per_sec']:,.0f} | {s32['min']:,.0f} |\n"
         )
         sh_eff_line = (
@@ -309,13 +316,13 @@ def main() -> None:
     calib_rows = ""
     if calib:
         calib_rows = f"""
-## Host calibration (what THIS box delivers from 8 → 32 threads)
+## Host calibration (what THIS box delivers from {lo} → {hi} threads)
 
-| workload | local[8] | local[32] | 8→32 efficiency |
+| workload | local[{lo}] | local[{hi}] | {lo}→{hi} efficiency |
 | --- | --- | --- | --- |
-| Spark-free pure CPU (mp spin, its/s) | {calib[8]['spin']:,.0f} | {calib[32]['spin']:,.0f} | **{calib['ceiling_spin']:.2f}** |
-| Spark compute-bound (xxhash64/range, rows/s) | {calib[8]['compute_rows_per_sec']:,.0f} | {calib[32]['compute_rows_per_sec']:,.0f} | **{calib['ceiling_compute']:.2f}** |
-| Spark bandwidth-bound (cached-scan agg, rows/s) | {calib[8]['bandwidth_rows_per_sec']:,.0f} | {calib[32]['bandwidth_rows_per_sec']:,.0f} | **{calib['ceiling_bandwidth']:.2f}** |
+| Spark-free pure CPU (mp spin, its/s) | {calib[lo]['spin']:,.0f} | {calib[hi]['spin']:,.0f} | **{calib['ceiling_spin']:.2f}** |
+| Spark compute-bound (xxhash64/range, rows/s) | {calib[lo]['compute_rows_per_sec']:,.0f} | {calib[hi]['compute_rows_per_sec']:,.0f} | **{calib['ceiling_compute']:.2f}** |
+| Spark bandwidth-bound (cached-scan agg, rows/s) | {calib[lo]['bandwidth_rows_per_sec']:,.0f} | {calib[hi]['bandwidth_rows_per_sec']:,.0f} | **{calib['ceiling_bandwidth']:.2f}** |
 
 A 4N-executor cluster multiplies memory bandwidth and cache by 4; 4N
 threads on one box share ONE memory subsystem, so the bandwidth-bound
@@ -328,7 +335,7 @@ matched-workload ceiling.
     ds_rows = ""
     if data_scaling:
         ds_rows = f"""
-## Data-scaling at fixed parallelism (local[32], best of {args.runs})
+## Data-scaling at fixed parallelism (local[{hi}], best of {args.runs})
 
 | edges | e/s/superstep (best) | throughput ratio vs {args.edges:,} |
 | --- | --- | --- |
@@ -344,7 +351,7 @@ without the shared-memory bias above.
         f.write(f"""# BENCH/BASELINE — measured scaling results
 
 Protocol (BASELINE.md): same seeded power-law graph ({args.edges:,} edges,
-seed=42, hub vertex ≈ 30-40% of edges) at local[8] and local[32]; fresh
+seed=42, hub vertex ≈ 30-40% of edges) at local[{lo}] and local[{hi}]; fresh
 JVM per run; edge layout prepared once OUTSIDE the measured walls
 (prepare_pagerank); 3-superstep JIT warm-up discarded; 10 measured
 supersteps fused into one job (check_every=10, bit-identical numerics);
@@ -356,8 +363,8 @@ slows a run) and the ceiling-normalized view disclosed alongside.
 
 | run | strategy | parallelism | edges | supersteps | best of {args.runs} (e/s/superstep) | median | min |
 | --- | --- | --- | --- | --- | --- | --- | --- |
-| B-N  | broadcast | local[8]  | {args.edges:,} | 10 | {r8['max']:,.0f} | {r8['median_edges_per_sec']:,.0f} | {r8['min']:,.0f} |
-| B-4N | broadcast | local[32] | {args.edges:,} | 10 | {r32['max']:,.0f} | {r32['median_edges_per_sec']:,.0f} | {r32['min']:,.0f} |
+| B-N  | broadcast | local[{lo}]  | {args.edges:,} | 10 | {r8['max']:,.0f} | {r8['median_edges_per_sec']:,.0f} | {r8['min']:,.0f} |
+| B-4N | broadcast | local[{hi}] | {args.edges:,} | 10 | {r32['max']:,.0f} | {r32['median_edges_per_sec']:,.0f} | {r32['min']:,.0f} |
 {sh_rows}
 **Scaling efficiency (broadcast, the headline) — raw best-of-{args.runs}: {eff_best:.3f}; median: {eff_med:.3f}"""
                 + (f"; normalized by the bandwidth-bound host ceiling: "
