@@ -811,6 +811,37 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def window_hashes(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, w): the distinct md5_long hashes of every EXACT run of
+    ``k`` consecutive tokens per document — the shared primitive behind
+    window-granular substring dedup (shared_window_pairs) and
+    train/test decontamination (decontaminate).  A pure array
+    expression per row (split -> slice -> concat_ws -> md5), no Python,
+    no join: at 100 TB this is one map-side pass emitting len-k+1 longs
+    per document."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+                    idx.alias("_idx"))
+    wins = F.transform(
+        F.col("_idx"),
+        lambda i: _md5_long(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
+    )
+    return d.select("doc_id", F.explode(wins).alias("w")).distinct()
+
+
 def shared_window_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -833,27 +864,10 @@ def shared_window_pairs(
     the bucket-min star (O(size) rows, nothing dropped), so one viral
     boilerplate window can never go quadratic.
     """
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    toks = F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
-    )
-    n = F.size(toks)
-    idx = F.when(
-        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
-                    idx.alias("_idx"))
-    wins = F.transform(
-        F.col("_idx"),
-        lambda i: _md5_long(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),
-    )
     # three lineages consume the window table (counts, join a, join b)
-    ws = (
-        d.select("doc_id", F.explode(wins).alias("w"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ws = window_hashes(
+        docs, k=k, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
     counts = ws.groupBy("w").agg(
         F.count("*").alias("c"), F.min("doc_id").alias("m")
     )
@@ -914,3 +928,85 @@ def q_window_dup_pairs(spark, sf_dir):
     fixture generator plants near-duplicates, so the check is
     non-vacuous at every sf)."""
     return shared_window_pairs(_t(spark, sf_dir, "documents"), k=8)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Corpus rows whose text shares NO exact run of ``k`` consecutive
+    tokens with any evaluation document — the train/test
+    decontamination gate (the GPT-3 appendix-C / Lee et al. 2022
+    n-gram-overlap rule, default k=13): any training document that
+    contains a verbatim eval window is removed before training so the
+    benchmark is not memorized.
+
+    Scale shape: the eval set is small by definition, so its distinct
+    window hashes broadcast (``broadcast_eval=True``); the corpus side
+    is one map-side window_hashes pass -> broadcast semi-join ->
+    distinct contaminated ids -> left-anti against the corpus.  No
+    shuffle ever carries corpus text, only (doc_id, hash) longs.
+    Set ``broadcast_eval=False`` when the eval suite itself is large
+    (e.g. decontaminating against another corpus shard); the semi-join
+    then sort-merges on the hash.
+    """
+    ew = (
+        window_hashes(eval_docs, k=k, text_col=text_col, id_col=id_col)
+        .select("w")
+        .distinct()
+    )
+    if broadcast_eval:
+        ew = F.broadcast(ew)
+    cw = window_hashes(corpus, k=k, text_col=text_col, id_col=id_col)
+    dirty = cw.join(ew, "w", "left_semi").select("doc_id").distinct()
+    return corpus.join(
+        dirty, corpus[id_col] == dirty.doc_id, "left_anti"
+    )
+
+
+_EVAL_SPLIT_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'"
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks,
+             {_EVAL_SPLIT_SQL} AS is_eval
+      FROM documents
+    ),
+    ws AS (
+      SELECT DISTINCT doc_id, is_eval,
+             ('0x' || substr(md5(array_to_string(toks[r.i:r.i + 7], ' ')),
+                             1, 15))::BIGINT AS w
+      FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+    ),
+    ew AS (SELECT DISTINCT w FROM ws WHERE is_eval),
+    dirty AS (
+      SELECT DISTINCT doc_id FROM ws
+      WHERE NOT is_eval AND w IN (SELECT w FROM ew)
+    )
+    SELECT doc_id FROM t
+    WHERE NOT is_eval AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: a deterministic md5-split of the
+    documents table plays the eval suite (~25%); the remaining corpus
+    is filtered to docs sharing no exact 8-token window with it.  The
+    fixture generator plants near-duplicates, so dup pairs straddling
+    the split make the flagged set non-empty — the surviving doc_id
+    SET is value-checked against DuckDB's identical window-hash rule.
+    k=8 (not the production default 13) keeps the check non-vacuous on
+    fixture-length documents."""
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    return decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), k=8
+    ).select("doc_id")

@@ -109,3 +109,58 @@ def test_all_pairs_guard_trips_and_passes(spark, monkeypatch):
     # at the default bound the fixture-scale ops still run
     monkeypatch.delenv("SPARKGATHA_ALL_PAIRS_MAX_ROWS")
     assert REGISTRY["q_dedup_embed_cosine"].fn(spark, SF).count() >= 0
+
+
+def test_decontaminate_removes_window_sharers(spark):
+    """A corpus doc sharing one exact 8-token run with an eval doc is
+    removed; docs with only shorter overlaps survive; the eval set
+    itself is never part of the output."""
+    from sparkgatha.dedup import decontaminate
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text {run} and a completely different tail"),
+            (2, "no overlap here at all just original writing stays"),
+            (3, "alpha beta gamma delta only four shared tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"the benchmark question contains {run} verbatim")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, eval_docs, k=8).select("doc_id").collect()
+    )
+    assert kept == [2, 3]
+    # shuffle-join path is semantics-identical to the broadcast path
+    kept_sj = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, eval_docs, k=8, broadcast_eval=False)
+        .select("doc_id")
+        .collect()
+    )
+    assert kept_sj == kept
+
+
+def test_decontaminate_short_docs_and_bad_k(spark):
+    """Documents shorter than k emit no windows (never flagged, never
+    crash); k < 2 raises."""
+    import pytest
+
+    from sparkgatha.dedup import decontaminate, window_hashes
+
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "three tokens only")], ["doc_id", "text"]
+    )
+    eval_docs = spark.createDataFrame([(9, "tiny doc")], ["doc_id", "text"])
+    assert window_hashes(corpus, k=8).count() == 0
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, eval_docs, k=8).select("doc_id").collect()
+    )
+    assert kept == [1, 2]
+    with pytest.raises(ValueError):
+        window_hashes(corpus, k=1)
