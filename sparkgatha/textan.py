@@ -285,3 +285,109 @@ def q_repetition_signals(spark, sf_dir):
         F.round("rep_token_frac", 8).alias("rep_token_frac"),
         F.round("top_bigram_frac", 8).alias("top_bigram_frac"),
     )
+
+
+def importance_weights(
+    corpus,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+):
+    """(id, n_tokens, log_ratio): per-document average token
+    log-likelihood ratio  (1/n)·Σ_t [ln p_target(t) − ln p_corpus(t)]
+    under add-k-smoothed unigram LMs — the Data Selection with
+    Importance Resampling score (Xie et al. 2023, DSIR) at unigram
+    granularity: documents that look more like the target distribution
+    than the raw crawl score high and survive resampling.
+
+    Scale shape: both LMs are partial-aggregable token groupBys; the
+    three scalars (corpus mass, target mass, shared vocab size) ride a
+    1-row broadcast crossJoin (the G4 dangling-mass pattern); scoring
+    is explode → two vocabulary-sized equi-joins → partial-agg sum per
+    doc.  No window, no Python, no driver collect — at 100 TB the only
+    wide tables are (token, count) vocabularies, orders of magnitude
+    smaller than the corpus.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+    ct = corpus.select(F.col(id_col).alias("_id"), F.explode(toks).alias("t"))
+    tt = target.select(F.explode(toks).alias("t"))
+    corpus_lm = ct.groupBy("t").agg(F.count("*").alias("cc"))
+    target_lm = tt.groupBy("t").agg(F.count("*").alias("tc"))
+    # scalars: total masses + the UNION vocabulary the smoothing is over
+    vocab = corpus_lm.select("t").unionByName(target_lm.select("t")).distinct()
+    # scalar names must not collide case-insensitively with tc/cc
+    scalars = F.broadcast(
+        corpus_lm.agg(F.sum("cc").alias("corpus_mass"))
+        .crossJoin(target_lm.agg(F.sum("tc").alias("target_mass")))
+        .crossJoin(vocab.agg(F.count("*").alias("vocab_n")))
+    )
+    a = F.lit(float(smoothing))
+    scored = (
+        ct.join(corpus_lm, "t")
+        .join(target_lm, "t", "left")
+        .crossJoin(scalars)
+        .select(
+            "_id",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + a)
+                      / (F.col("target_mass") + a * F.col("vocab_n")))
+                - F.log((F.col("cc") + a)
+                        / (F.col("corpus_mass") + a * F.col("vocab_n")))
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("lr") / F.count("*")).alias("log_ratio"),
+    ).select(F.col("_id").alias(id_col), "n_tokens", "log_ratio")
+
+
+_TARGET_SQL = "source IN ('src1', 'src2', 'src3')"
+
+
+@register(
+    "q_importance_weights",
+    f"""
+    WITH ct AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+      WHERE NOT ({_TARGET_SQL})
+    ),
+    tt AS (
+      SELECT unnest({_TOKS}) AS t FROM documents WHERE {_TARGET_SQL}
+    ),
+    clm AS (SELECT t, count(*) AS cc FROM ct GROUP BY t),
+    tlm AS (SELECT t, count(*) AS tc FROM tt GROUP BY t),
+    sc AS (
+      SELECT (SELECT sum(cc) FROM clm) AS Tc,
+             (SELECT sum(tc) FROM tlm) AS Tt,
+             (SELECT count(*) FROM
+                (SELECT t FROM clm UNION SELECT t FROM tlm)) AS V
+    )
+    SELECT ct.doc_id,
+           count(*) AS n_tokens,
+           round(sum(  ln((coalesce(tlm.tc, 0) + 1.0) / (sc.Tt + sc.V))
+                     - ln((clm.cc + 1.0) / (sc.Tc + sc.V)))
+                 / count(*), 8) AS log_ratio
+    FROM ct
+    JOIN clm ON clm.t = ct.t
+    LEFT JOIN tlm ON tlm.t = ct.t
+    CROSS JOIN sc
+    GROUP BY ct.doc_id
+    """,
+)
+def q_importance_weights(spark, sf_dir):
+    """DSIR-style data-selection scores: three fixture sources play the
+    target distribution; every other document gets its add-1-smoothed
+    unigram log-likelihood ratio (identical double expression both
+    engines, rounded to 8 decimals)."""
+    d = _t(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src1", "src2", "src3")
+    out = importance_weights(d.filter(~is_target), d.filter(is_target))
+    return out.select(
+        "doc_id", "n_tokens", F.round("log_ratio", 8).alias("log_ratio")
+    )
