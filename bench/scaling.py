@@ -48,7 +48,7 @@ n_edges = {edges}
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus,
                   extra_conf={{"spark.ui.enabled": "false",
                               "spark.driver.memory": "24g"}})
-e = powerlaw_edges(spark, n_edges, n_vertices=2_000_000, num_partitions=cpus).localCheckpoint(eager=True)
+e = powerlaw_edges(spark, n_edges, n_vertices={vertices}, num_partitions=cpus).localCheckpoint(eager=True)
 m = e.count()
 prep = prepare_pagerank(e, num_partitions=cpus, strategy={strategy!r})  # layout: once, outside walls
 pagerank(prepared=prep, tol=0.0, max_iter=3, check_every=3)  # warm-up (JIT), discarded
@@ -134,6 +134,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=20_000_000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--vertices", type=int, default=2_000_000,
+                    help="graph vertex count: per-superstep serial state "
+                         "cost is O(V) while parallel edge work is O(E/n), "
+                         "so the E/V ratio picks the regime being measured "
+                         "(sparse web-graph vs dense co-occurrence)")
     ap.add_argument("--cpus", type=int, default=8,
                     help="base parallelism N; the cell pair is local[N] "
                          "vs local[4N] (the north rule's N->4N executors)")
@@ -171,7 +176,8 @@ def main() -> None:
         for cpus in (lo, hi):
             results = [
                 run_snippet(RUN_SNIPPET.format(
-                    repo=REPO, cpus=cpus, edges=args.edges, strategy=strat))
+                    repo=REPO, cpus=cpus, edges=args.edges,
+                    vertices=args.vertices, strategy=strat))
                 for _ in range(args.runs)
             ]
             tputs = sorted(r["edges_per_sec"] for r in results)
@@ -216,7 +222,8 @@ def main() -> None:
         big = min(args.edges * 4, 80_000_000)
         bruns = [
             run_snippet(RUN_SNIPPET.format(
-                repo=REPO, cpus=hi, edges=big, strategy=strat))
+                repo=REPO, cpus=hi, edges=big,
+                vertices=args.vertices, strategy=strat))
             for _ in range(args.runs)
         ]
         btputs = sorted(r["edges_per_sec"] for r in bruns)

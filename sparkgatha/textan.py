@@ -316,8 +316,16 @@ def importance_weights(
     )
     ct = corpus.select(F.col(id_col).alias("_id"), F.explode(toks).alias("t"))
     tt = target.select(F.explode(toks).alias("t"))
-    corpus_lm = ct.groupBy("t").agg(F.count("*").alias("cc"))
-    target_lm = tt.groupBy("t").agg(F.count("*").alias("tc"))
+    # each LM feeds three lineages (score join, mass scalar, union vocab);
+    # without a barrier every consumer re-tokenizes the full corpus
+    corpus_lm = (
+        ct.groupBy("t").agg(F.count("*").alias("cc"))
+        .localCheckpoint(eager=False)
+    )
+    target_lm = (
+        tt.groupBy("t").agg(F.count("*").alias("tc"))
+        .localCheckpoint(eager=False)
+    )
     # scalars: total masses + the UNION vocabulary the smoothing is over
     vocab = corpus_lm.select("t").unionByName(target_lm.select("t")).distinct()
     # scalar names must not collide case-insensitively with tc/cc
