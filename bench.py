@@ -201,6 +201,11 @@ def main() -> None:
         "q_transitivity",
         "q_reciprocity",
         "q_sample_stratified",
+        "q_window_dup_pairs",
+        "q_repetition_signals",
+        "q_decontaminate",
+        "q_importance_weights",
+        "q_rich_club",
         "q_rollup",
         "q_asof",
     ):

@@ -160,3 +160,65 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.col("n_mutual").cast("double"), F.col("n_edges").cast("double")
         ).alias("reciprocity")
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """(k, phi): the rich-club coefficient phi(k) = 2·E_k/(N_k·(N_k−1))
+    for every integer k with N_k ≥ 2, where N_k = #vertices of degree
+    > k and E_k = #edges whose BOTH endpoints have degree > k (Colizza
+    et al. 2006; semantics pinned to
+    ``networkx.rich_club_coefficient(G, normalized=False)``).  High
+    phi(k) at high k = the hub vertices form a densely wired core —
+    exactly the AGATHA hub-term structure the skew machinery (G10)
+    exists for, so this statistic is the diagnostic that says whether
+    hub mitigation will matter on a given corpus graph.
+
+    Scale shape: degrees and both histograms are partial-aggregable
+    groupBys; the cumulative counts come from exploding each HISTOGRAM
+    row (d, n) to the k-range [0, d) it contributes to — explode mass
+    is Σ_d over DISTINCT degree values, bounded by max_degree ·
+    |distinct degrees|, never O(V·max_degree).  (For graphs whose max
+    degree itself is extreme, the same cumulative is a running sum over
+    the ≤|distinct degrees|-row histogram — swap when max_degree rows
+    per histogram entry dominate the edge scan.)  Self-loops are
+    dropped (networkx raises on them in this statistic).
+    """
+    e = canonical_undirected(edges)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    nh = deg.groupBy("d").agg(F.count("*").alias("n"))
+    n_k = (
+        nh.select(
+            F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("k"), "n"
+        )
+        .groupBy("k")
+        .agg(F.sum("n").alias("n_k"))
+    )
+    md = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("m"))
+    )
+    eh = md.groupBy("m").agg(F.count("*").alias("c"))
+    e_k = (
+        eh.select(
+            F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("k"), "c"
+        )
+        .groupBy("k")
+        .agg(F.sum("c").alias("e_k"))
+    )
+    return (
+        n_k.filter(F.col("n_k") >= 2)
+        .join(e_k, "k", "left")
+        .select(
+            "k",
+            (
+                2.0 * F.coalesce(F.col("e_k"), F.lit(0))
+                / (F.col("n_k") * (F.col("n_k") - F.lit(1.0)))
+            ).alias("phi"),
+        )
+    )

@@ -1635,6 +1635,53 @@ def q_assortativity(spark, sf_dir):
     )
 
 
+@register(
+    "q_rich_club",
+    f"""
+    WITH {_ADJ_CTE},
+    deg AS (
+      SELECT x, count(*) AS d FROM (
+        SELECT src AS x FROM ae UNION ALL SELECT dst FROM ae
+      ) GROUP BY x
+    ),
+    nk AS (
+      SELECT r.k, sum(h.n) AS n_k
+      FROM (SELECT d, count(*) AS n FROM deg GROUP BY d) h,
+           unnest(range(0, h.d)) AS r(k)
+      GROUP BY r.k
+    ),
+    mdh AS (
+      SELECT least(du.d, dv.d) AS m
+      FROM ae JOIN deg du ON du.x = ae.src JOIN deg dv ON dv.x = ae.dst
+    ),
+    ek AS (
+      SELECT r.k, sum(h.c) AS e_k
+      FROM (SELECT m, count(*) AS c FROM mdh GROUP BY m) h,
+           unnest(range(0, h.m)) AS r(k)
+      GROUP BY r.k
+    )
+    SELECT nk.k,
+           round(2.0 * coalesce(ek.e_k, 0)
+                 / (nk.n_k * (nk.n_k - 1.0)), 8) AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_k >= 2
+    """,
+)
+def q_rich_club(spark, sf_dir):
+    """G35 rich-club coefficient profile of the window-1 adjacency
+    graph (the same sparse fixture graph as q_assortativity — the
+    all-pairs graph is regular, where phi is constant and checks
+    nothing) — value-checked against DuckDB's identical histogram-
+    explode cumulative; NetworkX-golden in tests."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.stats import rich_club
+
+    edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    return rich_club(edges).select(
+        F.col("k").cast("long").alias("k"), F.round("phi", 8).alias("phi")
+    )
+
+
 #: directed top-2 bigram digraph — the adjacency pairs keep token ORDER
 #: and each src keeps only its 2 strongest out-edges (count desc, dst
 #: asc tie-break).  The raw bigram digraph on this fixture vocabulary is

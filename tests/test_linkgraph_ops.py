@@ -1618,3 +1618,36 @@ def test_densest_empty_and_bad_args(spark):
         densest_subgraph(one, epsilon=0.0)
     with pytest.raises(ValueError, match="max_rounds"):
         densest_subgraph(one, max_rounds=-1)
+
+
+# ---------------------------------------------------------------------------
+# G35 rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_rich_club_matches_networkx(spark, triples):
+    from sparkgatha.graph.stats import rich_club
+
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    got = {r.k: r.phi for r in rich_club(
+        to_spark_edges(spark, triples, symmetric=True)).collect()}
+    want = nx.rich_club_coefficient(g, normalized=False)
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_rich_club_star_and_clique(spark):
+    """A star has no club (phi(0) counts every edge, phi(1) has only the
+    hub above degree 1 → no k=1 row); a clique is all-club (phi ≡ 1)."""
+    from sparkgatha.graph.stats import rich_club
+
+    star = [(0, i, 1.0) for i in range(1, 6)]
+    got = {r.k: r.phi for r in rich_club(
+        to_spark_edges(spark, star, symmetric=True)).collect()}
+    assert set(got) == {0}  # N_1 = 1 (just the hub) -> dropped
+    clique = [(a, b, 1.0) for a in range(5) for b in range(a + 1, 5)]
+    got_c = {r.k: r.phi for r in rich_club(
+        to_spark_edges(spark, clique, symmetric=True)).collect()}
+    assert set(got_c) == {0, 1, 2, 3} and all(v == 1.0 for v in got_c.values())
