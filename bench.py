@@ -206,6 +206,7 @@ def main() -> None:
         "q_decontaminate",
         "q_importance_weights",
         "q_rich_club",
+        "q_bipartite",
         "q_rollup",
         "q_asof",
     ):

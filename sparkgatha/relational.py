@@ -2574,6 +2574,81 @@ def q_eigenvector(spark, sf_dir):
     )
 
 
+def _bipartite_oracle_sql(rounds: int = 8) -> str:
+    """Bipartite 2-coloring unrolled over the part-supplier graph:
+    component labels via ``rounds`` synchronous min-label propagation
+    rounds (label-min converges within the component diameter), roots =
+    label fixpoints, then ``rounds`` min-hop relaxation rounds from the
+    roots; color = dist parity.  Both unrolls are monotone, so
+    exactly-R SQL rounds equal Spark's fixpoint whenever it drains
+    within R — and the Spark side RAISES if its BFS hasn't drained, so
+    a too-small R fails loudly on both sides rather than silently
+    diverging.  The fixture graph's diameter is ~4 at every sf
+    (dense bipartite); R=8 dominates it."""
+    sql = """
+    WITH big AS MATERIALIZED (
+      SELECT DISTINCT 'p:' || l_partkey AS u, 's:' || l_suppkey AS v
+      FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM big UNION ALL SELECT v, u FROM big
+    ),
+    c0 AS (SELECT DISTINCT src AS v, src AS m FROM e)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    c{i} AS MATERIALIZED (
+      SELECT c.v, least(c.m, nm.m) AS m
+      FROM c{i - 1} c JOIN (
+        SELECT e.dst AS v, min(c2.m) AS m
+        FROM e JOIN c{i - 1} c2 ON c2.v = e.src GROUP BY e.dst
+      ) nm ON nm.v = c.v
+    )"""
+    sql += f""",
+    d0 AS (SELECT v, 0 AS d FROM c{rounds} WHERE v = m)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS MATERIALIZED (
+      SELECT x.v, min(x.d) AS d FROM (
+        SELECT v, d FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS v, d0.d + 1 AS d
+        FROM e JOIN d{i - 1} d0 ON d0.v = e.src
+      ) x GROUP BY x.v
+    )"""
+    sql += f"""
+    SELECT c.v AS key, c.m AS component_key, d.d AS dist,
+           d.d % 2 AS color
+    FROM c{rounds} c JOIN d{rounds} d ON d.v = c.v
+    """
+    return sql
+
+
+@register("q_bipartite", _bipartite_oracle_sql(8))
+def q_bipartite(spark, sf_dir):
+    """G36 bipartite 2-coloring of the part-supplier graph: G5 elects
+    each component's root, one multi-source BFS colors every vertex by
+    distance parity — checked against the unrolled min-label +
+    min-hop DuckDB replay (the DISTANCES are value-checked, not just
+    the parity).  The fixture graph is bipartite by construction
+    ('p:'/'s:' namespaces), so the conflict frame is empty — asserted
+    in pytest along with odd-cycle detection on planted non-bipartite
+    graphs."""
+    from sparkgatha.graph.bipartite import bipartite_color
+
+    l = _t(spark, sf_dir, "lineitem")
+    big = l.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    r = bipartite_color(big, max_iter=8)
+    return r.colors.select(
+        F.col("vertex").alias("key"),
+        F.col("component").alias("component_key"),
+        F.col("dist").cast("long").alias("dist"),
+        F.col("color").cast("long").alias("color"),
+    )
+
+
 def _kcore_oracle_sql(rounds: int = 8) -> str:
     """k-core unrolled over the part-supplier bipartite graph (typed
     'p:'/'s:' vertex keys — the heterogeneous-multigraph key scheme).

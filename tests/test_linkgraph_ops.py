@@ -1651,3 +1651,59 @@ def test_rich_club_star_and_clique(spark):
     got_c = {r.k: r.phi for r in rich_club(
         to_spark_edges(spark, clique, symmetric=True)).collect()}
     assert set(got_c) == {0, 1, 2, 3} and all(v == 1.0 for v in got_c.values())
+
+
+# ---------------------------------------------------------------------------
+# G36 bipartite 2-coloring / odd-cycle detection
+# ---------------------------------------------------------------------------
+
+
+def test_bipartite_matches_networkx_parity(spark, triples):
+    """Colors equal the parity of nx shortest-path distance from each
+    component's min-id root; conflict-emptiness equals nx.is_bipartite."""
+    from sparkgatha.graph.bipartite import bipartite_color
+
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b, _ in triples)
+    r = bipartite_color(to_spark_edges(spark, triples, symmetric=True))
+    got = {row.vertex: (row.component, row.dist, row.color)
+           for row in r.colors.collect()}
+    assert set(got) == set(g.nodes)
+    for comp_nodes in nx.connected_components(g):
+        root = min(comp_nodes)
+        dist = nx.single_source_shortest_path_length(g, root)
+        for v in comp_nodes:
+            assert got[v] == (root, dist[v], dist[v] % 2), v
+    assert (r.conflicts.count() == 0) == nx.is_bipartite(g)
+
+
+def test_bipartite_odd_cycle_and_even_cycle(spark):
+    from sparkgatha.graph.bipartite import bipartite_color
+
+    odd = [(i, (i + 1) % 5, 1.0) for i in range(5)]
+    r = bipartite_color(to_spark_edges(spark, odd, symmetric=True))
+    w = r.conflicts.collect()
+    assert len(w) == 1 and {w[0].u, w[0].v} == {2, 3}  # farthest from root 0
+    even = [(i, (i + 1) % 6, 1.0) for i in range(6)]
+    r2 = bipartite_color(to_spark_edges(spark, even, symmetric=True))
+    assert r2.conflicts.count() == 0
+    # two components, each colored from its own root
+    both = even + [(10 + i, 10 + (i + 1) % 3, 1.0) for i in range(3)]
+    r3 = bipartite_color(to_spark_edges(spark, both, symmetric=True))
+    assert r3.conflicts.count() == 1
+    comps = {row.component for row in r3.colors.collect()}
+    assert comps == {0, 10}
+
+
+def test_bipartite_max_iter_rail(spark):
+    import pytest
+
+    from sparkgatha.graph.bipartite import bipartite_color
+
+    path = [(i, i + 1, 1.0) for i in range(9)]  # diameter 9 from root 0
+    with pytest.raises(RuntimeError, match="max_iter"):
+        bipartite_color(to_spark_edges(spark, path, symmetric=True),
+                        max_iter=3)
+    ok = bipartite_color(to_spark_edges(spark, path, symmetric=True),
+                         max_iter=12)
+    assert ok.conflicts.count() == 0
