@@ -11,7 +11,10 @@ meets genuinely bipartite layers (doc–term, part–supplier) where the
 two-sided structure is an invariant worth asserting, and the conflict
 edges are exactly the witnesses that break it.
 
-Physical discipline: one G5 run elects roots; one multi-source BFS
+Physical discipline: one G5 run elects roots (under G5's OWN iteration
+bound — star contraction converges in O(log V) rounds — while
+``max_iter`` bounds only the BFS, whose round count is the diameter);
+one multi-source BFS
 (every root seeds distance 0 — roots are unique per component, so the
 frontiers never interfere) over the stationary hash(src)-partitioned
 edge layout, frontier broadcast per superstep (paths.shortest_paths'
@@ -26,12 +29,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from sparkgatha.graph.canon import canonical_undirected
 from sparkgatha.graph.cc import connected_components
-from sparkgatha.graph.paths import BROADCAST_FRONTIER_MAX
-from sparkgatha.util import no_aqe
+from sparkgatha.graph.paths import min_dist_from_seeds
 
 
 @dataclass
@@ -54,70 +55,34 @@ def bipartite_color(
     screen separately if it must count).  Raises if the BFS has not
     drained within ``max_iter`` supersteps — a silent truncation would
     mislabel the unreached tail."""
-    spark = edges.sparkSession
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = canonical_undirected(edges).localCheckpoint(eager=True)
+    # root election uses G5's own bound: star contraction converges in
+    # O(log V) rounds, so the default (50) dominates any real graph;
+    # forwarding the BFS's diameter-scaled max_iter here would let a
+    # small value silently truncate the component labels instead of
+    # tripping the BFS rail below
     comp = connected_components(
-        e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-        max_iter=max_iter,
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     ).localCheckpoint(eager=True)
-    dist = (
-        comp.filter(F.col("vertex") == F.col("component"))
-        .select("vertex", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+    roots = comp.filter(F.col("vertex") == F.col("component")).select(
+        "vertex", F.lit(0.0).alias("distance")
     )
-    frontier = dist
-    frontier_rows = dist.count()
-    with no_aqe(spark):
-        layout = (
-            e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-            .unionByName(
-                e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-            )
-            .repartition(num_partitions, "src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+    sym = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    ).unionByName(
+        e.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"),
+            F.lit(1.0).alias("weight"),
         )
-        layout.count()
-        drained = False
-        for _ in range(max_iter):
-            probe = (
-                F.broadcast(frontier)
-                if frontier_rows <= BROADCAST_FRONTIER_MAX
-                else frontier
-            )
-            cand = (
-                layout.join(probe, layout.src == probe.vertex)
-                .select(
-                    F.col("dst").alias("vertex"),
-                    (F.col("dist") + F.lit(1)).alias("dist"),
-                )
-                .groupBy("vertex")
-                .agg(F.min("dist").alias("dist"))
-            )
-            merged = (
-                dist.alias("d")
-                .join(cand.alias("c"), "vertex", "full_outer")
-                .select(
-                    "vertex",
-                    F.least(
-                        F.coalesce(F.col("d.dist"), F.lit(2**31)),
-                        F.coalesce(F.col("c.dist"), F.lit(2**31)),
-                    ).alias("dist"),
-                    (
-                        F.coalesce(F.col("c.dist"), F.lit(2**31))
-                        < F.coalesce(F.col("d.dist"), F.lit(2**31))
-                    ).alias("_improved"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            frontier_rows = merged.filter(F.col("_improved")).count()
-            dist = merged.select("vertex", "dist")
-            if frontier_rows == 0:
-                drained = True
-                break
-            frontier = merged.filter(F.col("_improved")).select(
-                "vertex", "dist"
-            )
-        layout.unpersist()
+    )
+    # the shared G9 relaxation loop (paths.min_dist_from_seeds), seeded
+    # with every root at distance 0 — unit weights make it plain BFS
+    dist, drained = min_dist_from_seeds(
+        sym, roots, max_iter=max_iter, num_partitions=num_partitions
+    )
     if not drained:
         raise RuntimeError(
             f"bipartite_color: BFS still active after max_iter={max_iter} "
@@ -126,7 +91,10 @@ def bipartite_color(
     colors = (
         comp.join(dist, "vertex")
         .select(
-            "vertex", "component", "dist", (F.col("dist") % 2).alias("color")
+            "vertex",
+            "component",
+            F.col("distance").cast("long").alias("dist"),
+            (F.col("distance").cast("long") % 2).alias("color"),
         )
         .localCheckpoint(eager=True)
     )

@@ -22,15 +22,20 @@ from sparkgatha.util import no_aqe
 BROADCAST_FRONTIER_MAX = 5_000_000
 
 
-def shortest_paths(
+def min_dist_from_seeds(
     edges: DataFrame,
-    source: int,
+    seeds: DataFrame,
     max_iter: int = 50,
     num_partitions: int = 32,
-) -> DataFrame:
-    """Single-source weighted distances (vertex long, distance double)
-    over directed ``edges(src, dst, weight)``; unreachable vertices are
-    absent.  Non-negative weights assumed (as in the reference's use).
+) -> tuple[DataFrame, bool]:
+    """Multi-source min-distance relaxation — the shared superstep loop
+    behind single-source ``shortest_paths`` and bipartite's
+    root-parity BFS.  ``seeds(vertex, distance)`` is the initial
+    frontier FRAME (any number of sources); returns ``(dist, drained)``
+    where ``dist(vertex, distance)`` covers every vertex reachable from
+    a seed and ``drained`` says whether the frontier emptied within
+    ``max_iter`` supersteps (callers choose their own exhaustion
+    policy: G9 returns the partial relaxation, bipartite raises).
 
     Physical discipline (G11): edges are hash(src)-partitioned and
     persisted ONCE; each superstep broadcasts the (small) frontier into
@@ -39,11 +44,10 @@ def shortest_paths(
     the lazily checkpointed next state — one Spark job per superstep.
     """
     spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(source, 0.0)], "vertex long, distance double"
-    ).localCheckpoint(eager=True)
+    dist = seeds.select("vertex", "distance").localCheckpoint(eager=True)
     frontier = dist
-    frontier_rows = 1
+    frontier_rows = dist.count()
+    drained = frontier_rows == 0
     with no_aqe(spark):
         layout = (
             edges.select("src", "dst", "weight")
@@ -52,6 +56,8 @@ def shortest_paths(
         )
         layout.count()  # materialize the one-time layout
         for _ in range(max_iter):
+            if drained:
+                break
             probe = (
                 F.broadcast(frontier)
                 if frontier_rows <= BROADCAST_FRONTIER_MAX
@@ -85,11 +91,35 @@ def shortest_paths(
             frontier_rows = merged.filter(F.col("_improved")).count()
             dist = merged.select("vertex", "distance")
             if frontier_rows == 0:
+                drained = True
                 break
             frontier = merged.filter(F.col("_improved")).select(
                 "vertex", "distance"
             )
         layout.unpersist()
+    return dist, drained
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    max_iter: int = 50,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Single-source weighted distances (vertex long, distance double)
+    over directed ``edges(src, dst, weight)``; unreachable vertices are
+    absent.  Non-negative weights assumed (as in the reference's use).
+    Exhausting ``max_iter`` returns the partial relaxation
+    (Bellman-Ford semantics); see ``min_dist_from_seeds`` for the
+    shared physical discipline.
+    """
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame(
+        [(source, 0.0)], "vertex long, distance double"
+    )
+    dist, _ = min_dist_from_seeds(
+        edges, seeds, max_iter=max_iter, num_partitions=num_partitions
+    )
     return dist
 
 

@@ -22,7 +22,7 @@ Newman–Girvan 2004 modularity), validated against
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from sparkgatha.graph.canon import canonical_undirected
 
@@ -162,6 +162,47 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cum_over_k(hist: DataFrame, val: str, cnt: str,
+                chunk: int = 65536) -> DataFrame:
+    """(k, total): for every integer k in [0, max(val)), the sum of
+    ``cnt`` over histogram rows with ``val`` > k — the cumulative both
+    rich-club curves need, computed WITHOUT exploding one O(max degree)
+    array per row.  Sorted distinct values d_1 < … < d_m partition the
+    k-axis into gaps [d_{i-1}, d_i); every k in a gap shares the same
+    cumulative (the suffix sum from d_i up), so the explode is over GAP
+    ranges, split into ≤``chunk``-element pieces — per-row array size is
+    bounded by ``chunk`` no matter how extreme the hub degree, and the
+    (unpartitioned) window runs over the ≤|distinct values|-row
+    HISTOGRAM, never the data."""
+    w = Window.orderBy(val).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wc = Window.orderBy(val)
+    g = hist.select(
+        F.coalesce(F.lag(val).over(wc), F.lit(0)).alias("lo"),
+        F.col(val).alias("hi"),
+        (F.sum(cnt).over(w) - F.coalesce(
+            F.sum(cnt).over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )).alias("total"),
+    )
+    starts = g.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi") - 1, F.lit(chunk))
+        ).alias("c"),
+        "hi",
+        "total",
+    )
+    return starts.select(
+        F.explode(
+            F.sequence(
+                F.col("c"), F.least(F.col("c") + (chunk - 1), F.col("hi") - 1)
+            )
+        ).alias("k"),
+        "total",
+    )
+
+
 def rich_club(edges: DataFrame) -> DataFrame:
     """(k, phi): the rich-club coefficient phi(k) = 2·E_k/(N_k·(N_k−1))
     for every integer k with N_k ≥ 2, where N_k = #vertices of degree
@@ -174,14 +215,12 @@ def rich_club(edges: DataFrame) -> DataFrame:
     hub mitigation will matter on a given corpus graph.
 
     Scale shape: degrees and both histograms are partial-aggregable
-    groupBys; the cumulative counts come from exploding each HISTOGRAM
-    row (d, n) to the k-range [0, d) it contributes to — explode mass
-    is Σ_d over DISTINCT degree values, bounded by max_degree ·
-    |distinct degrees|, never O(V·max_degree).  (For graphs whose max
-    degree itself is extreme, the same cumulative is a running sum over
-    the ≤|distinct degrees|-row histogram — swap when max_degree rows
-    per histogram entry dominate the edge scan.)  Self-loops are
-    dropped (networkx raises on them in this statistic).
+    groupBys; the cumulative counts come from ``_cum_over_k``'s
+    gap-ranged chunked explode over the HISTOGRAM — total explode mass
+    is exactly max_degree rows per curve and per-row arrays are
+    chunk-bounded, so a 10⁷-degree hub costs 10⁷ output rows (the
+    size of phi itself), never a 10⁷-element in-row array.  Self-loops
+    are dropped (networkx raises on them in this statistic).
     """
     e = canonical_undirected(edges)
     deg = (
@@ -190,27 +229,17 @@ def rich_club(edges: DataFrame) -> DataFrame:
         .groupBy("x")
         .agg(F.count("*").alias("d"))
     )
-    nh = deg.groupBy("d").agg(F.count("*").alias("n"))
-    n_k = (
-        nh.select(
-            F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("k"), "n"
-        )
-        .groupBy("k")
-        .agg(F.sum("n").alias("n_k"))
-    )
+    n_k = _cum_over_k(
+        deg.groupBy("d").agg(F.count("*").alias("n")), "d", "n"
+    ).withColumnRenamed("total", "n_k")
     md = (
         e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
         .select(F.least("du", "dv").alias("m"))
     )
-    eh = md.groupBy("m").agg(F.count("*").alias("c"))
-    e_k = (
-        eh.select(
-            F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("k"), "c"
-        )
-        .groupBy("k")
-        .agg(F.sum("c").alias("e_k"))
-    )
+    e_k = _cum_over_k(
+        md.groupBy("m").agg(F.count("*").alias("c")), "m", "c"
+    ).withColumnRenamed("total", "e_k")
     return (
         n_k.filter(F.col("n_k") >= 2)
         .join(e_k, "k", "left")

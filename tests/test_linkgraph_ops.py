@@ -1696,8 +1696,6 @@ def test_bipartite_odd_cycle_and_even_cycle(spark):
 
 
 def test_bipartite_max_iter_rail(spark):
-    import pytest
-
     from sparkgatha.graph.bipartite import bipartite_color
 
     path = [(i, i + 1, 1.0) for i in range(9)]  # diameter 9 from root 0
@@ -1707,3 +1705,18 @@ def test_bipartite_max_iter_rail(spark):
     ok = bipartite_color(to_spark_edges(spark, path, symmetric=True),
                          max_iter=12)
     assert ok.conflicts.count() == 0
+
+
+def test_cum_over_k_gap_chunking(spark):
+    """The gap-ranged chunked explode covers [0, max) exactly once and
+    matches the brute-force cumulative even when a gap spans many
+    chunks (the hub-degree case the chunk bound exists for)."""
+    from sparkgatha.graph.stats import _cum_over_k
+
+    hist = spark.createDataFrame(
+        [(1, 10), (3, 5), (19, 2)], ["d", "n"]
+    )
+    got = {r.k: r.total for r in _cum_over_k(hist, "d", "n", chunk=4).collect()}
+    want = {k: sum(n for d, n in [(1, 10), (3, 5), (19, 2)] if d > k)
+            for k in range(19)}
+    assert got == want
