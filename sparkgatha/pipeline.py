@@ -200,3 +200,85 @@ def q_sample_stratified(spark, sf_dir):
     return stratified_sample(
         d, group_col="lang", n_per_group=5, key_col="doc_id"
     ).select("doc_id", "lang")
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """(group, n_docs, p, w, boost): temperature-scaled sampling
+    mixture over a grouping column — the multilingual-rebalance rule
+    (mC4 / PaLM / XLM-R all train on p_l^α renormalized shares,
+    α≈0.3): raw share p = n_g/N, sampling weight w = p^α / Σ_g p^α,
+    boost = w/p (the expected per-document repeat factor a sampler
+    applies — >1 upweights tail groups, <1 downweights the head).
+
+    Scale shape: ONE partial-aggregable groupBy to the per-group
+    counts (a table the size of the number of languages/domains —
+    trivially broadcastable), then the two scalars (total mass,
+    Σ p^α) ride a 1-row broadcast crossJoin.  The corpus is read
+    once; no window, no Python.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)  # feeds the scalar AND the output
+    )
+    a = F.lit(float(alpha))
+    scalars = F.broadcast(
+        counts.agg(
+            F.sum("n_docs").alias("_total"),
+            # Σ (n_g/N)^α = (Σ n_g^α) / N^α — one pass, no self-join
+            F.sum(F.pow(F.col("n_docs").cast("double"), a)).alias("_pow_sum"),
+        )
+    )
+    p = F.col("n_docs").cast("double") / F.col("_total")
+    w = (
+        F.pow(F.col("n_docs").cast("double"), a)
+        / F.col("_pow_sum")
+    )
+    return counts.crossJoin(scalars).select(
+        group_col,
+        "n_docs",
+        p.alias("p"),
+        w.alias("w"),
+        (w / p).alias("boost"),
+    )
+
+
+@register(
+    "q_mixture_weights",
+    """
+    WITH c AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    sc AS (
+      SELECT sum(n_docs) AS total,
+             sum(pow(CAST(n_docs AS DOUBLE), 0.3)) AS pow_sum
+      FROM c
+    )
+    SELECT lang, n_docs,
+           round(CAST(n_docs AS DOUBLE) / sc.total, 8) AS p,
+           round(pow(CAST(n_docs AS DOUBLE), 0.3) / sc.pow_sum, 8) AS w,
+           round((pow(CAST(n_docs AS DOUBLE), 0.3) / sc.pow_sum)
+                 / (CAST(n_docs AS DOUBLE) / sc.total), 8) AS boost
+    FROM c CROSS JOIN sc
+    """,
+)
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-α=0.3 language-mixture weights over the fixture
+    corpus: per-language share, renormalized sampling weight, and the
+    per-document boost factor — identical double expressions both
+    engines, rounded to 8 decimals."""
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_weights(d, "lang", alpha=0.3)
+    return out.select(
+        "lang",
+        "n_docs",
+        F.round("p", 8).alias("p"),
+        F.round("w", 8).alias("w"),
+        F.round("boost", 8).alias("boost"),
+    )

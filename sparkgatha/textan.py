@@ -399,3 +399,377 @@ def q_importance_weights(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", F.round("log_ratio", 8).alias("log_ratio")
     )
+
+
+def lm_perplexity(
+    corpus,
+    train,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+):
+    """(id, n_tokens, ln_ppl): per-document cross-entropy under an
+    add-k-smoothed unigram LM trained on ``train`` — the CCNet quality
+    filter (Wenzek et al. 2020) at unigram granularity: a reference LM
+    is fit on a trusted slice and every crawl document is scored by how
+    surprising it looks; low perplexity = head quality.  DSIR's
+    ``importance_weights`` ranks by a RATIO of two LMs (target vs raw
+    crawl); this is the single-LM absolute score the CCNet bucketing
+    step consumes.
+
+    p(t) = (c(t)+a) / (T + a·(V+1)) with V = train vocab size and one
+    shared OOV bucket (unseen tokens score c=0); ln_ppl =
+    −(1/n)·Σ_t ln p(t).
+
+    Scale shape: the LM is one partial-aggregable token groupBy
+    (vocabulary-sized, orders of magnitude smaller than the corpus);
+    its two scalars (mass T, vocab V) ride a 1-row broadcast crossJoin
+    (the G4 dangling-mass pattern); scoring is explode → one
+    vocabulary-sized LEFT equi-join → partial-agg sum per doc.  No
+    window, no Python, no driver collect.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+    ct = corpus.select(F.col(id_col).alias("_id"), F.explode(toks).alias("t"))
+    tt = train.select(F.explode(toks).alias("t"))
+    # the LM feeds two lineages (score join + scalar mass/vocab row);
+    # the barrier keeps the train slice tokenized once
+    lm = tt.groupBy("t").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
+    scalars = F.broadcast(
+        lm.agg(
+            F.sum("c").alias("train_mass"), F.count("*").alias("vocab_n")
+        )
+    )
+    a = F.lit(float(smoothing))
+    scored = (
+        ct.join(lm, "t", "left")
+        .crossJoin(scalars)
+        .select(
+            "_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + a)
+                / (F.col("train_mass") + a * (F.col("vocab_n") + 1))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"),
+        (-F.sum("lp") / F.count("*")).alias("ln_ppl"),
+    ).select(F.col("_id").alias(id_col), "n_tokens", "ln_ppl")
+
+
+@register(
+    "q_lm_perplexity",
+    f"""
+    WITH tt AS (
+      SELECT unnest({_TOKS}) AS t FROM documents WHERE {_TARGET_SQL}
+    ),
+    lm AS (SELECT t, count(*) AS c FROM tt GROUP BY t),
+    sc AS (
+      SELECT sum(c) AS T, count(*) AS V FROM lm
+    ),
+    ct AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    scored AS (
+      SELECT ct.doc_id,
+             count(*) AS n_tokens,
+             round(-sum(ln((coalesce(lm.c, 0) + 1.0) / (sc.T + sc.V + 1)))
+                   / count(*), 8) AS ln_ppl
+      FROM ct
+      LEFT JOIN lm ON lm.t = ct.t
+      CROSS JOIN sc
+      GROUP BY ct.doc_id
+    ),
+    thr AS (
+      SELECT round(quantile_cont(ln_ppl, 1.0/3), 4) AS t1,
+             round(quantile_cont(ln_ppl, 2.0/3), 4) AS t2
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, ln_ppl,
+           CASE WHEN ln_ppl <= thr.t1 THEN 'head'
+                WHEN ln_ppl <= thr.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN thr
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality bucketing: the three target fixture sources
+    train the reference unigram LM; every document gets its smoothed
+    ln-perplexity (rounded 8) and a head/middle/tail bucket at the
+    corpus terciles.  The tercile thresholds are exact interpolated
+    percentiles over ALREADY-ROUNDED scores (identical inputs both
+    engines), themselves rounded to 4 decimals before the comparison so
+    the bucket rule is engine-stable; they ride a 1-row broadcast
+    crossJoin, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src1", "src2", "src3")
+    scored = lm_perplexity(d, d.filter(is_target)).select(
+        "doc_id", "n_tokens", F.round("ln_ppl", 8).alias("ln_ppl")
+    )
+    # two lineages (threshold scalar + bucket projection): one barrier
+    scored = scored.localCheckpoint(eager=False)
+    thr = F.broadcast(
+        scored.agg(
+            F.round(F.expr("percentile(ln_ppl, 1.0d/3)"), 4).alias("t1"),
+            F.round(F.expr("percentile(ln_ppl, 2.0d/3)"), 4).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("ln_ppl") <= F.col("t1"), "head")
+        .when(F.col("ln_ppl") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return scored.crossJoin(thr).select(
+        "doc_id", "n_tokens", "ln_ppl", bucket.alias("bucket")
+    )
+
+
+# dialect-portable PII patterns (Java regex AND RE2 — no lookaround, no
+# backreferences; \b word boundaries are supported by both).  The phone
+# pattern is the strict +CC (NNN) NNN-NNNN form: a loose "digit runs
+# with separators" pattern would false-positive on ordinary numeric
+# text and, worse, match DIFFERENT spans under the two engines'
+# leftmost-longest vs leftmost-first alternation rules — strict
+# fixed-shape patterns behave identically in both.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3} \([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_emails, n_phones, n_ips, redacted): per-document PII
+    span counts plus the text with every span replaced by a typed
+    placeholder — the standard pre-training redaction pass (C4 /
+    Dolma / FineWeb all ship one).  Email → phone → IPv4, applied in
+    that fixed order so the count and the redaction see the same
+    spans (an IPv4-shaped substring inside an email domain is the
+    email's, not the IP pass's).
+
+    Scale shape: pure JVM ``regexp_count`` / ``regexp_replace``
+    projections — whole-stage codegen, no shuffle, no Python; at
+    100 TB this is a map-only pass that pushes column pruning into
+    the scan.
+    """
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(after_phone, PII_IPV4_RE, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+# deterministic PII-bearing derived text: the fixture corpus is a
+# synthetic word salad with no PII, so the registry query plants
+# spans from the fixture's own columns — the SAME concat expression
+# both engines, making the scrub non-vacuous and value-checked.
+_PII_TEXT_SQL = """
+      text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@mail.example.com now'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+              ELSE '' END
+      || CASE WHEN doc_id % 13 = 0
+              THEN ' call +1 (555) 01' || (doc_id % 10) || '-20'
+                   || lpad(CAST(doc_id % 100 AS STRING), 2, '0') || ' ok'
+              ELSE '' END
+"""
+
+
+@register(
+    "q_pii_scrub",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_emails,
+             regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM planted
+    ),
+    p AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS n_phones,
+             regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+      FROM e
+    )
+    SELECT doc_id, n_emails, n_phones,
+           len(regexp_extract_all(t2, '{PII_IPV4_RE}')) AS n_ips,
+           regexp_replace(t2, '{PII_IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM p
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over deterministically planted spans (emails on
+    doc_id%7, IPv4 on %11, phones on %13 — the same concat expression
+    both engines): counts per type + the fully redacted text,
+    value-checked including the redacted string itself."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.expr(_PII_TEXT_SQL).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+def bpe_merges(
+    docs,
+    text_col: str = "text",
+    rounds: int = 3,
+):
+    """(rnd, left_sym, right_sym, pair_count): the first ``rounds``
+    byte-pair-encoding merge rules learned from the corpus (Sennrich
+    et al. 2016) — the tokenizer-TRAINING counterpart of the BPE-ish
+    pre-tokenizer count in q_token_count.  Deterministic argmax per
+    round: highest pair count, ties broken (left, right) ascending.
+
+    Distributed shape: BPE trains on the WORD-FREQUENCY table, not the
+    corpus — one partial-aggregable token groupBy reduces 100 TB of
+    text to a vocabulary-sized (word, count) frame, and every merge
+    round is an explode → partial-agg pair count over that small frame
+    plus a 1-row broadcast argmax.  The corpus is read exactly once.
+
+    Symbol encoding: a word's symbol sequence is kept as a string with
+    TWO-space delimiters and two-space padding ("␣␣f␣␣a␣␣s␣␣t␣␣"), so
+    applying a merge is a plain leftmost non-overlapping
+    ``replace(seq, ' x  y ', ' xy ')`` — each match consumes ONE pad
+    space from each boundary and the replacement restores it, which
+    (a) can never match inside a longer symbol and (b) reproduces
+    BPE's greedy left-to-right non-overlapping semantics identically
+    in Spark and DuckDB ("a a a a" merges to "aa aa", not "aa a a").
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.regexp_extract_all("w", F.lit("."), 0)
+    seqs = words.select(
+        F.concat(
+            F.lit("  "), F.array_join(chars, "  "), F.lit("  ")
+        ).alias("seq"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+    spark = docs.sparkSession
+    merges = []
+    for r in range(1, rounds + 1):
+        sym = F.filter(F.split("seq", "  "), lambda s: s != "")
+        pairs = seqs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(sym, 1, F.size(sym) - 1).alias("x"),
+                    F.slice(sym, 2, F.size(sym) - 1).alias("y"),
+                )
+            ).alias("p"),
+            "cnt",
+        ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"), "cnt")
+        best = F.broadcast(
+            pairs.groupBy("x", "y")
+            .agg(F.sum("cnt").alias("pc"))
+            # argmax by (pc desc, x asc, y asc) as a single partial-agg
+            # min over an orderable struct — no global sort, no window
+            .agg(F.min(F.struct((-F.col("pc")).alias("np"), "x", "y")).alias("b"))
+            .select(
+                F.lit(r).alias("rnd"),
+                F.col("b.x").alias("left_sym"),
+                F.col("b.y").alias("right_sym"),
+                (-F.col("b.np")).alias("pair_count"),
+            )
+        ).localCheckpoint(eager=False)  # feeds the output AND the rewrite
+        merges.append(best)
+        if r < rounds:
+            pat = F.concat(
+                F.lit(" "), F.col("left_sym"), F.lit("  "),
+                F.col("right_sym"), F.lit(" "),
+            )
+            rep = F.concat(
+                F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" ")
+            )
+            seqs = (
+                seqs.crossJoin(best)
+                .select(F.replace("seq", pat, rep).alias("seq"), "cnt")
+                .localCheckpoint(eager=False)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB mirror of ``bpe_merges``: per round a lateral
+    adjacent-pair unnest over the word-frequency table, a LIMIT-1
+    argmax under the identical (pc DESC, x, y) rule, and the same
+    single-space-in-double-space replace rewrite."""
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT t AS w, count(*) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+      GROUP BY t
+    ),
+    s0 AS MATERIALIZED (
+      SELECT '  ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+             || '  ' AS seq, cnt
+      FROM words
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT sym[i] AS x, sym[i + 1] AS y, sum(cnt) AS pc
+      FROM (
+        SELECT list_filter(string_split(seq, '  '), z -> z <> '') AS sym,
+               cnt
+        FROM s{r - 1}
+      ), unnest(range(1, len(sym))) AS u(i)
+      GROUP BY sym[i], sym[i + 1]
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT x, y, pc FROM p{r} ORDER BY pc DESC, x, y LIMIT 1
+    )""")
+        if r < rounds:
+            parts.append(f""",
+    s{r} AS MATERIALIZED (
+      SELECT replace(
+               seq,
+               ' ' || (SELECT x FROM b{r}) || '  '
+                   || (SELECT y FROM b{r}) || ' ',
+               ' ' || (SELECT x FROM b{r})
+                   || (SELECT y FROM b{r}) || ' '
+             ) AS seq, cnt
+      FROM s{r - 1}
+    )""")
+    selects = [
+        f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym,"
+        f" pc AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("q_bpe_merges", _bpe_oracle_sql(3))
+def q_bpe_merges(spark, sf_dir):
+    """First 3 BPE merge rules learned from the fixture corpus,
+    value-checked round-for-round (rule AND pair count) against the
+    unrolled DuckDB replay."""
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges(d, rounds=3)

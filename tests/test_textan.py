@@ -27,3 +27,131 @@ def test_importance_weights_ranks_target_like_docs_higher(spark):
 
     with pytest.raises(ValueError):
         importance_weights(corpus, target, smoothing=0.0)
+
+
+def test_lm_perplexity_scores_train_like_docs_lower(spark):
+    """Docs resembling the training slice get lower perplexity; OOV-heavy
+    docs score strictly higher; the smoothing guard raises."""
+    from sparkgatha.textan import lm_perplexity
+
+    train = spark.createDataFrame(
+        [(9, "the quick brown fox the quick brown fox")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),       # in-distribution
+            (2, "zzz yyy xxx www"),           # all OOV
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.ln_ppl for r in lm_perplexity(corpus, train).collect()}
+    assert rows[1] < rows[2]
+    import math
+    # all-OOV doc: every token scores the same smoothed floor
+    # a/(T + a(V+1)) with T=8, V=4 → ln_ppl = ln(13)
+    assert abs(rows[2] - math.log(13.0)) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError):
+        lm_perplexity(corpus, train, smoothing=0.0)
+
+
+def test_pii_scrub_redacts_crafted_spans(spark):
+    """Exact span accounting on a crafted row: email inside text, phone
+    in the strict +CC (NNN) NNN-NNNN form, IPv4 — and an IPv4-shaped
+    substring inside an email domain belongs to the EMAIL pass."""
+    from sparkgatha.textan import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org or "
+                "call +1 (555) 013-2042 from 10.0.0.42 ok"),
+            (2, "server at 192.168.1.1 and user@10.0.0.1.example.com done"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 1)
+    assert out[1].redacted == "mail <EMAIL> or call <PHONE> from <IP> ok"
+    # doc 2: the dotted quad inside the email domain is consumed by the
+    # email pass; only the standalone IP remains for the IPv4 pass
+    assert (out[2].n_emails, out[2].n_ips) == (1, 1)
+    assert out[2].redacted == "server at <IP> and <EMAIL> done"
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+    assert out[3].redacted == "no pii here at all"
+
+
+def test_bpe_merges_matches_pure_python_reference(spark):
+    """The learned merge table equals a pure-Python BPE trainer run on
+    the same word-frequency table under the same (count desc, pair asc)
+    argmax — including the greedy left-to-right merge semantics on
+    runs ('aaaa' → 'aa aa', not 'aa a a')."""
+    from collections import Counter
+
+    from sparkgatha.textan import bpe_merges
+
+    texts = [
+        "aaaa aaaa banana banana bandana",
+        "banana aaaa bane bane bane",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def python_bpe(texts, rounds):
+        words = Counter(w for t in texts for w in t.lower().split())
+        seqs = {w: list(w) for w in words}
+        merges = []
+        for r in range(1, rounds + 1):
+            pc = Counter()
+            for w, cnt in words.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += cnt
+            (x, y), c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r, x, y, c))
+            for w in seqs:
+                s, out, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    expect = python_bpe(texts, 4)
+    got = [
+        (r.rnd, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merges(docs, rounds=4).orderBy("rnd").collect()
+    ]
+    assert got == expect
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_merges(docs, rounds=0)
+
+
+def test_mixture_weights_rebalances_toward_tail(spark):
+    """Temperature α<1 boosts tail groups (>1) and damps the head (<1);
+    weights renormalize to 1; α guard raises."""
+    from sparkgatha.pipeline import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "sw") for i in range(100)],
+        ["doc_id", "lang"],
+    )
+    rows = {r.lang: r for r in mixture_weights(docs, "lang", 0.3).collect()}
+    assert rows["en"].boost < 1 < rows["sw"].boost
+    assert abs(rows["en"].w + rows["sw"].w - 1.0) < 1e-12
+    assert abs(rows["en"].p - 0.9) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_weights(docs, "lang", alpha=0.0)
