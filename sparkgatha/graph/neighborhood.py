@@ -223,3 +223,79 @@ def neighborhood_function(
             F.col("v").alias("vertex"),
             F.hll_sketch_estimate("sk").alias("est_reach"),
         )
+
+
+def hop_plot(edges: DataFrame, hops: int) -> DataFrame:
+    """(hop, pairs, cum_pairs, frac): the hop-plot — how many ordered
+    (source, target) pairs are connected at EXACTLY h hops, cumulated
+    and normalized by all pairs connected within the bound ("Graphs
+    over Time", Leskovec-Kleinberg-Faloutsos KDD'05 — the reachability
+    profile the effective diameter reads off).  Self-pairs (hop 0) are
+    excluded, matching the hop-plot convention.
+
+    Scale shape: the exact min-hop machinery (shared with harmonic /
+    closeness) reduces to a ≤``hops``-row per-hop count table; the
+    cumulative runs as a self-join ON THAT TINY TABLE (broadcast, ≤
+    hops² candidate rows — never a window over the pair set), and the
+    normalizing total rides the same 1-row broadcast pattern.  For
+    10^12-edge graphs the pair table is the bottleneck — swap in
+    ``neighborhood_function``'s HLL sketches (sum of per-vertex
+    estimates) for the approximate hop-plot; this exact form is the
+    oracle-scale verification path.
+    """
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        seen, _ = _min_hop_pairs(edges, hops)
+        per = (
+            seen.filter(F.col("hop") > 0)
+            .groupBy("hop")
+            .agg(F.count("*").alias("pairs"))
+            .localCheckpoint(eager=False)  # 3 consumers below
+        )
+        cum = (
+            per.alias("a")
+            .join(
+                F.broadcast(per.alias("b")),
+                F.col("b.hop") <= F.col("a.hop"),
+            )
+            .groupBy(F.col("a.hop").alias("hop"), F.col("a.pairs").alias("pairs"))
+            .agg(F.sum("b.pairs").alias("cum_pairs"))
+        )
+        total = F.broadcast(per.agg(F.sum("pairs").alias("_total")))
+        return cum.crossJoin(total).select(
+            "hop",
+            "pairs",
+            "cum_pairs",
+            (F.col("cum_pairs").cast("double") / F.col("_total")).alias(
+                "frac"
+            ),
+        )
+
+
+def effective_diameter(
+    edges: DataFrame, hops: int, q: float = 0.9
+) -> float:
+    """The q-effective diameter (default 90th percentile): the
+    interpolated hop count at which a fraction ``q`` of all connected
+    pairs (within the ``hops`` bound) are reachable — the standard
+    "how small is this world" scalar read off the hop-plot.  Linear
+    interpolation between the two straddling integer hops
+    (Leskovec et al. convention); collects only the ≤``hops``-row
+    hop-plot, never pair data.
+    """
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    rows = sorted(
+        (r.hop, r.cum_pairs, r.frac)
+        for r in hop_plot(edges, hops).collect()
+    )
+    if not rows:
+        return 0.0
+    prev_hop, prev_frac = 0, 0.0
+    for hop, _cum, frac in rows:
+        if frac >= q:
+            return prev_hop + (q - prev_frac) / (frac - prev_frac) * (
+                hop - prev_hop
+            )
+        prev_hop, prev_frac = hop, frac
+    raise AssertionError("unreachable: frac ends at 1.0 by construction")

@@ -192,3 +192,93 @@ def condensation(edges: DataFrame) -> DataFrame:
         .select("src_scc", "dst_scc")
         .distinct()
     )
+
+
+def condensation_layers(
+    edges: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
+    """(scc_id, layer): longest-path topological layering of the SCC
+    condensation DAG — layer 0 = source components, layer of any other
+    component = 1 + max layer among its predecessors.  Components in
+    the same layer have no dependency path between them, so a pipeline
+    can process a CYCLIC link graph layer-by-layer with full
+    parallelism inside each layer (the scheduling order G23b's DAG
+    promises, made explicit).
+
+    Iteration: synchronous Bellman-Ford-style relaxation
+    ``layer(v) = max(layer(v), max_pred(layer(u) + 1))`` to fixpoint —
+    monotone and bounded by the DAG depth, so it converges in ≤ depth
+    rounds (the DAG is acyclic by construction).  Per round: one keyed
+    join + one partial-agg ``groupBy().max()`` + one |C|-row left join,
+    over the CONDENSATION (≤ #components rows, typically orders of
+    magnitude smaller than the graph).  The changed-row count doubles
+    as the convergence check and the materializing action; every state
+    frame goes through ``checkpoint_reset_stats`` (§4.3 item 5 — the
+    per-round plan references the state twice).
+
+    ``max_rounds=None`` (default) runs to the exact fixpoint with a
+    runaway rail at |C| rounds (a DAG can never need more — hitting it
+    means the input was not the output of ``condensation``); an
+    integer ``max_rounds`` RAISES if the fixpoint is not reached, never
+    returns a partial layering silently.
+    """
+    from sparkgatha.util import checkpoint_reset_stats
+
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        labels = strongly_connected_components(edges)
+        comps = (
+            labels.select(F.col("scc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ls = labels.select(
+            F.col("vertex").alias("src"), F.col("scc_id").alias("src_scc")
+        )
+        ld = labels.select(
+            F.col("vertex").alias("dst"), F.col("scc_id").alias("dst_scc")
+        )
+        ce = (
+            edges.select("src", "dst")
+            .distinct()
+            .join(ls, "src")
+            .join(ld, "dst")
+            .filter(F.col("src_scc") != F.col("dst_scc"))
+            .select("src_scc", "dst_scc")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        state = comps.select("scc_id", F.lit(0).alias("layer"))
+        state = checkpoint_reset_stats(state)
+        n_comps = comps.count()
+        rail = max_rounds if max_rounds is not None else max(n_comps, 1)
+        prev_sum = 0  # the all-zero start state's layer total
+        for r in range(rail + 1):
+            prop = (
+                ce.join(state, ce.src_scc == state.scc_id)
+                .groupBy(F.col("dst_scc").alias("scc_id"))
+                .agg((F.max("layer") + 1).alias("pl"))
+            )
+            nxt = (
+                state.join(prop, "scc_id", "left")
+                .select(
+                    "scc_id",
+                    F.greatest(
+                        "layer", F.coalesce("pl", F.lit(0))
+                    ).alias("layer"),
+                )
+            )
+            nxt = checkpoint_reset_stats(nxt)
+            # layers only ever grow, so an unchanged total IS the
+            # fixpoint — one 1-row agg doubles as the convergence
+            # check and the action materializing the checkpoint
+            new_sum = nxt.agg(F.sum("layer")).collect()[0][0] or 0
+            state = nxt
+            if new_sum == prev_sum:
+                return state.select("scc_id", "layer")
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"condensation_layers did not converge within {rail} rounds "
+            f"({n_comps} components) — was the input edge set cyclic "
+            "across components?"
+        )

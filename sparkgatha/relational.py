@@ -1837,6 +1837,91 @@ def q_hop_neighborhood(spark, sf_dir):
 
 
 @register(
+    "q_hop_plot",
+    f"""
+    WITH {_DIGRAPH_CTE},
+    dverts AS (
+      SELECT DISTINCT term
+      FROM (SELECT src AS term FROM de UNION ALL SELECT dst FROM de)
+    ),
+    h0 AS (SELECT term AS s, term AS v, 0 AS hop FROM dverts),
+    h1 AS (
+      SELECT DISTINCT h0.s, de.dst AS v, 1 AS hop
+      FROM h0 JOIN de ON de.src = h0.v
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.s, de.dst AS v, 2 AS hop
+      FROM h1 JOIN de ON de.src = h1.v
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.s, de.dst AS v, 3 AS hop
+      FROM h2 JOIN de ON de.src = h2.v
+    ),
+    allh AS (
+      SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+    ),
+    mh AS (SELECT s, v, min(hop) AS hop FROM allh GROUP BY s, v),
+    per AS (
+      SELECT hop, count(*) AS pairs FROM mh WHERE hop > 0 GROUP BY hop
+    ),
+    tot AS (SELECT sum(pairs) AS t FROM per)
+    SELECT a.hop, a.pairs,
+           CAST(sum(b.pairs) AS BIGINT) AS cum_pairs,
+           round(CAST(sum(b.pairs) AS DOUBLE) / tot.t, 8) AS frac
+    FROM per a JOIN per b ON b.hop <= a.hop CROSS JOIN tot
+    GROUP BY a.hop, a.pairs, tot.t
+    """,
+)
+def q_hop_plot(spark, sf_dir):
+    """G22b hop-plot within ≤3 hops over the directed top-2 bigram
+    digraph: ordered connected pairs at exactly h hops, cumulated and
+    normalized ("Graphs over Time", Leskovec et al. KDD'05) — the
+    reachability profile the effective diameter reads off.
+    Value-checked against DuckDB's 3-layer min-hop union; NetworkX
+    golden + interpolation pinned in tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.neighborhood import hop_plot
+
+    _, id_edges = _bigram_digraph(spark, sf_dir)
+    p = hop_plot(id_edges, hops=3)
+    return p.select(
+        "hop", "pairs", "cum_pairs", F.round("frac", 8).alias("frac")
+    )
+
+
+@register(
+    "q_condensation_layers",
+    f"""{_SCC_CLOSURE_CTE},
+    comps AS (SELECT DISTINCT scc_id FROM scc),
+    ce AS (
+      SELECT DISTINCT a.scc_id AS src_scc, b.scc_id AS dst_scc
+      FROM ide
+      JOIN scc a ON a.vertex = ide.src
+      JOIN scc b ON b.vertex = ide.dst
+      WHERE a.scc_id <> b.scc_id
+    ),
+    walk(c, d) AS (
+      SELECT scc_id, 0 FROM comps
+      UNION
+      SELECT ce.dst_scc, walk.d + 1 FROM walk JOIN ce ON ce.src_scc = walk.c
+    )
+    SELECT c AS scc_id, max(d) AS layer FROM walk GROUP BY c
+    """,
+)
+def q_condensation_layers(spark, sf_dir):
+    """G23c longest-path topological layering of the SCC condensation
+    DAG over the top-2 bigram digraph — layer 0 = source components,
+    else 1 + max predecessor layer: the explicit layer-parallel
+    schedule for processing a cyclic link graph.  Value-checked
+    against DuckDB's recursive walk (max depth from any source);
+    NetworkX golden + convergence rail in tests/test_linkgraph_ops.py."""
+    from sparkgatha.graph.scc import condensation_layers
+
+    _, id_edges = _bigram_digraph(spark, sf_dir)
+    return condensation_layers(id_edges)
+
+
+@register(
     "q_harmonic",
     f"""
     WITH {_DIGRAPH_CTE},

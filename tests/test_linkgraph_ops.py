@@ -1720,3 +1720,86 @@ def test_cum_over_k_gap_chunking(spark):
     want = {k: sum(n for d, n in [(1, 10), (3, 5), (19, 2)] if d > k)
             for k in range(19)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Condensation layering (G23c) and hop-plot / effective diameter (G22b)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.scc import condensation_layers  # noqa: E402
+from sparkgatha.graph.neighborhood import (  # noqa: E402
+    effective_diameter,
+    hop_plot,
+)
+
+
+def _nx_condensation_layers(es):
+    """min-member SCC label -> longest-path layer, via networkx."""
+    g = nx.DiGraph(es)
+    g.add_nodes_from({v for e in es for v in e})
+    c = nx.condensation(g)
+    lab = {i: min(m) for i, m in c.nodes(data="members")}
+    layer = {i: 0 for i in c.nodes()}
+    for u in nx.topological_sort(c):
+        for v in c.successors(u):
+            layer[v] = max(layer[v], layer[u] + 1)
+    return {lab[i]: h for i, h in layer.items()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_condensation_layers_matches_networkx(spark, seed):
+    es = _digraph_triples(60, 150, seed)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {r["scc_id"]: r["layer"]
+           for r in condensation_layers(df).collect()}
+    assert got == _nx_condensation_layers(es)
+
+
+def test_condensation_layers_chain_of_cycles_and_rail(spark):
+    """cycle{1,2} -> 3 -> cycle{4,5}: layers 0/1/2; an under-budget
+    max_rounds raises instead of returning a partial layering."""
+    es = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 5), (5, 4)]
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    got = {r["scc_id"]: r["layer"]
+           for r in condensation_layers(df).collect()}
+    assert got == {1: 0, 3: 1, 4: 2}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        condensation_layers(df, max_rounds=1)
+
+
+def test_hop_plot_path_graph_exact(spark):
+    """Directed path 0->1->2->3: 3 pairs at hop 1, 2 at hop 2, 1 at
+    hop 3; fractions cumulate over the 6 connected ordered pairs."""
+    es = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    rows = {r["hop"]: r for r in hop_plot(df, hops=5).collect()}
+    assert {(h, rows[h]["pairs"], rows[h]["cum_pairs"]) for h in rows} == {
+        (1, 3, 3), (2, 2, 5), (3, 1, 6),
+    }
+    assert abs(rows[3]["frac"] - 1.0) < 1e-12
+    assert abs(rows[1]["frac"] - 0.5) < 1e-12
+    # q=0.9 lands between hop 2 (5/6) and hop 3 (6/6): 2 + (0.9-5/6)*6
+    d = effective_diameter(df, hops=5, q=0.9)
+    assert abs(d - (2 + (0.9 - 5 / 6) / (1 / 6))) < 1e-9
+    with pytest.raises(ValueError):
+        effective_diameter(df, hops=5, q=0.0)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_hop_plot_matches_networkx(spark, seed):
+    es = _digraph_triples(40, 80, seed)
+    df = spark.createDataFrame([(a, b, 1.0) for a, b in es],
+                               "src long, dst long, weight double")
+    g = nx.DiGraph(es)
+    want = {}
+    for v in g:
+        for u, d in nx.single_source_shortest_path_length(
+            g, v, cutoff=6
+        ).items():
+            if d > 0:
+                want[d] = want.get(d, 0) + 1
+    got = {r["hop"]: r["pairs"] for r in hop_plot(df, hops=6).collect()}
+    assert got == want
