@@ -99,7 +99,13 @@ PRIORITY_WINDOW = [
                             # stays via q_knn_topk_per_vec (same guarded
                             # crossJoin + cosine + top-k shape)
     "q_groupby_agg",        # A1
-    "q_count_distinct",     # A2
+    "q_lm_perplexity",      # CCNet LM-quality bucketing (rotated in r4
+                            # seventh session displacing
+                            # q_count_distinct — A2's distinct-agg runs
+                            # inside the oracle-checked outputs of
+                            # q_k_core's peel and both PageRank keys'
+                            # dangling handling; q_count_distinct stays
+                            # in the replica)
     "q_grouping_sets",      # A3 (explicit grouping sets)
     "q_scc",                # G23 strongly connected components
                             # (coloring+peel vs the mutual-reachability
@@ -121,11 +127,16 @@ PRIORITY_WINDOW = [
                             # (last ignoreNulls over an ordered frame)
                             # runs inside driver-green q_asof; lag/lead
                             # stays replica-checked)
-    "q_hop_neighborhood",   # G22 exact ANF neighborhood sizes (rotated
-                            # in r4 continuation displacing
-                            # q_window_frame — W3's frame specs stay
-                            # replica-checked; W1/W2/W4 keep the window
-                            # family driver-green)
+    "q_pii_scrub",          # typed PII redaction, planted-span
+                            # value-check incl. the redacted string
+                            # (rotated in r4 seventh session displacing
+                            # q_hop_neighborhood — G22's exact BFS
+                            # reach machinery is driver-green via
+                            # q_harmonic's min-hop pairs, the same
+                            # layered traversal value-checked through
+                            # Σ1/d; q_hop_neighborhood stays in the
+                            # replica.  W3's frame specs remain
+                            # replica-checked as before)
     "q_sample_stratified",  # P4 per-group quota sample (rotated in r4
                             # continuation displacing q_topk_per_group —
                             # the identical partitioned row_number<=k
@@ -168,7 +179,15 @@ PRIORITY_WINDOW = [
                             # outputs of q_udtf_split_terms, every
                             # extraction CTE, and q_sample_hash's key
                             # build; q_string stays in the replica)
-    "q_hash_sha256",        # §2.8 hash
+    "q_bpe_merges",         # BPE merge-rule training, round-for-round
+                            # unrolled oracle (rotated in r4 seventh
+                            # session displacing q_hash_sha256 — the
+                            # §2.8 hash family is value-checked inside
+                            # q_sample_hash's threshold key, every
+                            # md5-derived graph id (q_scc, q_mis,
+                            # q_random_walks, ...), and q_clean_corpus's
+                            # digest dedup; q_hash_sha256 stays in the
+                            # replica)
     "q_betweenness",        # G19 Brandes betweenness, exact all-sources
                             # vs the 5-layer unrolled forward/backward
                             # oracle (rotated in r4 continuation

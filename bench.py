@@ -209,6 +209,12 @@ def main() -> None:
         "q_bipartite",
         "q_rollup",
         "q_asof",
+        "q_lm_perplexity",
+        "q_pii_scrub",
+        "q_bpe_merges",
+        "q_mixture_weights",
+        "q_hop_plot",
+        "q_condensation_layers",
     ):
         if name in reg:
             fn = reg[name]

@@ -513,19 +513,23 @@ def q_lm_perplexity(spark, sf_dir):
         "doc_id", "n_tokens", F.round("ln_ppl", 8).alias("ln_ppl")
     )
     # two lineages (threshold scalar + bucket projection): one barrier
-    scored = scored.localCheckpoint(eager=False)
-    thr = F.broadcast(
-        scored.agg(
-            F.round(F.expr("percentile(ln_ppl, 1.0d/3)"), 4).alias("t1"),
-            F.round(F.expr("percentile(ln_ppl, 2.0d/3)"), 4).alias("t2"),
-        )
-    )
+    scored = scored.localCheckpoint(eager=True)
+    # the terciles are a bounded 2-double stats fetch (the sanctioned
+    # collect class — same as PageRank's convergence stats); inlining
+    # them as literals keeps the bucket pass a map-only projection
+    # with NO join at all — the plan you want at 100 TB, and the
+    # plan-hygiene gate's point: a 1-row crossJoin here compiles to
+    # the BroadcastNestedLoopJoin node the gate bans
+    t1, t2 = scored.agg(
+        F.round(F.expr("percentile(ln_ppl, 1.0d/3)"), 4),
+        F.round(F.expr("percentile(ln_ppl, 2.0d/3)"), 4),
+    ).first()
     bucket = (
-        F.when(F.col("ln_ppl") <= F.col("t1"), "head")
-        .when(F.col("ln_ppl") <= F.col("t2"), "middle")
+        F.when(F.col("ln_ppl") <= F.lit(t1), "head")
+        .when(F.col("ln_ppl") <= F.lit(t2), "middle")
         .otherwise("tail")
     )
-    return scored.crossJoin(thr).select(
+    return scored.select(
         "doc_id", "n_tokens", "ln_ppl", bucket.alias("bucket")
     )
 
