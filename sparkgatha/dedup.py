@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from sparkgatha.relational import _t, register
-from sparkgatha.util import md5_long as _md5_long  # shared hash convention
+from sparkgatha.util import md5_long as _md5_long, ws_tokens  # shared hash/tokenize conventions
 
 N_SHINGLE = 3          # word-shingle width
 N_HASHES = 16          # minhash signature length
@@ -32,9 +32,7 @@ SIMHASH_BITS = 32
 
 def _shingles(text_col: str = "text"):
     """Distinct word n-gram shingles per document (JVM-side)."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - N_SHINGLE, F.lit(0)))
     return F.array_distinct(
@@ -826,9 +824,7 @@ def window_hashes(
     per document."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    toks = F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens(text_col)
     n = F.size(toks)
     idx = F.when(
         n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))

@@ -168,6 +168,25 @@ def strongly_connected_components(
         return assigned
 
 
+def _cross_component_edges(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distinct cross-component (src_scc, dst_scc) edges under a
+    vertex→scc_id labeling: two label joins + a partial-agg distinct —
+    the relabel step shared by ``condensation`` and
+    ``condensation_layers`` (which precomputes the labels itself, so it
+    cannot just call ``condensation``)."""
+    ls = labels.select(F.col("vertex").alias("src"), F.col("scc_id").alias("src_scc"))
+    ld = labels.select(F.col("vertex").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
 def condensation(edges: DataFrame) -> DataFrame:
     """(src_scc, dst_scc) — the condensation DAG: every SCC collapsed
     to one node (labeled by its min member id, the
@@ -180,18 +199,7 @@ def condensation(edges: DataFrame) -> DataFrame:
     One SCC run + two label joins + a partial-agg distinct; the label
     frame is checkpointed by the SCC loop, so the relabel plan is
     flat."""
-    labels = strongly_connected_components(edges)
-    ls = labels.select(F.col("vertex").alias("src"), F.col("scc_id").alias("src_scc"))
-    ld = labels.select(F.col("vertex").alias("dst"), F.col("scc_id").alias("dst_scc"))
-    return (
-        edges.select("src", "dst")
-        .distinct()
-        .join(ls, "src")
-        .join(ld, "dst")
-        .filter(F.col("src_scc") != F.col("dst_scc"))
-        .select("src_scc", "dst_scc")
-        .distinct()
-    )
+    return _cross_component_edges(strongly_connected_components(edges), edges)
 
 
 def condensation_layers(
@@ -211,10 +219,11 @@ def condensation_layers(
     rounds (the DAG is acyclic by construction).  Per round: one keyed
     join + one partial-agg ``groupBy().max()`` + one |C|-row left join,
     over the CONDENSATION (≤ #components rows, typically orders of
-    magnitude smaller than the graph).  The changed-row count doubles
-    as the convergence check and the materializing action; every state
-    frame goes through ``checkpoint_reset_stats`` (§4.3 item 5 — the
-    per-round plan references the state twice).
+    magnitude smaller than the graph).  Every state frame goes through
+    ``checkpoint_reset_stats`` (§4.3 item 5 — the per-round plan
+    references the state twice), which materializes it eagerly; the
+    1-row layer-sum fetch that follows is the convergence check, a
+    bounded extra job per round that only reads the cached blocks.
 
     ``max_rounds=None`` (default) runs to the exact fixpoint with a
     runaway rail at |C| rounds (a DAG can never need more — hitting it
@@ -232,21 +241,8 @@ def condensation_layers(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        ls = labels.select(
-            F.col("vertex").alias("src"), F.col("scc_id").alias("src_scc")
-        )
-        ld = labels.select(
-            F.col("vertex").alias("dst"), F.col("scc_id").alias("dst_scc")
-        )
-        ce = (
-            edges.select("src", "dst")
-            .distinct()
-            .join(ls, "src")
-            .join(ld, "dst")
-            .filter(F.col("src_scc") != F.col("dst_scc"))
-            .select("src_scc", "dst_scc")
-            .distinct()
-            .localCheckpoint(eager=True)
+        ce = _cross_component_edges(labels, edges).localCheckpoint(
+            eager=True
         )
         state = comps.select("scc_id", F.lit(0).alias("layer"))
         state = checkpoint_reset_stats(state)
@@ -268,10 +264,10 @@ def condensation_layers(
                     ).alias("layer"),
                 )
             )
-            nxt = checkpoint_reset_stats(nxt)
+            nxt = checkpoint_reset_stats(nxt)  # eager: round runs here
             # layers only ever grow, so an unchanged total IS the
-            # fixpoint — one 1-row agg doubles as the convergence
-            # check and the action materializing the checkpoint
+            # fixpoint — a bounded 1-row fetch over the already-cached
+            # checkpoint blocks (it re-runs nothing)
             new_sum = nxt.agg(F.sum("layer")).collect()[0][0] or 0
             state = nxt
             if new_sum == prev_sum:

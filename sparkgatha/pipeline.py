@@ -28,14 +28,13 @@ from sparkgatha.dedup import (
 )
 from sparkgatha.relational import _t, register
 from sparkgatha.textan import _TOKS
+from sparkgatha.util import ws_tokens
 
 
 def quality_survivors(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Documents passing the textan quality gates (same rules as
     q_quality_score: ≥10 tokens, avg token length in [2, 12])."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens(text_col)
     n_tok = F.size(toks)
     avg_len = F.length(text_col) / F.greatest(n_tok, F.lit(1))
     return docs.withColumn("n_tok", n_tok).filter(

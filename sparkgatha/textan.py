@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkgatha.relational import _t, register
+from sparkgatha.util import ws_tokens
 
 # tiny per-language stopword markers for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -23,6 +24,8 @@ LANG_MARKERS = {
     "es": ["el", "la", "los", "y", "es"],
 }
 
+# the DuckDB mirror of util.ws_tokens — change BOTH together or every
+# text oracle drifts from the Spark side
 _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 
 
@@ -50,9 +53,7 @@ def q_token_count(spark, sf_dir):
     digit / punctuation runs — the train-data cost estimator shape); all
     whole-stage-codegen JVM expressions."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens("text")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -86,9 +87,7 @@ def q_lang_id(spark, sf_dir):
     """Stopword-marker language ID (n-gram heuristic family): score each
     language by marker-token hits, deterministic priority tie-break."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens("text")
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -126,9 +125,7 @@ def q_quality_score(spark, sf_dir):
     """Quality scoring: length / avg-token-length / stopword-ratio gates
     (the reference's min-length sentence filter, generalized)."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens("text")
     n_tok = F.size(toks)
     n_chr = F.length("text")
     n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
@@ -183,9 +180,7 @@ def q_top_ngrams(spark, sf_dir):
     (frequent-n-gram mining before graph construction, SURVEY.md §3.1
     phase DAG) as a two-shuffle groupBy + TakeOrderedAndProject."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens("text")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -217,9 +212,7 @@ def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
     groupBy(id, bigram) → groupBy(id) max/sum — never an O(len²)
     per-row expression, so a 10k-token document costs 10k rows, not
     10^8 comparisons."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens(text_col)
     n = F.size(toks)
     nu = F.size(F.array_distinct(toks))
     base = docs.select(
@@ -311,9 +304,7 @@ def importance_weights(
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    toks = F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens(text_col)
     ct = corpus.select(F.col(id_col).alias("_id"), F.explode(toks).alias("t"))
     tt = target.select(F.explode(toks).alias("t"))
     # each LM feeds three lineages (score join, mass scalar, union vocab);
@@ -430,9 +421,7 @@ def lm_perplexity(
     """
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
-    toks = F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens(text_col)
     ct = corpus.select(F.col(id_col).alias("_id"), F.explode(toks).alias("t"))
     tt = train.select(F.explode(toks).alias("t"))
     # the LM feeds two lineages (score join + scalar mass/vocab row);
@@ -443,6 +432,20 @@ def lm_perplexity(
     scalars = F.broadcast(
         lm.agg(
             F.sum("c").alias("train_mass"), F.count("*").alias("vocab_n")
+        ).select(
+            # an empty train slice would otherwise make every ln_ppl a
+            # silent NULL (ln(x/NULL)); the module convention is to
+            # raise loudly, and this in-plan guard keeps the pipeline
+            # fully lazy — no extra driver job on the happy path
+            F.when(F.col("vocab_n") > 0, F.col("train_mass"))
+            .otherwise(
+                F.raise_error(
+                    "lm_perplexity: train slice tokenizes to zero "
+                    "tokens — cannot fit a reference LM"
+                ).cast("bigint")
+            )
+            .alias("train_mass"),
+            "vocab_n",
         )
     )
     a = F.lit(float(smoothing))
@@ -644,7 +647,18 @@ def bpe_merges(
     corpus — one partial-aggregable token groupBy reduces 100 TB of
     text to a vocabulary-sized (word, count) frame, and every merge
     round is an explode → partial-agg pair count over that small frame
-    plus a 1-row broadcast argmax.  The corpus is read exactly once.
+    plus a 1-row argmax FETCH (BPE is inherently sequential — each
+    merge depends on the last — so the per-round driver round-trip is
+    the algorithm's own serialization, the bounded-scalar collect
+    class, and the learned rule rewrites the next round as pure
+    literals: a map-only projection, no join).  The corpus is read
+    exactly once, and the returned merge table is rounds-sized — a
+    driver-scale artifact by definition.
+
+    If the corpus exhausts its adjacent pairs before ``rounds`` merges
+    (every word fully merged — BPE's natural termination), training
+    STOPS and the learned prefix is returned: fewer than ``rounds``
+    rows, never NULL-padded rows.
 
     Symbol encoding: a word's symbol sequence is kept as a string with
     TWO-space delimiters and two-space padding ("␣␣f␣␣a␣␣s␣␣t␣␣"), so
@@ -657,9 +671,7 @@ def bpe_merges(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    toks = F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = ws_tokens(text_col)
     words = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
@@ -685,37 +697,34 @@ def bpe_merges(
             ).alias("p"),
             "cnt",
         ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"), "cnt")
-        best = F.broadcast(
+        # argmax by (pc desc, x asc, y asc) as a single partial-agg
+        # min over an orderable struct — no global sort, no window;
+        # the ungrouped min over ZERO pair rows yields one all-NULL
+        # row, which is the exhaustion signal, never an output row
+        best = (
             pairs.groupBy("x", "y")
             .agg(F.sum("cnt").alias("pc"))
-            # argmax by (pc desc, x asc, y asc) as a single partial-agg
-            # min over an orderable struct — no global sort, no window
             .agg(F.min(F.struct((-F.col("pc")).alias("np"), "x", "y")).alias("b"))
-            .select(
-                F.lit(r).alias("rnd"),
-                F.col("b.x").alias("left_sym"),
-                F.col("b.y").alias("right_sym"),
-                (-F.col("b.np")).alias("pair_count"),
-            )
-        ).localCheckpoint(eager=False)  # feeds the output AND the rewrite
-        merges.append(best)
+            .select("b.x", "b.y", (-F.col("b.np")).alias("pc"))
+            .first()
+        )
+        if best is None or best["x"] is None:
+            break  # no adjacent pairs left: every word fully merged
+        merges.append((r, best["x"], best["y"], best["pc"]))
         if r < rounds:
-            pat = F.concat(
-                F.lit(" "), F.col("left_sym"), F.lit("  "),
-                F.col("right_sym"), F.lit(" "),
-            )
-            rep = F.concat(
-                F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" ")
-            )
+            pat = f" {best['x']}  {best['y']} "
+            rep = f" {best['x']}{best['y']} "
             seqs = (
-                seqs.crossJoin(best)
-                .select(F.replace("seq", pat, rep).alias("seq"), "cnt")
+                seqs.select(
+                    F.replace("seq", F.lit(pat), F.lit(rep)).alias("seq"),
+                    "cnt",
+                )
                 .localCheckpoint(eager=False)
             )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return spark.createDataFrame(
+        merges,
+        "rnd INT, left_sym STRING, right_sym STRING, pair_count BIGINT",
+    )
 
 
 def _bpe_oracle_sql(rounds: int = 3) -> str:

@@ -9,6 +9,18 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def ws_tokens(text_col="text"):
+    """The engine's one whitespace tokenizer (lower → trim → split →
+    drop empties) — the Spark mirror of ``textan._TOKS``, the DuckDB
+    macro every oracle uses.  Lives here (the leaf module) so textan /
+    dedup / pipeline / relational all share ONE definition; any
+    tokenization change must land here and in ``_TOKS`` together or
+    Spark/DuckDB parity breaks."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
 def md5_long(col):
     """First 15 hex chars of md5 as a non-negative 60-bit bigint — the
     engine-wide cross-engine hash convention (DuckDB equivalent:

@@ -155,3 +155,53 @@ def test_mixture_weights_rebalances_toward_tail(spark):
 
     with pytest.raises(ValueError):
         mixture_weights(docs, "lang", alpha=0.0)
+
+
+def test_lm_perplexity_empty_train_raises(spark):
+    """An empty/all-whitespace train slice raises loudly at execution
+    (in-plan guard) instead of silently scoring every doc NULL."""
+    import pytest
+
+    from sparkgatha.textan import lm_perplexity
+
+    corpus = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    empty_train = spark.createDataFrame([(9, "   ")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="zero tokens"):
+        lm_perplexity(corpus, empty_train).collect()
+
+
+def test_bpe_merges_stops_at_exhaustion(spark):
+    """When the corpus runs out of adjacent pairs before `rounds` merges
+    (BPE's natural termination), training stops and returns the learned
+    prefix — never NULL-padded rows."""
+    from sparkgatha.textan import bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    rows = bpe_merges(docs, rounds=5).orderBy("rnd").collect()
+    assert [(r.rnd, r.left_sym, r.right_sym, r.pair_count) for r in rows] == [
+        (1, "a", "b", 3)
+    ]
+
+
+def test_lm_perplexity_plan_shape(spark):
+    """The PRE-checkpoint scoring plan (the part q_lm_perplexity's
+    barrier hides from the test_plan_hygiene sweep — see its KNOWN
+    LIMIT note): no cartesian product, no Python stage, and the only
+    nested-loop join is the sanctioned 1-row scalar attach."""
+    import re
+
+    from sparkgatha.textan import lm_perplexity
+
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3} shared") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        lm_perplexity(corpus, corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"BatchEvalPython(?!UDTF)", plan)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
