@@ -215,6 +215,8 @@ def main() -> None:
         "q_mixture_weights",
         "q_hop_plot",
         "q_condensation_layers",
+        "q_bpe_encode",
+        "q_powerlaw_alpha",
     ):
         if name in reg:
             fn = reg[name]

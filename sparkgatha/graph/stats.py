@@ -251,3 +251,48 @@ def rich_club(edges: DataFrame) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """(dmin, n_tail, alpha, sigma): the Clauset–Shalizi–Newman (2009)
+    continuous-approximation MLE for the degree-distribution exponent,
+    alpha = 1 + n / Σ_i ln(d_i / (dmin − ½)) over the n tail vertices
+    with degree ≥ dmin, with the standard error sigma = (alpha−1)/√n
+    (their eq. 3.1/3.2 — the ½-shift discrete correction).  This is the
+    planning diagnostic for the skew machinery: alpha ≤ ~2.5 means hub
+    degrees grow superlinearly with graph size, i.e. G10 hub mitigation
+    and J9 salting are mandatory, not optional, at the target scale.
+
+    Scale shape: one degree groupBy + one partial-aggregable (count,
+    sum-of-ln) aggregate to a single row — no window, no sort, no
+    driver loop.  An empty tail (every vertex below dmin) yields one
+    row with n_tail = 0 and NULL alpha/sigma, the module's NULL
+    convention for degenerate inputs (cf. assortativity on regular
+    graphs).
+    """
+    if dmin < 1:
+        raise ValueError(f"dmin must be >= 1, got {dmin}")
+    e = canonical_undirected(edges)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    shift = float(dmin) - 0.5
+    return (
+        deg.filter(F.col("d") >= dmin)
+        .agg(
+            F.count("*").alias("n_tail"),
+            F.sum(F.log(F.col("d") / F.lit(shift))).alias("s"),
+        )
+        .select(
+            F.lit(dmin).alias("dmin"),
+            "n_tail",
+            (F.lit(1.0) + F.col("n_tail") / F.col("s")).alias("alpha"),
+            (
+                (F.col("n_tail") / F.col("s"))
+                / F.sqrt(F.col("n_tail"))
+            ).alias("sigma"),
+        )
+    )

@@ -1682,6 +1682,43 @@ def q_rich_club(spark, sf_dir):
     )
 
 
+@register(
+    "q_powerlaw_alpha",
+    f"""
+    WITH {_ADJ_CTE},
+    deg AS (
+      SELECT x, count(*) AS d FROM (
+        SELECT src AS x FROM ae UNION ALL SELECT dst FROM ae
+      ) GROUP BY x
+    ),
+    tail AS (SELECT d FROM deg WHERE d >= 2)
+    SELECT 2 AS dmin,
+           count(*) AS n_tail,
+           round(1.0 + count(*) / sum(ln(d / 1.5)), 8) AS alpha,
+           round((count(*) / sum(ln(d / 1.5))) / sqrt(count(*)), 8)
+             AS sigma
+    FROM tail
+    """,
+)
+def q_powerlaw_alpha(spark, sf_dir):
+    """G37 power-law degree-exponent MLE (Clauset et al. 2009) of the
+    window-1 adjacency graph — the one-row diagnostic that says whether
+    the corpus graph's hub tail is heavy enough to make G10 hub
+    mitigation mandatory; value-checked against DuckDB's identical
+    (count, sum-of-ln) aggregate (round(,8) absorbs summation-order
+    noise).  Pure-Python-golden in tests."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.stats import powerlaw_alpha
+
+    edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    return powerlaw_alpha(edges, dmin=2).select(
+        "dmin",
+        "n_tail",
+        F.round("alpha", 8).alias("alpha"),
+        F.round("sigma", 8).alias("sigma"),
+    )
+
+
 #: directed top-2 bigram digraph — the adjacency pairs keep token ORDER
 #: and each src keeps only its 2 strongest out-edges (count desc, dst
 #: asc tie-break).  The raw bigram digraph on this fixture vocabulary is

@@ -727,11 +727,18 @@ def bpe_merges(
     )
 
 
-def _bpe_oracle_sql(rounds: int = 3) -> str:
-    """Unrolled DuckDB mirror of ``bpe_merges``: per round a lateral
-    adjacent-pair unnest over the word-frequency table, a LIMIT-1
-    argmax under the identical (pc DESC, x, y) rule, and the same
-    single-space-in-double-space replace rewrite."""
+def _bpe_chain_sql(
+    rounds: int, carry_word: bool = False, rewrite_last: bool = False
+) -> str:
+    """The shared WITH-chain both BPE oracles unroll: per round a
+    lateral adjacent-pair unnest over the word-frequency table, a
+    LIMIT-1 argmax under the identical (pc DESC, x, y) rule, and the
+    same single-space-in-double-space replace rewrite.  ``carry_word``
+    keeps the word key in the s-tables (the encode oracle needs the
+    word → sequence mapping); ``rewrite_last`` also applies round
+    ``rounds``'s merge (training stops before it, encoding applies
+    every learned rule)."""
+    wcol = "w, " if carry_word else ""
     parts = [
         f"""
     WITH words AS (
@@ -740,7 +747,7 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
       GROUP BY t
     ),
     s0 AS MATERIALIZED (
-      SELECT '  ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+      SELECT {wcol}'  ' || array_to_string(regexp_extract_all(w, '.'), '  ')
              || '  ' AS seq, cnt
       FROM words
     )"""
@@ -759,10 +766,10 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
     b{r} AS MATERIALIZED (
       SELECT x, y, pc FROM p{r} ORDER BY pc DESC, x, y LIMIT 1
     )""")
-        if r < rounds:
+        if r < rounds or rewrite_last:
             parts.append(f""",
     s{r} AS MATERIALIZED (
-      SELECT replace(
+      SELECT {wcol}replace(
                seq,
                ' ' || (SELECT x FROM b{r}) || '  '
                    || (SELECT y FROM b{r}) || ' ',
@@ -771,12 +778,21 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
              ) AS seq, cnt
       FROM s{r - 1}
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled DuckDB mirror of ``bpe_merges``."""
     selects = [
         f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym,"
         f" pc AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     ]
-    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    return (
+        _bpe_chain_sql(rounds)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
 
 
 @register("q_bpe_merges", _bpe_oracle_sql(3))
@@ -786,3 +802,95 @@ def q_bpe_merges(spark, sf_dir):
     unrolled DuckDB replay."""
     d = _t(spark, sf_dir, "documents")
     return bpe_merges(d, rounds=3)
+
+
+def bpe_encode_vocab(docs, merges, text_col: str = "text"):
+    """(w, syms array<string>, n_syms): every distinct corpus word
+    encoded under a learned merge-rule table — ``merges`` is the
+    driver-side list of (left_sym, right_sym) in rank order, exactly
+    what ``bpe_merges(...).collect()`` yields.  Applying a rule is one
+    LITERAL ``replace`` over the two-space symbol encoding (see
+    ``bpe_merges``), so the whole encoder is a chain of k map-only
+    whole-stage-codegen projections over the VOCABULARY-sized distinct
+    frame — the corpus text is tokenized once and never rewritten."""
+    seq = F.concat(
+        F.lit("  "),
+        F.array_join(F.regexp_extract_all("w", F.lit("."), 0), "  "),
+        F.lit("  "),
+    )
+    enc = (
+        docs.select(F.explode(ws_tokens(text_col)).alias("w"))
+        .distinct()
+        .select("w", seq.alias("seq"))
+    )
+    for x, y in merges:
+        enc = enc.select(
+            "w",
+            F.replace(
+                "seq", F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")
+            ).alias("seq"),
+        )
+    syms = F.filter(F.split("seq", "  "), lambda s: s != "")
+    return enc.select("w", syms.alias("syms"), F.size(syms).alias("n_syms"))
+
+
+def bpe_encode(
+    docs, merges, text_col: str = "text", id_col: str = "doc_id"
+):
+    """(id, n_words, n_bpe_tokens): per-document token counts under a
+    learned BPE vocabulary — the tokenizer-APPLICATION counterpart of
+    ``bpe_merges`` (train on a sample, encode the corpus: the standard
+    pre-training cost/length accounting pass).
+
+    Scale shape: the vocabulary is encoded once (``bpe_encode_vocab``,
+    k literal map-only rewrites over the distinct-word frame), then the
+    corpus explodes to (doc, word) and equi-joins the word → n_syms
+    table — one partial-aggregable groupBy per doc.  The merge table is
+    a rounds-sized driver artifact by construction, never a shuffle
+    side."""
+    enc = bpe_encode_vocab(docs, merges, text_col).select("w", "n_syms")
+    ct = docs.select(
+        F.col(id_col).alias("_id"), F.explode(ws_tokens(text_col)).alias("w")
+    )
+    return (
+        ct.join(enc, "w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .select(F.col("_id").alias(id_col), "n_words", "n_bpe_tokens")
+    )
+
+
+_BPE_ENCODE_ORACLE = (
+    _bpe_chain_sql(3, carry_word=True, rewrite_last=True)
+    + f""",
+    enc AS (
+      SELECT w,
+             len(list_filter(string_split(seq, '  '), z -> z <> ''))
+               AS n_syms
+      FROM s3
+    ),
+    ct AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    SELECT ct.doc_id,
+           count(*) AS n_words,
+           sum(enc.n_syms) AS n_bpe_tokens
+    FROM ct JOIN enc ON enc.w = ct.t
+    GROUP BY ct.doc_id
+    """
+)
+
+
+@register("q_bpe_encode", _BPE_ENCODE_ORACLE)
+def q_bpe_encode(spark, sf_dir):
+    """Train 3 merge rules on the fixture corpus, then encode every
+    document with them: per-doc word and BPE-symbol counts,
+    value-checked against the DuckDB replay that unrolls BOTH the
+    training argmax rounds and the encode rewrites."""
+    d = _t(spark, sf_dir, "documents")
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(d, rounds=3).orderBy("rnd").collect()
+    ]
+    return bpe_encode(d, rules)

@@ -1803,3 +1803,37 @@ def test_hop_plot_matches_networkx(spark, seed):
                 want[d] = want.get(d, 0) + 1
     got = {r["hop"]: r["pairs"] for r in hop_plot(df, hops=6).collect()}
     assert got == want
+
+
+def test_powerlaw_alpha_matches_pure_python_mle(spark):
+    """alpha/sigma equal the hand-computed Clauset MLE over the degree
+    list to fp precision; the empty tail yields the NULL convention;
+    dmin validates."""
+    import math
+
+    import pytest
+
+    from sparkgatha.graph.stats import powerlaw_alpha
+
+    # star(0; 1..5) plus a 5-6-7 path: degrees 5,2,2,1,1,1,1,1,1
+    edges = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+
+    row = powerlaw_alpha(e, dmin=2).collect()[0]
+    degs = {}
+    for u, v in edges:
+        degs[u] = degs.get(u, 0) + 1
+        degs[v] = degs.get(v, 0) + 1
+    tail = [d for d in degs.values() if d >= 2]
+    s = sum(math.log(d / 1.5) for d in tail)
+    alpha = 1.0 + len(tail) / s
+    assert row.dmin == 2 and row.n_tail == len(tail)
+    assert abs(row.alpha - alpha) < 1e-12
+    assert abs(row.sigma - (alpha - 1.0) / math.sqrt(len(tail))) < 1e-12
+
+    # every vertex below dmin: one row, NULL alpha/sigma
+    empty = powerlaw_alpha(e, dmin=10).collect()[0]
+    assert empty.n_tail == 0 and empty.alpha is None and empty.sigma is None
+
+    with pytest.raises(ValueError):
+        powerlaw_alpha(e, dmin=0)

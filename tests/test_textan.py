@@ -205,3 +205,54 @@ def test_lm_perplexity_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert not re.search(r"BatchEvalPython(?!UDTF)", plan)
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bpe_encode_matches_pure_python_reference(spark):
+    """Encoding under learned rules equals the pure-Python greedy
+    left-to-right merge application; zero rules = character count; the
+    per-doc counts aggregate the vocabulary encoding exactly."""
+    from sparkgatha.textan import bpe_encode, bpe_encode_vocab, bpe_merges
+
+    texts = ["aaaa banana bane", "banana bandana aaaa aaaa"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rules = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merges(docs, rounds=3).orderBy("rnd").collect()
+    ]
+
+    def py_encode(word, rules):
+        s = list(word)
+        for x, y in rules:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    vocab = {r.w: list(r.syms) for r in bpe_encode_vocab(docs, rules).collect()}
+    words = {w for t in texts for w in t.split()}
+    assert set(vocab) == words
+    for w in words:
+        assert vocab[w] == py_encode(w, rules), w
+
+    per_doc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode(docs, rules).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split()
+        assert per_doc[i] == (
+            len(ws),
+            sum(len(py_encode(w, rules)) for w in ws),
+        )
+
+    # zero rules: every word encodes to its characters
+    chars = {r.w: r.n_syms for r in bpe_encode_vocab(docs, []).collect()}
+    assert chars == {w: len(w) for w in words}
