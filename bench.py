@@ -217,6 +217,7 @@ def main() -> None:
         "q_condensation_layers",
         "q_bpe_encode",
         "q_powerlaw_alpha",
+        "q_biased_walks",
     ):
         if name in reg:
             fn = reg[name]

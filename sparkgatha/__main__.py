@@ -98,6 +98,16 @@ def main(argv=None) -> int:
     w.add_argument("--length", type=int, default=40)
     w.add_argument("--walks-per-vertex", type=int, default=1)
     w.add_argument("--seed", type=int, default=0)
+    w.add_argument(
+        "--p", type=float, default=None,
+        help="node2vec return parameter (with --q switches to "
+             "second-order biased walks; powers of two keep the rule "
+             "engine-exact)",
+    )
+    w.add_argument(
+        "--q", type=float, default=None,
+        help="node2vec in-out parameter (see --p)",
+    )
 
     pr = sub.add_parser(
         "profile",
@@ -279,15 +289,27 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F
 
         from sparkgatha.construct import load_adjacency
-        from sparkgatha.graph.walks import random_walks
+        from sparkgatha.graph.walks import biased_walks, random_walks
 
         nodes, edges = load_adjacency(spark, args.graph)
-        hops = random_walks(
-            edges,
-            length=args.length,
-            walks_per_vertex=args.walks_per_vertex,
-            seed=args.seed,
-        )
+        if (args.p is None) != (args.q is None):
+            raise SystemExit("walks: --p and --q must be given together")
+        if args.p is not None:
+            hops = biased_walks(
+                edges,
+                length=args.length,
+                p=args.p,
+                q=args.q,
+                walks_per_vertex=args.walks_per_vertex,
+                seed=args.seed,
+            )
+        else:
+            hops = random_walks(
+                edges,
+                length=args.length,
+                walks_per_vertex=args.walks_per_vertex,
+                seed=args.seed,
+            )
         # corpus shape: one row per walk, the term sequence in step order
         # (array_sort on (step, key) structs orders by step)
         seqs = (

@@ -13,7 +13,7 @@ from sparkgatha.graph.eigenvector import eigenvector_centrality
 from sparkgatha.graph.katz import katz_centrality, katz_l2
 from sparkgatha.graph.kcore import core_numbers, k_core
 from sparkgatha.graph.linkpred import edge_similarity, link_prediction_features
-from sparkgatha.graph.walks import random_walks
+from sparkgatha.graph.walks import biased_walks, random_walks
 from sparkgatha.graph.betweenness import betweenness
 from sparkgatha.graph.scc import condensation, strongly_connected_components
 from sparkgatha.graph.neighborhood import (
@@ -42,6 +42,7 @@ __all__ = [
     "label_propagation",
     "triangle_counts",
     "clustering_coefficients",
+    "biased_walks",
     "random_walks",
     "betweenness",
     "shortest_paths",

@@ -128,3 +128,167 @@ def random_walks(
             # returned plan never references the cached adjacency again
             adj.unpersist()
         return out
+
+
+#: 2^60 — the md5_long value range; (h+1)/2^60 maps a hash to a uniform
+#: double in (0, 1] (division by a power of two is EXACT, so both
+#: engines see the identical double)
+_HASH_UNIT = float(1 << 60)
+
+
+def biased_walks(
+    edges: DataFrame,
+    length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+    max_neighbors: int | None = None,
+) -> DataFrame:
+    """(walk_id string, step int, vertex) — node2vec-style SECOND-ORDER
+    biased walks (Grover & Leskovec 2016): from ``cur`` with previous
+    vertex ``prev``, a candidate neighbor n is weighted 1/p if n = prev
+    (return), 1 if n is adjacent to prev (stay close), 1/q otherwise
+    (explore).  Step 1 has no prev and uses the first-order indexed
+    pick (``random_walks``' rule), exactly like the reference
+    implementation's first step.
+
+    Determinism: instead of alias-table RNG sampling, the pick is an
+    EXPONENTIAL RACE over row-local hashes — candidate n draws
+    u = (md5int(walk_id:t:seed:n)+1)/2^60 ∈ (0,1] and key = −ln(u)/w;
+    the minimum key wins (ties broken by n ascending).  min over
+    Exp(w) races IS proportional-to-w sampling, every input is
+    row-local (retry/partitioning-invariant), and the arithmetic is
+    engine-identical (power-of-two divisions are exact; choose p and q
+    as powers of two to keep 1/p and 1/q exact), so the corpus is
+    DuckDB-oracle value-checkable round for round.
+
+    Physical shape per step: second-order bias genuinely needs the
+    neighbor CLASSIFICATION, so unlike the first-order O(1) indexed
+    pick this explodes cur's neighbor list — O(deg) candidate rows per
+    walk per step (true of every node2vec implementation) — then joins
+    prev's neighbor array for the adjacency test and partial-aggs the
+    argmin per walk.  ``max_neighbors`` is therefore not just a memory
+    guard here but the hub COST cap: a walk landing on a 10^6-degree
+    hub costs max_neighbors rows, not 10^6.  The adjacency-list table
+    keeps the stationary hash(src) layout and is persisted once.
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if walks_per_vertex < 1:
+        raise ValueError(
+            f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
+        )
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0, got p={p}, q={q}")
+    if max_neighbors is not None and max_neighbors < 1:
+        raise ValueError(f"max_neighbors must be >= 1, got {max_neighbors}")
+    w_ret, w_in, w_out = 1.0 / p, 1.0, 1.0 / q
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with no_aqe(spark):
+        nbrs = F.sort_array(F.collect_set("dst"))
+        if max_neighbors is not None:
+            nbrs = F.slice(nbrs, 1, max_neighbors)
+        adj = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src")
+            .agg(nbrs.alias("nbrs"))
+            .withColumn("deg", F.size("nbrs"))
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        pn = adj.select(F.col("src").alias("prev"), F.col("nbrs").alias("pn"))
+        try:
+            starts = adj.select(F.col("src").alias("v"))
+            replicas = spark.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("i")
+            )
+            frontier = (
+                starts.crossJoin(F.broadcast(replicas))
+                .select(
+                    F.concat_ws(
+                        "#", F.col("v").cast("string"), F.col("i").cast("string")
+                    ).alias("walk_id"),
+                    F.col("v").alias("cur"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            out = frontier.select(
+                "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+            )
+            # step 1: first-order indexed pick (no prev yet)
+            hop = _md5int(
+                F.concat_ws(":", F.col("walk_id"), F.lit("1"), F.lit(str(seed)))
+            )
+            idx = (F.pmod(hop, F.col("deg")) + 1).cast("int")
+            frontier = (
+                frontier.join(adj, frontier.cur == adj.src)
+                .select(
+                    "walk_id",
+                    F.col("cur").alias("prev"),
+                    F.element_at("nbrs", idx).alias("cur"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            out = out.unionByName(
+                frontier.select(
+                    "walk_id", F.lit(1).alias("step"), F.col("cur").alias("vertex")
+                )
+            )
+            for t in range(2, length + 1):
+                cand = (
+                    frontier.join(adj, frontier.cur == adj.src)
+                    .select(
+                        "walk_id", "prev", "cur", F.explode("nbrs").alias("n")
+                    )
+                    .join(pn, "prev")
+                )
+                wt = (
+                    F.when(F.col("n") == F.col("prev"), F.lit(w_ret))
+                    .when(F.array_contains("pn", F.col("n")), F.lit(w_in))
+                    .otherwise(F.lit(w_out))
+                )
+                u = (
+                    _md5int(
+                        F.concat_ws(
+                            ":",
+                            F.col("walk_id"),
+                            F.lit(str(t)),
+                            F.lit(str(seed)),
+                            F.col("n"),
+                        )
+                    )
+                    + 1
+                ) / F.lit(_HASH_UNIT)
+                key = -F.log(u) / wt
+                frontier = (
+                    cand.groupBy("walk_id")
+                    .agg(
+                        F.min(
+                            F.struct(
+                                key.alias("k"),
+                                F.col("n").alias("n"),
+                                F.col("cur").alias("c"),
+                            )
+                        ).alias("b")
+                    )
+                    .select(
+                        "walk_id",
+                        F.col("b.c").alias("prev"),
+                        F.col("b.n").alias("cur"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                out = out.unionByName(
+                    frontier.select(
+                        "walk_id",
+                        F.lit(t).alias("step"),
+                        F.col("cur").alias("vertex"),
+                    )
+                )
+        finally:
+            adj.unpersist()
+        return out

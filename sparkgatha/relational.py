@@ -2130,6 +2130,87 @@ def _walks_oracle_sql(length: int, seed: int = 0) -> str:
     return sql
 
 
+def _biased_walks_oracle_sql(
+    length: int, seed: int = 0, inv_p: float = 0.5, inv_q: float = 2.0
+) -> str:
+    """G18b unrolled node2vec mirror over the symmetrized window-1
+    graph: step 1 is the first-order list-index pick; steps ≥ 2 weight
+    each candidate (return 1/p / triangle 1 / explore 1/q), draw the
+    exponential-race key −ln((md5int+1)/2^60)/w, and take the per-walk
+    row_number()=1 under (key, n) — the window-ranked mirror of Spark's
+    min(struct).  1/p and 1/q are powers of two so every arithmetic
+    step except ln is exact in both engines."""
+    two60 = float(1 << 60)
+    sql = f"""
+    WITH {_ADJ_CTE},
+    se AS (
+      SELECT src, dst FROM ae
+      UNION ALL SELECT dst AS src, src AS dst FROM ae
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, list_sort(list(dst)) AS nbrs, count(*) AS deg
+      FROM se GROUP BY src
+    ),
+    w_0 AS MATERIALIZED (
+      SELECT src || '#0' AS walk_id, src AS cur FROM adj
+    ),
+    w_1 AS MATERIALIZED (
+      SELECT w.walk_id, w.cur AS prev,
+             a.nbrs[CAST(('0x' || substr(md5(w.walk_id || ':1:{seed}'),
+                                         1, 15))::BIGINT % a.deg AS INT) + 1]
+               AS cur
+      FROM w_0 w JOIN adj a ON a.src = w.cur
+    )"""
+    for t in range(2, length + 1):
+        sql += f""",
+    c_{t} AS (
+      SELECT w.walk_id, w.cur, n.n,
+             CASE WHEN n.n = w.prev THEN {inv_p}
+                  WHEN list_contains(pa.nbrs, n.n) THEN 1.0
+                  ELSE {inv_q} END AS wt
+      FROM w_{t - 1} w
+      JOIN adj a ON a.src = w.cur, unnest(a.nbrs) AS n(n)
+      JOIN adj pa ON pa.src = w.prev
+    ),
+    w_{t} AS MATERIALIZED (
+      SELECT walk_id, cur AS prev, n AS cur FROM (
+        SELECT walk_id, cur, n,
+               row_number() OVER (
+                 PARTITION BY walk_id
+                 ORDER BY (-ln((('0x' || substr(md5(walk_id || ':{t}:{seed}:'
+                                                    || n), 1, 15))::BIGINT
+                                + 1) / {two60})) / wt, n
+               ) AS rn
+        FROM c_{t}
+      ) WHERE rn = 1
+    )"""
+    sql += "\n    SELECT walk_id, 0 AS step, cur AS vertex FROM w_0"
+    for t in range(1, length + 1):
+        sql += (
+            f"\n    UNION ALL SELECT walk_id, {t} AS step, cur FROM w_{t}"
+        )
+    return sql
+
+
+@register("q_biased_walks", _biased_walks_oracle_sql(3))
+def q_biased_walks(spark, sf_dir):
+    """G18b node2vec-biased walk corpus (p=2, q=0.5 — the
+    community-exploring setting) over the symmetrized window-1
+    adjacency graph, value-checked round for round against the 3-step
+    unrolled DuckDB replay of the same exponential-race rule.  The
+    window-1 graph, not the all-pairs one: on the near-complete
+    fixture co-occurrence graph every candidate is adjacent to prev
+    and the bias never fires."""
+    from sparkgatha.extract import extract_adjacency_edges, symmetrize
+    from sparkgatha.graph.walks import biased_walks
+
+    d = _t(spark, sf_dir, "documents")
+    edges = symmetrize(extract_adjacency_edges(d))
+    return biased_walks(
+        edges, length=3, p=2.0, q=0.5, walks_per_vertex=1, seed=0
+    )
+
+
 @register("q_random_walks", _walks_oracle_sql(4))
 def q_random_walks(spark, sf_dir):
     """G18 deterministic random-walk corpus (DeepWalk-style training

@@ -263,6 +263,17 @@ def test_cli_construct_and_query(spark, tmp_path):
     assert walks.filter(F.size("terms") != 6).count() == 0
     assert (
         cli.main(
+            ["walks", "--graph", str(tmp_path / "g"), "--out",
+             str(tmp_path / "w2"), "--length", "5", "--p", "2.0",
+             "--q", "0.5"]
+        )
+        == 0
+    )
+    bw = spark.read.parquet(str(tmp_path / "w2"))
+    assert bw.count() == walks.count()  # same starts, full length
+    assert bw.filter(F.size("terms") != 6).count() == 0
+    assert (
+        cli.main(
             ["profile", "--graph", str(tmp_path / "g"), "--out",
              str(tmp_path / "p")]
         )

@@ -1837,3 +1837,99 @@ def test_powerlaw_alpha_matches_pure_python_mle(spark):
 
     with pytest.raises(ValueError):
         powerlaw_alpha(e, dmin=0)
+
+
+def test_biased_walks_match_pure_python_replay(spark):
+    """node2vec-biased walks equal a pure-Python replay of the exact
+    rule (first-order step 1, exponential-race steps ≥ 2) on a graph
+    where all three weight classes fire; every hop follows an edge;
+    guards validate."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from sparkgatha.graph.walks import biased_walks
+
+    # two triangles joined by a bridge: returns, triangle moves, and
+    # explore moves all occur
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], ["src", "dst"]
+    )
+    p_, q_, seed, length = 2.0, 0.5, 7, 4
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(str(a), set()).add(str(b))
+    nbrs = {v: sorted(ns) for v, ns in adj.items()}
+
+    expect = {}
+    for v in nbrs:
+        wid = f"{v}#0"
+        seq = [v]
+        cur = nbrs[v][md5int(f"{wid}:1:{seed}") % len(nbrs[v])]
+        seq.append(cur)
+        prev = v
+        for t in range(2, length + 1):
+            best = None
+            for n in nbrs[cur]:
+                if n == prev:
+                    w = 1.0 / p_
+                elif n in adj[prev]:
+                    w = 1.0
+                else:
+                    w = 1.0 / q_
+                u = (md5int(f"{wid}:{t}:{seed}:{n}") + 1) / float(1 << 60)
+                k = (-math.log(u)) / w
+                if best is None or (k, n) < best:
+                    best = (k, n)
+            prev, cur = cur, best[1]
+            seq.append(cur)
+        expect[wid] = seq
+
+    got = {}
+    for r in biased_walks(edges, length=length, p=p_, q=q_, seed=seed).collect():
+        got.setdefault(r.walk_id, {})[r.step] = r.vertex
+    assert set(got) == set(expect)
+    for wid, seq in expect.items():
+        assert [got[wid][t] for t in range(length + 1)] == seq, wid
+        for t in range(1, length + 1):
+            assert seq[t] in adj[seq[t - 1]], (wid, t)
+
+    for bad in (dict(p=0.0), dict(q=-1.0), dict(length=0)):
+        with pytest.raises(ValueError):
+            kw = dict(length=2, p=1.0, q=1.0)
+            kw.update(bad)
+            biased_walks(edges, **kw)
+
+
+def test_biased_walks_p_bias_changes_return_rate(spark):
+    """A tiny p (return-loving) produces more immediate backtracks than
+    a huge p on the same graph and seed — the bias is live, not
+    decorative."""
+    from sparkgatha.graph.walks import biased_walks
+
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (1, 4)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], ["src", "dst"]
+    )
+
+    def returns(p):
+        rows = biased_walks(edges, length=6, p=p, q=1.0, seed=0).collect()
+        w = {}
+        for r in rows:
+            w.setdefault(r.walk_id, {})[r.step] = r.vertex
+        return sum(
+            1
+            for seq in w.values()
+            for t in range(2, 7)
+            if t in seq and seq[t] == seq[t - 2]
+        )
+
+    assert returns(0.0625) > returns(16.0)
