@@ -218,6 +218,7 @@ def main() -> None:
         "q_bpe_encode",
         "q_powerlaw_alpha",
         "q_biased_walks",
+        "q_kmeans",
     ):
         if name in reg:
             fn = reg[name]

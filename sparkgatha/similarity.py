@@ -492,3 +492,186 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(e, k=5).select(
         "qid", "nid", F.round("cos", 6).alias("cos")
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(assignments, centroids): ``rounds`` synchronous Lloyd
+    iterations of k-means over an embedding column — the training step
+    behind the IVF index (ivf_centroids picks seeds only; this is the
+    full refinement loop) and the standard corpus-clustering pass for
+    topic balancing / dedup stratification.
+
+    Deterministic across engines, retries, and partitionings:
+
+    * seeds = the k vectors with the smallest md5int(vec_id) (the
+      IVF seed convention), cluster ids 0..k−1 in that order;
+    * assignment = argmin over the k centroids of the Euclidean
+      distance ROUNDED to 8 decimals, ties broken by cluster id —
+      rounding makes the comparison identical in Spark and DuckDB
+      despite their different summation internals;
+    * update = per-coordinate mean ROUNDED to 6 decimals (empty
+      clusters keep their previous centroid), so every round's
+      centroid literals are bit-identical in both engines.
+
+    Scale shape (the Lloyd classic): centroids are a k·d driver-side
+    artifact BY DEFINITION, so each round is one bounded k·d collect +
+    a map-only literal-expression assignment (NO join — the centroid
+    array rides the plan as literals, the q_lm_perplexity pattern) +
+    one partial-aggregable groupBy with d element-wise sum aggregates
+    (no coordinate explode: a 10^9-row corpus shuffles k·d doubles,
+    not 10^9·d rows).  The input projection is persisted once across
+    the rounds.
+
+    Returns (assignments DataFrame (id, cluster int), centroids list
+    of k lists) — the assignment is the final round's, computed
+    against the last UPDATED centroids' predecessors exactly like the
+    unrolled oracle.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from sparkgatha.util import md5_long
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    ev = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        seeds = (
+            ev.orderBy(md5_long(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k)
+            .collect()
+        )
+        if len(seeds) < k:
+            raise ValueError(
+                f"k={k} exceeds the corpus size {len(seeds)}"
+            )
+        cents = [[round(x, 6) for x in r["v"]] for r in seeds]
+        dim = len(cents[0])
+        assign = None
+        for r in range(1, rounds + 1):
+            choices = F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            F.sqrt(
+                                F.aggregate(
+                                    F.zip_with(
+                                        "v",
+                                        F.array(*[F.lit(x) for x in c]),
+                                        lambda a, b: (a - b) * (a - b),
+                                    ),
+                                    F.lit(0.0),
+                                    lambda s, x: s + x,
+                                )
+                            ),
+                            8,
+                        ).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, c in enumerate(cents)
+                ]
+            )
+            assign = ev.select(
+                "vec_id",
+                F.array_min(choices).getField("cid").alias("cluster"),
+                "v",
+            )
+            if r == rounds:
+                break
+            stats = (
+                assign.groupBy("cluster")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            got = {
+                row["cluster"]: [
+                    round(row[f"s{i}"] / row["n"], 6) for i in range(dim)
+                ]
+                for row in stats
+            }
+            cents = [got.get(cid, cents[cid]) for cid in range(k)]
+        out = assign.select("vec_id", "cluster").localCheckpoint(eager=True)
+    finally:
+        ev.unpersist()
+    return out, cents
+
+
+def _kmeans_oracle_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
+    """Unrolled DuckDB mirror of ``kmeans_lloyd``: md5-ranked seeds,
+    per-round argmin over round(list_distance, 8) with cid tie-break,
+    per-coordinate avg re-listed in coordinate order and rounded to 6
+    (empty clusters keep the previous centroid) — the same rounding
+    boundaries as the Spark side, so every round's centroids are
+    identical doubles in both engines."""
+    sql = f"""
+    WITH ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (
+               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                        vec_id
+             ) - 1 AS cid,
+             list_transform(v, x -> round(x, 6)) AS c
+      FROM ev
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      LIMIT {k}
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, cid, v FROM (
+        SELECT e.vec_id, c.cid, e.v,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_distance(e.v, c.c), 8), c.cid
+               ) AS rn
+        FROM ev e CROSS JOIN c{r - 1} c
+      ) WHERE rn = 1
+    )"""
+        if r < rounds:
+            sql += f""",
+    m{r} AS (
+      SELECT cid, i.i, avg(v[i.i]) AS mx
+      FROM a{r}, unnest(range(1, {dim + 1})) AS i(i)
+      GROUP BY cid, i.i
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT cid, list(round(mx, 6) ORDER BY i) AS c
+      FROM m{r} GROUP BY cid
+      UNION ALL
+      SELECT p.cid, p.c FROM c{r - 1} p
+      WHERE p.cid NOT IN (SELECT cid FROM m{r})
+    )"""
+    sql += f"""
+    SELECT vec_id, cid AS cluster FROM a{rounds}
+    """
+    return sql
+
+
+@register("q_kmeans", _kmeans_oracle_sql(4, 3, 64))
+def q_kmeans(spark, sf_dir):
+    """3 Lloyd rounds of k-means (k=4) over the embeddings table — the
+    IVF training loop as a first-class operator; the final assignment
+    is value-checked vec-for-vec against the DuckDB replay that unrolls
+    every seed pick, argmin, and rounded centroid update."""
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=4, rounds=3)[0]
