@@ -44,6 +44,49 @@ from pyspark.storagelevel import StorageLevel
 from sparkgatha.util import md5_long as _md5int, no_aqe
 
 
+def _adjacency_table(edges: DataFrame, max_neighbors: int | None):
+    """The shared CSR-shaped walk adjacency: one row per vertex with
+    its sorted (optionally capped) distinct neighbor array and degree,
+    on the stationary hash(src) layout, persisted.  Both walk flavors
+    and their DuckDB oracles depend on this EXACT build (sort order,
+    cap slice), so it lives in one place.  Caller unpersists."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nbrs = F.sort_array(F.collect_set("dst"))
+    if max_neighbors is not None:
+        nbrs = F.slice(nbrs, 1, max_neighbors)
+    return (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(nbrs.alias("nbrs"))
+        .withColumn("deg", F.size("nbrs"))
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _init_frontier(adj: DataFrame, walks_per_vertex: int) -> DataFrame:
+    """walk_id = <start>#<i> for every vertex with out-edges — the
+    shared step-0 frontier (walk_id, cur), eagerly checkpointed."""
+    spark = adj.sparkSession
+    replicas = spark.range(walks_per_vertex).select(
+        F.col("id").cast("int").alias("i")
+    )
+    return (
+        adj.select(F.col("src").alias("v"))
+        .crossJoin(F.broadcast(replicas))
+        .select(
+            F.concat_ws(
+                "#", F.col("v").cast("string"), F.col("i").cast("string")
+            ).alias("walk_id"),
+            F.col("v").alias("cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def random_walks(
     edges: DataFrame,
     length: int,
@@ -69,37 +112,11 @@ def random_walks(
     if max_neighbors is not None and max_neighbors < 1:
         raise ValueError(f"max_neighbors must be >= 1, got {max_neighbors}")
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with no_aqe(spark):
-        nbrs = F.sort_array(F.collect_set("dst"))
-        if max_neighbors is not None:
-            nbrs = F.slice(nbrs, 1, max_neighbors)
         # one row per vertex (A4 CSR shape), stationary hash(src) layout
-        adj = (
-            edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .groupBy("src")
-            .agg(nbrs.alias("nbrs"))
-            .withColumn("deg", F.size("nbrs"))
-            .repartition(n_part, "src")
-            .sortWithinPartitions("src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        adj = _adjacency_table(edges, max_neighbors)
         try:
-            starts = adj.select(F.col("src").alias("v"))
-            replicas = spark.range(walks_per_vertex).select(
-                F.col("id").cast("int").alias("i")
-            )
-            frontier = (
-                starts.crossJoin(F.broadcast(replicas))
-                .select(
-                    F.concat_ws(
-                        "#", F.col("v").cast("string"), F.col("i").cast("string")
-                    ).alias("walk_id"),
-                    F.col("v").alias("cur"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            frontier = _init_frontier(adj, walks_per_vertex)
             out = frontier.select(
                 "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
             )
@@ -170,8 +187,20 @@ def biased_walks(
     prev's neighbor array for the adjacency test and partial-aggs the
     argmin per walk.  ``max_neighbors`` is therefore not just a memory
     guard here but the hub COST cap: a walk landing on a 10^6-degree
-    hub costs max_neighbors rows, not 10^6.  The adjacency-list table
-    keeps the stationary hash(src) layout and is persisted once.
+    hub costs max_neighbors rows, not 10^6.  The prev-adjacency array
+    joins the ONE-row-per-walk frontier BEFORE the candidate explode,
+    so a hub prev's array ships once per walk-step, not once per
+    candidate.  The adjacency-list table keeps the stationary
+    hash(src) layout and is persisted once.
+
+    Cap semantics: under ``max_neighbors`` the adjacency TEST sees the
+    same capped sorted list as candidate generation, so a true
+    triangle closure whose third vertex sorts beyond prev's cap races
+    as explore (1/q) instead of 1 — a deterministic approximation of
+    the node2vec bias on capped-degree vertices, chosen over an
+    uncapped test array because an uncapped hub array is exactly what
+    the cap exists to keep out of the aggregation buffers.  Uncapped
+    runs are exact.
     """
     if length < 1:
         raise ValueError(f"length must be >= 1, got {length}")
@@ -185,37 +214,11 @@ def biased_walks(
         raise ValueError(f"max_neighbors must be >= 1, got {max_neighbors}")
     w_ret, w_in, w_out = 1.0 / p, 1.0, 1.0 / q
     spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with no_aqe(spark):
-        nbrs = F.sort_array(F.collect_set("dst"))
-        if max_neighbors is not None:
-            nbrs = F.slice(nbrs, 1, max_neighbors)
-        adj = (
-            edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .groupBy("src")
-            .agg(nbrs.alias("nbrs"))
-            .withColumn("deg", F.size("nbrs"))
-            .repartition(n_part, "src")
-            .sortWithinPartitions("src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        adj = _adjacency_table(edges, max_neighbors)
         pn = adj.select(F.col("src").alias("prev"), F.col("nbrs").alias("pn"))
         try:
-            starts = adj.select(F.col("src").alias("v"))
-            replicas = spark.range(walks_per_vertex).select(
-                F.col("id").cast("int").alias("i")
-            )
-            frontier = (
-                starts.crossJoin(F.broadcast(replicas))
-                .select(
-                    F.concat_ws(
-                        "#", F.col("v").cast("string"), F.col("i").cast("string")
-                    ).alias("walk_id"),
-                    F.col("v").alias("cur"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            frontier = _init_frontier(adj, walks_per_vertex)
             out = frontier.select(
                 "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
             )
@@ -239,12 +242,16 @@ def biased_walks(
                 )
             )
             for t in range(2, length + 1):
+                # pn joins the ONE-row-per-walk frontier BEFORE the
+                # candidate explode: a hub prev's array crosses the
+                # shuffle once per walk, not once per candidate row
                 cand = (
-                    frontier.join(adj, frontier.cur == adj.src)
+                    frontier.join(pn, "prev")
+                    .join(adj, frontier.cur == adj.src)
                     .select(
-                        "walk_id", "prev", "cur", F.explode("nbrs").alias("n")
+                        "walk_id", "prev", "cur", "pn",
+                        F.explode("nbrs").alias("n"),
                     )
-                    .join(pn, "prev")
                 )
                 wt = (
                     F.when(F.col("n") == F.col("prev"), F.lit(w_ret))

@@ -494,6 +494,24 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def _round_away(x: float, d: int) -> float:
+    """Driver-side decimal rounding that mirrors DuckDB's DOUBLE
+    ``round()``: scale by 10^d, round half AWAY from zero on the
+    scaled double, unscale.  Python's built-in round() is banker's
+    (half-even) over the exact decimal expansion — a DIFFERENT
+    function at representable midpoints (33/128 = 0.2578125 rounds to
+    .257812 in Python but .257813 in DuckDB, verified empirically), so
+    centroid literals built with round() would break kmeans_lloyd's
+    bit-identical-across-engines guarantee exactly at the float32
+    values most likely to be midpoints."""
+    import math
+
+    s = x * (10.0 ** d)
+    return (
+        math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)
+    ) / (10.0 ** d)
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     k: int = 4,
@@ -515,7 +533,9 @@ def kmeans_lloyd(
       distance ROUNDED to 8 decimals, ties broken by cluster id —
       rounding makes the comparison identical in Spark and DuckDB
       despite their different summation internals;
-    * update = per-coordinate mean ROUNDED to 6 decimals (empty
+    * update = per-coordinate mean ROUNDED to 6 decimals with the
+      DuckDB rule — scaled half-away-from-zero (_round_away), NOT
+      Python's half-even round() — (empty
       clusters keep their previous centroid), so every round's
       centroid literals are bit-identical in both engines.
 
@@ -557,7 +577,7 @@ def kmeans_lloyd(
             raise ValueError(
                 f"k={k} exceeds the corpus size {len(seeds)}"
             )
-        cents = [[round(x, 6) for x in r["v"]] for r in seeds]
+        cents = [[_round_away(x, 6) for x in r["v"]] for r in seeds]
         dim = len(cents[0])
         assign = None
         for r in range(1, rounds + 1):
@@ -603,7 +623,8 @@ def kmeans_lloyd(
             )
             got = {
                 row["cluster"]: [
-                    round(row[f"s{i}"] / row["n"], 6) for i in range(dim)
+                    _round_away(row[f"s{i}"] / row["n"], 6)
+                    for i in range(dim)
                 ]
                 for row in stats
             }

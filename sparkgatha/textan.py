@@ -767,15 +767,21 @@ def _bpe_chain_sql(
       SELECT x, y, pc FROM p{r} ORDER BY pc DESC, x, y LIMIT 1
     )""")
         if r < rounds or rewrite_last:
+            # an exhausted round (empty b{r}) must leave seq UNCHANGED
+            # — a bare replace against the empty scalar subquery would
+            # NULL every seq, the SQL twin of the Spark-side
+            # NULL-poisoning bug bpe_merges' exhaustion break fixed
             parts.append(f""",
     s{r} AS MATERIALIZED (
-      SELECT {wcol}replace(
-               seq,
-               ' ' || (SELECT x FROM b{r}) || '  '
-                   || (SELECT y FROM b{r}) || ' ',
-               ' ' || (SELECT x FROM b{r})
-                   || (SELECT y FROM b{r}) || ' '
-             ) AS seq, cnt
+      SELECT {wcol}CASE
+               WHEN (SELECT count(*) FROM b{r}) = 0 THEN seq
+               ELSE replace(
+                 seq,
+                 ' ' || (SELECT x FROM b{r}) || '  '
+                     || (SELECT y FROM b{r}) || ' ',
+                 ' ' || (SELECT x FROM b{r})
+                     || (SELECT y FROM b{r}) || ' '
+               ) END AS seq, cnt
       FROM s{r - 1}
     )""")
     return "".join(parts)

@@ -325,8 +325,10 @@ def test_kmeans_matches_pure_python_lloyd(spark):
             e.embedding.cast("array<double>").alias("embedding"),
         ).collect()
     }
+    from sparkgatha.similarity import _round_away
+
     order = sorted(vecs, key=lambda i: (md5int(str(i)), i))
-    cents = [[round(x, 6) for x in vecs[i]] for i in order[:k]]
+    cents = [[_round_away(x, 6) for x in vecs[i]] for i in order[:k]]
     assign = {}
     for r in range(1, rounds + 1):
         for i, v in vecs.items():
@@ -348,7 +350,7 @@ def test_kmeans_matches_pure_python_lloyd(spark):
             if members:
                 new.append(
                     [
-                        round(sum(col) / len(members), 6)
+                        _round_away(sum(col) / len(members), 6)
                         for col in zip(*members)
                     ]
                 )
@@ -356,7 +358,7 @@ def test_kmeans_matches_pure_python_lloyd(spark):
                 new.append(cents[cid])
         cents = new
     assert got == assign
-    assert [[round(x, 6) for x in c] for c in got_cents] == cents
+    assert got_cents == cents
     # non-trivial and deterministic (k-means may legitimately split a
     # planted blob from unlucky seeds, so exact blob recovery is NOT
     # asserted — the pure-Python equality above pins the semantics)

@@ -1933,3 +1933,65 @@ def test_biased_walks_p_bias_changes_return_rate(spark):
         )
 
     assert returns(0.0625) > returns(16.0)
+
+
+def test_biased_walks_max_neighbors_capped_replay(spark):
+    """Under max_neighbors both candidate generation AND the
+    prev-adjacency test see the same capped sorted list (the documented
+    deterministic approximation) — the pure-Python replay with capped
+    lists matches exactly."""
+    import hashlib
+    import math
+
+    from sparkgatha.graph.walks import biased_walks
+
+    # vertex "0" has 6 neighbors; cap at 3 so the test array truncates
+    und = [("0", c) for c in "abcdef"] + [
+        ("a", "b"), ("c", "d"), ("e", "f"), ("b", "c"), ("d", "e")
+    ]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    p_, q_, seed, length, cap = 2.0, 0.5, 1, 3, 3
+
+    def md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    full = {}
+    for a, b in pairs:
+        full.setdefault(a, set()).add(b)
+    nbrs = {v: sorted(ns)[:cap] for v, ns in full.items()}
+    capped_adj = {v: set(ns) for v, ns in nbrs.items()}
+
+    expect = {}
+    for v in nbrs:
+        wid = f"{v}#0"
+        seq = [v]
+        cur = nbrs[v][md5int(f"{wid}:1:{seed}") % len(nbrs[v])]
+        seq.append(cur)
+        prev = v
+        for t in range(2, length + 1):
+            best = None
+            for n in nbrs[cur]:
+                if n == prev:
+                    w = 1.0 / p_
+                elif n in capped_adj[prev]:
+                    w = 1.0
+                else:
+                    w = 1.0 / q_
+                u = (md5int(f"{wid}:{t}:{seed}:{n}") + 1) / float(1 << 60)
+                k = (-math.log(u)) / w
+                if best is None or (k, n) < best:
+                    best = (k, n)
+            prev, cur = cur, best[1]
+            seq.append(cur)
+        expect[wid] = seq
+
+    got = {}
+    rows = biased_walks(
+        edges, length=length, p=p_, q=q_, seed=seed, max_neighbors=cap
+    ).collect()
+    for r in rows:
+        got.setdefault(r.walk_id, {})[r.step] = r.vertex
+    assert set(got) == set(expect)
+    for wid, seq in expect.items():
+        assert [got[wid][t] for t in range(length + 1)] == seq, wid

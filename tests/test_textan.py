@@ -256,3 +256,39 @@ def test_bpe_encode_matches_pure_python_reference(spark):
     # zero rules: every word encodes to its characters
     chars = {r.w: r.n_syms for r in bpe_encode_vocab(docs, []).collect()}
     assert chars == {w: len(w) for w in words}
+
+
+def test_bpe_oracles_handle_exhaustion_like_spark(spark):
+    """On a corpus with fewer merges than rounds, both DuckDB oracles
+    (training and encode) agree with the Spark side instead of
+    NULL-poisoning the exhausted rounds."""
+    import duckdb
+
+    from sparkgatha.textan import (
+        _BPE_ENCODE_ORACLE,
+        _bpe_oracle_sql,
+        bpe_encode,
+        bpe_merges,
+    )
+
+    docs = [(1, "ab ab"), (2, "ab")]
+    d = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in docs)
+                + ") AS t(doc_id, text)")
+
+    # training: one merge exists; both sides emit exactly one rule
+    got_m = [(r.rnd, r.left_sym, r.right_sym, r.pair_count)
+             for r in bpe_merges(d, rounds=3).orderBy("rnd").collect()]
+    ora_m = con.execute(_bpe_oracle_sql(3)).fetchall()
+    assert got_m == [(1, "a", "b", 3)] and sorted(ora_m) == got_m
+
+    # encode: the learned 1-rule prefix encodes every word to 1 symbol
+    rules = [(x, y) for _, x, y, _ in got_m]
+    got_e = sorted(
+        (r.doc_id, r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode(d, rules).collect()
+    )
+    ora_e = sorted(con.execute(_BPE_ENCODE_ORACLE).fetchall())
+    assert got_e == [(1, 2, 2), (2, 1, 1)] and ora_e == got_e
