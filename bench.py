@@ -219,6 +219,7 @@ def main() -> None:
         "q_powerlaw_alpha",
         "q_biased_walks",
         "q_kmeans",
+        "q_bm25",
     ):
         if name in reg:
             fn = reg[name]

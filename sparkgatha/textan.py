@@ -900,3 +900,146 @@ def q_bpe_encode(spark, sf_dir):
         for r in bpe_merges(d, rounds=3).orderBy("rnd").collect()
     ]
     return bpe_encode(d, rules)
+
+
+def bm25_scores(
+    docs,
+    query_terms,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(id, score): Okapi BM25 relevance of every matching document for
+    a bag of query terms (Robertson & Zaragoza 2009; the Lucene idf
+    variant ln(1 + (N − df + ½)/(df + ½)), which is always ≥ 0) — the
+    standard retrieval scorer a corpus-curation pipeline uses for
+    topic-targeted slicing and search-style QA checks.
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: one tokenize/explode pass; the query-term table is a
+    broadcast semi-filter, so only matching (doc, term) rows survive to
+    the two partial-aggregable groupBys (tf per doc-term, df per term);
+    N and avgdl are 1-row scalars riding a broadcast crossJoin (the G4
+    dangling pattern).  avgdl is computed as exact-integer
+    sum(dl)/count so both engines see the identical double; no window,
+    no Python, no driver collect.
+    """
+    if k1 < 0 or not (0 <= b <= 1):
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    spark = docs.sparkSession
+    qt = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in sorted(set(query_terms))], "t STRING"
+        )
+    )
+    toks = ws_tokens(text_col)
+    dlens = docs.select(
+        F.col(id_col).alias("_id"), F.size(toks).alias("dl")
+    ).localCheckpoint(eager=False)  # feeds scalars AND the score join
+    scalars = F.broadcast(
+        dlens.agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum("dl").cast("double") / F.count("*")
+            ).alias("avgdl"),
+        )
+    )
+    ct = docs.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("t")
+    ).join(qt, "t")
+    tf = ct.groupBy("_id", "t").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    return (
+        tf.join(F.broadcast(df), "t")
+        .join(dlens, "_id")
+        .crossJoin(scalars)
+        .select(
+            "_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + k1c
+                    * (
+                        F.lit(1.0)
+                        - bc
+                        + bc * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+        .groupBy("_id")
+        .agg(F.sum("s").alias("score"))
+        .select(F.col("_id").alias(id_col), "score")
+    )
+
+
+@register(
+    "q_bm25",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS dl FROM documents
+    ),
+    sc AS (
+      SELECT count(*) AS n_docs,
+             sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl
+    ),
+    ct AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    qt AS (
+      SELECT t FROM (
+        SELECT t, count(*) AS c FROM ct GROUP BY t
+        ORDER BY c DESC, t ASC LIMIT 3
+      )
+    ),
+    tf AS (
+      SELECT ct.doc_id, ct.t, count(*) AS tf
+      FROM ct JOIN qt ON qt.t = ct.t
+      GROUP BY ct.doc_id, ct.t
+    ),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+    SELECT tf.doc_id,
+           round(sum(ln(1.0 + (sc.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / sc.avgdl))), 8)
+             AS score
+    FROM tf
+    JOIN df ON df.t = tf.t
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN sc
+    GROUP BY tf.doc_id
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 scores for the corpus's 3 most-frequent tokens (count desc,
+    term asc — deterministic both engines), value-checked per document
+    against DuckDB's identical formula; round(,8) absorbs the ≤3-term
+    summation order."""
+    d = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    top = [
+        r["t"]
+        for r in (
+            d.select(F.explode(toks).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("t").asc())
+            .limit(3)
+            .collect()
+        )
+    ]
+    out = bm25_scores(d, top)
+    return out.select("doc_id", F.round("score", 8).alias("score"))

@@ -292,3 +292,46 @@ def test_bpe_oracles_handle_exhaustion_like_spark(spark):
     )
     ora_e = sorted(con.execute(_BPE_ENCODE_ORACLE).fetchall())
     assert got_e == [(1, 2, 2), (2, 1, 1)] and ora_e == got_e
+
+
+def test_bm25_matches_hand_formula_and_ranks_sensibly(spark):
+    """Scores equal the hand-computed Okapi formula to fp precision; a
+    doc with more query-term hits outranks a longer doc with fewer; the
+    guards validate."""
+    import math
+
+    import pytest
+
+    from sparkgatha.textan import bm25_scores
+
+    docs = [
+        (1, "apple apple banana"),
+        (2, "apple pear pear pear pear pear"),
+        (3, "kiwi kiwi kiwi"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = {r.doc_id: r.score for r in bm25_scores(d, ["apple", "banana"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+
+    n_docs, k1, b = 3, 1.2, 0.75
+    dls = {i: len(t.split()) for i, t in docs}
+    avgdl = sum(dls.values()) / n_docs
+    df = {"apple": 2, "banana": 1}
+
+    def idf(t):
+        return math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+
+    def score(doc_id, tfs):
+        return sum(
+            idf(t) * tf / (tf + k1 * (1 - b + b * dls[doc_id] / avgdl))
+            for t, tf in tfs.items()
+        )
+
+    assert abs(got[1] - score(1, {"apple": 2, "banana": 1})) < 1e-12
+    assert abs(got[2] - score(2, {"apple": 1})) < 1e-12
+    assert got[1] > got[2]
+
+    with pytest.raises(ValueError):
+        bm25_scores(d, [])
+    with pytest.raises(ValueError):
+        bm25_scores(d, ["apple"], b=1.5)
