@@ -220,6 +220,7 @@ def main() -> None:
         "q_biased_walks",
         "q_kmeans",
         "q_bm25",
+        "q_semdedup",
     ):
         if name in reg:
             fn = reg[name]

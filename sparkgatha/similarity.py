@@ -635,13 +635,15 @@ def kmeans_lloyd(
     return out, cents
 
 
-def _kmeans_oracle_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
-    """Unrolled DuckDB mirror of ``kmeans_lloyd``: md5-ranked seeds,
-    per-round argmin over round(list_distance, 8) with cid tie-break,
-    per-coordinate avg re-listed in coordinate order and rounded to 6
-    (empty clusters keep the previous centroid) — the same rounding
-    boundaries as the Spark side, so every round's centroids are
-    identical doubles in both engines."""
+def _kmeans_cte_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
+    """The unrolled DuckDB CTE chain mirroring ``kmeans_lloyd`` —
+    md5-ranked seeds, per-round argmin over round(list_distance, 8)
+    with cid tie-break, per-coordinate avg re-listed in coordinate
+    order and rounded to 6 (empty clusters keep the previous centroid)
+    — the same rounding boundaries as the Spark side, so every round's
+    centroids are identical doubles in both engines.  Ends at
+    ``a{rounds}`` (the final assignment) so q_kmeans and q_semdedup
+    share one replay."""
     sql = f"""
     WITH ev AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -682,10 +684,16 @@ def _kmeans_oracle_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
       SELECT p.cid, p.c FROM c{r - 1} p
       WHERE p.cid NOT IN (SELECT cid FROM m{r})
     )"""
-    sql += f"""
+    return sql
+
+
+def _kmeans_oracle_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
+    return (
+        _kmeans_cte_sql(k, rounds, dim)
+        + f"""
     SELECT vec_id, cid AS cluster FROM a{rounds}
     """
-    return sql
+    )
 
 
 @register("q_kmeans", _kmeans_oracle_sql(4, 3, 64))
@@ -696,3 +704,114 @@ def q_kmeans(spark, sf_dir):
     every seed pick, argmin, and rounded centroid update."""
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_lloyd(e, k=4, rounds=3)[0]
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """(vec_id, cluster, kept): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, arXiv:2303.09540) — k-means the embedding
+    space, then look for near-duplicate pairs ONLY within each cluster
+    cell and drop all but one representative per duplicate pair.
+
+    This is the documented scale path for embedding-cosine dedup: the
+    standalone all-pairs form (dedup.q_dedup_embed_cosine) is O(n²)
+    and guarded; here the quadratic work is Σ|cell|², bounded by
+    sizing k so cells stay small (the paper runs 50k clusters over
+    600M embeddings — cells of ~10⁴).  ``max_cell`` makes that sizing
+    contract explicit: the largest cell is checked with one bounded
+    agg and the call RAISES with the k-sizing hint instead of silently
+    launching a quadratic join.
+
+    Deterministic keep rule (cross-engine, retry-stable): within a
+    cell, a vector is REMOVED iff some other vector with a smaller
+    vec_id in the same cell has round(cosine, 6) >= threshold — "keep
+    the earliest of every near-dup pair".  Chains over-remove slightly
+    vs the paper's greedy scan (b removed by a, c removed by b even
+    though b is gone), but the rule is a pure EXISTS both engines
+    evaluate identically — no sequential state.
+
+    Scale shape: kmeans_lloyd's map-only assignment (centroids ride as
+    literals), then ONE hash-partitioned self-join keyed on the
+    cluster id — co-located, no broadcast of the big side — with the
+    cheap id inequality + cosine filter inside the join, then an
+    anti-join back onto the assignment.  Cosine is a JVM fold over the
+    double arrays (no Python).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    assign, _cents = kmeans_lloyd(
+        embeddings, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col
+    )
+    top = (
+        assign.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if top > max_cell:
+        raise ValueError(
+            f"largest k-means cell has {top} vectors > max_cell="
+            f"{max_cell}; raise k (cells should stay ~1e4 as in "
+            "SemDeDup) or raise max_cell explicitly"
+        )
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    av = assign.join(ev, "vec_id")
+    a, b = av.alias("a"), av.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(
+            removed.withColumn("_rm", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+@register(
+    "q_semdedup",
+    _kmeans_cte_sql(4, 3, 64)
+    + """,
+    asg AS (SELECT vec_id, cid AS cluster, v FROM a3),
+    removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    )
+    SELECT vec_id, cluster,
+           vec_id NOT IN (SELECT vec_id FROM removed) AS kept
+    FROM asg
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup over the embeddings table: the q_kmeans
+    cells (k=4, 3 Lloyd rounds) scope the pair search, cosine >= 0.35
+    within a cell marks the later vec_id removed; per-vector
+    (cluster, kept) is value-checked against the DuckDB replay that
+    unrolls the full kmeans chain plus the within-cell EXISTS rule."""
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, k=4, rounds=3, threshold=0.35)

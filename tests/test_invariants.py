@@ -372,3 +372,52 @@ def test_kmeans_matches_pure_python_lloyd(spark):
         kmeans_lloyd(e, k=3, rounds=0)
     with pytest.raises(ValueError):
         kmeans_lloyd(e, k=100, rounds=1)
+
+
+def test_semdedup_keeps_earliest_and_guards(spark):
+    """Planted near-dup pairs: within a cell the smaller vec_id of a
+    >=threshold pair survives and every later member is dropped;
+    orthogonal vectors survive; the max_cell guard and threshold
+    validation raise instead of launching a quadratic join."""
+    import pytest
+
+    from sparkgatha.similarity import semdedup
+
+    rows = [
+        # blob A: three copies of the same direction (near-dups) plus
+        # a slightly rotated one still above the 0.9 threshold
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),  # same direction, different norm: cosine 1.0
+        (3, [1.0, 0.1]),
+        # blob B: orthogonal direction, mutually below threshold
+        # (cos((0,1),(-0.8,1)) = 1/sqrt(1.64) ≈ 0.781 < 0.9)
+        (10, [0.0, 1.0]),
+        (11, [-0.8, 1.0]),
+    ]
+    e = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in semdedup(e, k=2, rounds=2, threshold=0.9).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 10, 11}
+    # 0 is the earliest of the A near-dup group → kept; 1, 2, 3 are all
+    # >=0.9-cosine to an earlier same-cell member → removed
+    assert out[0] is True
+    assert out[1] is False and out[2] is False and out[3] is False
+    # B members sit below threshold to every earlier vector (within or
+    # across cells), so both survive whatever the cell layout
+    assert out[10] is True and out[11] is True
+    # rerun is deterministic
+    rerun = {
+        r.vec_id: r.kept
+        for r in semdedup(e, k=2, rounds=2, threshold=0.9).collect()
+    }
+    assert rerun == out
+    with pytest.raises(ValueError, match="max_cell"):
+        semdedup(e, k=1, rounds=1, threshold=0.9, max_cell=3)
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(e, k=2, threshold=0.0)
