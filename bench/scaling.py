@@ -45,10 +45,18 @@ from sparkgatha.graph.pagerank import pagerank, prepare_pagerank
 
 cpus = {cpus}
 n_edges = {edges}
+edges_path = {edges_path!r}
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus,
                   extra_conf={{"spark.ui.enabled": "false",
-                              "spark.driver.memory": "24g"}})
-e = powerlaw_edges(spark, n_edges, n_vertices={vertices}, num_partitions=cpus).localCheckpoint(eager=True)
+                              "spark.driver.memory": {driver_mem!r}}})
+if edges_path:
+    # pregenerated once at full parallelism (generation is mapInPandas
+    # work that would otherwise dominate a local[1] wall); the scan is
+    # outside the measured walls and prepare_pagerank persists/lays out
+    # the table itself, so no extra localCheckpoint copy is kept
+    e = spark.read.parquet(edges_path)
+else:
+    e = powerlaw_edges(spark, n_edges, n_vertices={vertices}, num_partitions=cpus).localCheckpoint(eager=True)
 m = e.count()
 prep = prepare_pagerank(e, num_partitions=cpus, strategy={strategy!r})  # layout: once, outside walls
 pagerank(prepared=prep, tol=0.0, max_iter=3, check_every=3)  # warm-up (JIT), discarded
@@ -60,6 +68,22 @@ print("RESULT " + json.dumps({{
     "edges_per_sec": round(m * r.iterations / total, 1),
     "walls": [round(w, 3) for w in r.superstep_wall_s],
 }}))
+spark.stop()
+"""
+
+GEN_SNIPPET = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from sparkgatha.session import get_spark
+from sparkgatha.synthetic import powerlaw_edges
+spark = get_spark("scaling-gen", master="local[{gen_cpus}]",
+                  shuffle_partitions={gen_cpus},
+                  extra_conf={{"spark.ui.enabled": "false",
+                              "spark.driver.memory": {driver_mem!r}}})
+e = powerlaw_edges(spark, {edges}, n_vertices={vertices},
+                   num_partitions={gen_cpus})
+e.write.mode("overwrite").parquet({edges_path!r})
+print("RESULT " + json.dumps({{"written": {edges_path!r}}}))
 spark.stop()
 """
 
@@ -122,7 +146,7 @@ print("RESULT " + json.dumps({{"iters_per_sec": round(sum(its) / wall, 1)}}))
 def run_snippet(code: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-u", "-c", code],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=5400,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -142,6 +166,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8,
                     help="base parallelism N; the cell pair is local[N] "
                          "vs local[4N] (the north rule's N->4N executors)")
+    ap.add_argument("--edges-path", default=None,
+                    help="parquet dir for the edge table; generated ONCE "
+                         "at --gen-cpus if absent, then every measured "
+                         "run reads it (mandatory for local[1]/local[2] "
+                         "cells at >1e8 edges, where in-run generation "
+                         "would dwarf the measured walls)")
+    ap.add_argument("--gen-cpus", type=int, default=32)
+    ap.add_argument("--driver-mem", default="24g",
+                    help="per-run JVM heap; raise so the edge layout "
+                         "NEVER spills — a local[1] spill inflates T(N) "
+                         "and would flatter the efficiency ratio")
     ap.add_argument("--skip-calibration", action="store_true")
     ap.add_argument("--skip-data-scaling", action="store_true")
     ap.add_argument("--skip-shuffle", action="store_true",
@@ -149,6 +184,14 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
     strategies = ("broadcast",) if args.skip_shuffle else ("broadcast", "shuffle")
+
+    if args.edges_path and not os.path.exists(args.edges_path):
+        print(f"pregenerating {args.edges:,} edges -> {args.edges_path}",
+              file=sys.stderr)
+        run_snippet(GEN_SNIPPET.format(
+            repo=REPO, gen_cpus=args.gen_cpus, edges=args.edges,
+            vertices=args.vertices, edges_path=args.edges_path,
+            driver_mem=args.driver_mem))
 
     # --- axis 1: host calibration ceilings -------------------------------
     lo, hi = args.cpus, 4 * args.cpus
@@ -177,7 +220,9 @@ def main() -> None:
             results = [
                 run_snippet(RUN_SNIPPET.format(
                     repo=REPO, cpus=cpus, edges=args.edges,
-                    vertices=args.vertices, strategy=strat))
+                    vertices=args.vertices, strategy=strat,
+                    edges_path=args.edges_path,
+                    driver_mem=args.driver_mem))
                 for _ in range(args.runs)
             ]
             tputs = sorted(r["edges_per_sec"] for r in results)
@@ -223,7 +268,8 @@ def main() -> None:
         bruns = [
             run_snippet(RUN_SNIPPET.format(
                 repo=REPO, cpus=hi, edges=big,
-                vertices=args.vertices, strategy=strat))
+                vertices=args.vertices, strategy=strat,
+                edges_path=None, driver_mem=args.driver_mem))
             for _ in range(args.runs)
         ]
         btputs = sorted(r["edges_per_sec"] for r in bruns)
