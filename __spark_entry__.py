@@ -114,13 +114,16 @@ PRIORITY_WINDOW = [
                             # adjacency build runs inside driver-green
                             # q_random_walks' indexed adjacency layout;
                             # q_adjacency stays in the replica)
-    "q_edge_similarity",    # SNN edge-strength profile (the adjacent-
-                            # pair dual of G14; rotated in r4
-                            # continuation displacing q_window_rank —
-                            # W1's ranking window is the same
-                            # row_number-over-partitioned-window
-                            # operator driver-green q_topk_per_group
-                            # runs; q_window_rank stays in the replica)
+    "q_semdedup",           # SemDeDup semantic dedup (k-means cells +
+                            # within-cell cosine threshold, the
+                            # embedding-space near-dup operator; rotated
+                            # in r4 eighth session displacing
+                            # q_edge_similarity — the SNN profile's
+                            # neighborhood-intersection/union machinery
+                            # is the same common-neighbor/jaccard
+                            # aggregation driver-green
+                            # q_linkpred_features value-checks;
+                            # q_edge_similarity stays in the replica)
     "q_harmonic",           # G24 bounded-hop harmonic centrality
                             # (rotated in r4 continuation displacing
                             # q_window_lag — W2's analytic window family
@@ -166,12 +169,17 @@ PRIORITY_WINDOW = [
                             # runs inside driver-green q_g7_triangles'
                             # closing-edge join; q_intersect stays in
                             # the replica)
-    "q_random_walks",       # G18 deterministic random-walk corpus
-                            # (rotated in r4 continuation displacing
-                            # q_except — U3's distinct-anti shape is
+    "q_biased_walks",       # G18b node2vec second-order biased walks
+                            # (strict superset of the uniform walk: the
+                            # p=q=1 case degenerates to G18's pick, and
+                            # the same indexed-adjacency layout +
+                            # per-step join machinery carries both;
+                            # rotated in r4 eighth session displacing
+                            # q_random_walks, which stays in the
+                            # replica.  The earlier q_except rationale
+                            # still holds: U3's distinct-anti shape is
                             # J5's driver-green left-anti plus the
-                            # distinct that runs inside every q_dedup*
-                            # key; q_except stays in the replica)
+                            # distinct inside every q_dedup* key)
     "q_clustering_coeff",   # G17 local clustering coefficient (rotated
                             # in r4 continuation displacing q_string —
                             # the §2.8 string family (split, lower,
@@ -200,12 +208,19 @@ PRIORITY_WINDOW = [
                             # exp, sqrt) runs inside many checked
                             # outputs: adamic_adar's ln, every rounded
                             # double; q_math stays in the replica)
-    "q_assortativity",      # G20 degree assortativity (rotated in r4
-                            # continuation displacing q_array_dot — the
-                            # §2.8 array family (aggregate, zip_with,
-                            # transform) runs inside driver-green
-                            # q_knn_topk_per_vec's checked cosine;
-                            # q_array_dot stays in the replica)
+    "q_bm25",               # Okapi BM25 ranking (tf/df/idf + length
+                            # normalization, value-checked per-doc;
+                            # rotated in r4 eighth session displacing
+                            # q_assortativity — G20's scalar
+                            # degree-degree Pearson rides the same
+                            # degree-join + moment-aggregate machinery
+                            # that stays driver-green inside
+                            # q_modularity's degree-product term and
+                            # q_clustering_coeff's degree pairing;
+                            # q_assortativity stays in the replica.
+                            # The §2.8 array-family note from the
+                            # q_array_dot rotation still holds via
+                            # q_knn_topk_per_vec's checked cosine)
     "q_json_props",         # §2.8 map/json + S3 (the conditional family
                             # q_case_when rotated out in r4 — CASE/WHEN
                             # coverage stays via q_filter/q_asof, which
@@ -221,16 +236,21 @@ PRIORITY_WINDOW = [
     "q_udf_group_zscore",   # F4 applyInPandas grouped map
     "q_udf_weighted_mean",  # F5 grouped-agg pandas UDF
     "q_udtf_split_terms",   # F6 UDTF + lateral join
-    "q_katz",               # G30 Katz centrality, unrolled affine
-                            # oracle (rotated in r4 continuation
-                            # displacing q_degrees — G3's degree
+    "q_kmeans",             # k-means Lloyd training over embeddings
+                            # (iterative assign/update with an unrolled
+                            # oracle — the first iterative-ML family
+                            # slot; rotated in r4 eighth session
+                            # displacing q_katz — Katz's damped
+                            # weighted-gather superstep is the same
+                            # affine iteration driver-checked three
+                            # other ways: q_eigenvector, q_hits, and
+                            # both PageRank keys' damping; q_katz stays
+                            # in the replica.  The earlier q_degrees
+                            # rationale still holds: G3's degree
                             # aggregation runs inside driver-green
-                            # q_assortativity / q_clustering_coeff /
-                            # q_linkpred_features degree joins and
-                            # q_g7's degree orientation; q_degrees
-                            # stays in the replica.  The F3 extractor
-                            # q_degrees also exercised runs inside
-                            # every q_g* key)
+                            # q_clustering_coeff / q_linkpred_features
+                            # degree joins and q_g7's degree
+                            # orientation)
     "q_modularity",         # G21 Newman–Girvan modularity of the
                             # near-dup cluster partition (full dedup
                             # pipeline + G5 closure + the Q aggregate,
