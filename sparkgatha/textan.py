@@ -921,10 +921,11 @@ def bm25_scores(
     Scale shape: one tokenize/explode pass; the query-term table is a
     broadcast semi-filter, so only matching (doc, term) rows survive to
     the two partial-aggregable groupBys (tf per doc-term, df per term);
-    N and avgdl are 1-row scalars riding a broadcast crossJoin (the G4
-    dangling pattern).  avgdl is computed as exact-integer
-    sum(dl)/count so both engines see the identical double; no window,
-    no Python, no driver collect.
+    N and avgdl are bounded 1-row driver scalars baked into the score
+    expression as literals (the kmeans-centroid class — a 1-row
+    crossJoin would plan as the BNLJ node the hygiene sweep bans).
+    avgdl is computed as exact-integer sum(dl)/count so both engines
+    see the identical double; no window, no Python in the plan.
     """
     if k1 < 0 or not (0 <= b <= 1):
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}")
@@ -940,14 +941,19 @@ def bm25_scores(
     dlens = docs.select(
         F.col(id_col).alias("_id"), F.size(toks).alias("dl")
     ).localCheckpoint(eager=False)  # feeds scalars AND the score join
-    scalars = F.broadcast(
-        dlens.agg(
-            F.count("*").alias("n_docs"),
-            (
-                F.sum("dl").cast("double") / F.count("*")
-            ).alias("avgdl"),
-        )
-    )
+    # N / avgdl as bounded 1-row driver scalars baked in as literals
+    # (the kmeans-centroid class — NOT a crossJoin: a 1-row broadcast
+    # scalar plans as BroadcastNestedLoopJoin, the node the plan-
+    # hygiene sweep bans outright).  avgdl = exact-int sum / exact-int
+    # count in Python IEEE division — the identical double DuckDB's
+    # sum(dl)::DOUBLE / count(*) produces.
+    srow = dlens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n_docs = int(srow["n"])
+    if n_docs == 0:
+        raise ValueError("bm25_scores: empty corpus")
+    avgdl = int(srow["s"]) / n_docs
     ct = docs.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("t")
     ).join(qt, "t")
@@ -957,13 +963,12 @@ def bm25_scores(
     return (
         tf.join(F.broadcast(df), "t")
         .join(dlens, "_id")
-        .crossJoin(scalars)
         .select(
             "_id",
             (
                 F.log(
                     F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    + (F.lit(n_docs) - F.col("df") + 0.5)
                     / (F.col("df") + 0.5)
                 )
                 * F.col("tf")
@@ -973,7 +978,7 @@ def bm25_scores(
                     * (
                         F.lit(1.0)
                         - bc
-                        + bc * F.col("dl") / F.col("avgdl")
+                        + bc * F.col("dl") / F.lit(avgdl)
                     )
                 )
             ).alias("s"),
@@ -1043,3 +1048,122 @@ def q_bm25(spark, sf_dir):
     ]
     out = bm25_scores(d, top)
     return out.select("doc_id", F.round("score", 8).alias("score"))
+
+
+def pack_chunks(
+    docs,
+    capacity: int = 512,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(shard, chunk, doc_id, seg_start, seg_len): concat-and-chunk
+    sequence packing — the layout step that turns a curated corpus into
+    fixed-length training sequences (the GPT-style "pack documents
+    nose-to-tail, cut every ``capacity`` tokens" rule; a doc may
+    straddle a chunk boundary, in which case it emits one segment row
+    per chunk it touches).  Σ seg_len per (shard, chunk) == capacity
+    for every interior chunk by construction — the invariant a training
+    loader relies on.
+
+    Deterministic rule (cross-engine, retry-stable): docs shard by
+    md5(doc_id) % n_shards, pack within a shard in doc_id order; token
+    counts are ``ws_tokens`` lengths.  Zero-token docs emit nothing.
+
+    Scale shape: ONE shuffle to the shard key, a per-shard running-sum
+    window (partitioned — each shard sorts independently, and n_shards
+    is sized to the cluster so no single sort is global), then a
+    map-side sequence() explode.  All-integer arithmetic end to end;
+    at 100 TB the shard count replaces a global sort entirely — there
+    is no total order across shards, by design.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window as W
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens(text_col)).alias("n"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("bigint"),
+            F.lit(n_shards),
+        ).alias("shard"),
+    ).filter(F.col("n") > 0)
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = F.lit(capacity)
+    placed = sized.select(
+        "shard",
+        "doc_id",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("start"),
+    )
+    return placed.select(
+        "shard",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / c),
+                F.floor((F.col("start") + F.col("n") - 1) / c),
+            )
+        ).alias("chunk"),
+        "doc_id",
+        "start",
+        "n",
+    ).select(
+        "shard",
+        "chunk",
+        "doc_id",
+        F.greatest(F.lit(0), F.col("chunk") * c - F.col("start")).alias(
+            "seg_start"
+        ),
+        (
+            F.least(F.col("n"), (F.col("chunk") + 1) * c - F.col("start"))
+            - F.greatest(F.lit(0), F.col("chunk") * c - F.col("start"))
+        ).alias("seg_len"),
+    )
+
+
+@register(
+    "q_pack_chunks",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len({_TOKS}) AS n,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4
+               AS shard
+      FROM documents
+      WHERE len({_TOKS}) > 0
+    ),
+    placed AS (
+      SELECT shard, doc_id, n,
+             coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)::BIGINT AS start
+      FROM sized
+    ),
+    seg AS (
+      SELECT shard, u.chunk, doc_id, start, n
+      FROM placed,
+           unnest(range(start // 512, (start + n - 1) // 512 + 1))
+             AS u(chunk)
+    )
+    SELECT shard, chunk, doc_id,
+           greatest(0, chunk * 512 - start) AS seg_start,
+           least(n, (chunk + 1) * 512 - start)
+             - greatest(0, chunk * 512 - start) AS seg_len
+    FROM seg
+    """,
+)
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing (capacity 512, 4 shards) over
+    the documents table — every (shard, chunk, doc, segment) placement
+    row is value-checked against DuckDB's identical window-cumsum +
+    range-unnest replay (all-integer, no rounding anywhere)."""
+    d = _t(spark, sf_dir, "documents")
+    return pack_chunks(d, capacity=512, n_shards=4)

@@ -421,3 +421,70 @@ def test_semdedup_keeps_earliest_and_guards(spark):
         semdedup(e, k=1, rounds=1, threshold=0.9, max_cell=3)
     with pytest.raises(ValueError, match="threshold"):
         semdedup(e, k=2, threshold=0.0)
+
+
+def test_sq8_uncut_equals_exact_knn(spark):
+    """With coarse_c = corpus size the coarse cut is a no-op, so the
+    quantize-then-rerank pipeline must return EXACTLY the exact-kNN
+    top-k (same cos round 4, same tie-breaks) — the refinement stage
+    is lossless; only the candidate cut approximates."""
+    import __spark_entry__ as m
+    from sparkgatha.similarity import sq8_topk
+
+    e = read_table(spark, SF, "embeddings")
+    n = e.count()
+    exact = {
+        (r["qid"], r["nid"], r["cos"])
+        for r in m.queries()["q_knn_topk_per_vec"](spark, SF).collect()
+        if r["qid"] < 8
+    }
+    got = {
+        (r["qid"], r["nid"], r["cos"])
+        for r in sq8_topk(e, k=5, coarse_c=n, n_queries=8).collect()
+    }
+    assert got == exact
+
+
+def test_sq8_coarse_cut_recall(spark):
+    """At coarse_c=20 the int8 coarse scores keep most of the true
+    top-5 (min-max SQ8 on this fixture measured recall 1.0; 0.8 is
+    the regression floor), and the parameter guard raises."""
+    import pytest
+
+    import __spark_entry__ as m
+    from sparkgatha.similarity import sq8_topk
+
+    e = read_table(spark, SF, "embeddings")
+    exact = {
+        (r["qid"], r["nid"])
+        for r in m.queries()["q_knn_topk_per_vec"](spark, SF).collect()
+        if r["qid"] < 8
+    }
+    got = {
+        (r["qid"], r["nid"])
+        for r in sq8_topk(e, k=5, coarse_c=20, n_queries=8).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
+    with pytest.raises(ValueError):
+        sq8_topk(e, k=6, coarse_c=5)
+
+
+def test_sq8_codes_symmetric_range_and_guard(spark):
+    """Symmetric codes live in -127..127, preserve zero exactly, hit
+    +/-127 at the global max-|x| rails, and the empty/all-zero-corpus
+    guard raises."""
+    import pytest
+
+    from sparkgatha.similarity import sq8_codes
+
+    rows = [(i, [float(i), 0.0, -float(i) * 0.5]) for i in range(10)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.code for r in sq8_codes(e, dim=3).collect()}
+    for vid, code in got.items():
+        assert all(-127 <= c <= 127 for c in code), (vid, code)
+        assert code[1] == 0  # zero preserved exactly
+    assert got[9][0] == 127  # the global max-abs element hits the rail
+    assert got[9][2] == -63  # floor(-0.5*127/9... scaled): negative half
+    assert got[0] == [0, 0, 0]
+    with pytest.raises(ValueError):
+        sq8_codes(e.filter("vec_id < 0"), dim=3)

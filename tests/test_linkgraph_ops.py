@@ -1995,3 +1995,116 @@ def test_biased_walks_max_neighbors_capped_replay(spark):
     assert set(got) == set(expect)
     for wid, seq in expect.items():
         assert [got[wid][t] for t in range(length + 1)] == seq, wid
+
+
+# ---------------------------------------------------------------------------
+# G38 bipartite square (butterfly) counting
+# ---------------------------------------------------------------------------
+
+
+def _brute_squares(pairs):
+    """O(P^2 S^2) brute-force 4-cycle count over bipartite (p, s) pairs."""
+    es = set(pairs)
+    ps = sorted({p for p, _ in pairs})
+    ss = sorted({s for _, s in pairs})
+    n = 0
+    for i, p1 in enumerate(ps):
+        for p2 in ps[i + 1:]:
+            for j, s1 in enumerate(ss):
+                for s2 in ss[j + 1:]:
+                    if (
+                        (p1, s1) in es and (p1, s2) in es
+                        and (p2, s1) in es and (p2, s2) in es
+                    ):
+                        n += 1
+    return n
+
+
+def test_square_count_matches_brute_force_and_pivot_sides_agree(spark):
+    from sparkgatha.graph.triangles import bipartite_square_count
+
+    rng = __import__("numpy").random.default_rng(5)
+    pairs = sorted({
+        (int(rng.integers(0, 8)), 100 + int(rng.integers(0, 6)))
+        for _ in range(30)
+    })
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    a = bipartite_square_count(e, pivot="src").collect()[0]
+    b = bipartite_square_count(e, pivot="dst").collect()[0]
+    assert a["n_squares"] == b["n_squares"] == _brute_squares(pairs)
+
+
+def test_square_count_complete_bipartite_closed_form(spark):
+    """K_{m,n} has C(m,2)*C(n,2) squares; duplicate edge rows must not
+    change the count (the operator distincts its input)."""
+    from sparkgatha.graph.triangles import bipartite_square_count
+
+    m, n = 3, 4
+    pairs = [(p, 100 + s) for p in range(m) for s in range(n)]
+    e = spark.createDataFrame(pairs + pairs, "src long, dst long")
+    row = bipartite_square_count(e).collect()[0]
+    assert row["n_squares"] == 3 * 6  # C(3,2)*C(4,2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        bipartite_square_count(e, pivot="mid")
+
+
+# ---------------------------------------------------------------------------
+# G39 Louvain modularity-gain local move
+# ---------------------------------------------------------------------------
+
+
+def test_louvain_move_matches_pure_python_replay(spark):
+    """Per-vertex (move_to, gain) equals a direct Python replay of the
+    pinned rule g = w_uv - k_u*k_v/2m, round 8, ties (gain desc, nbr
+    asc), move iff g > 0."""
+    from sparkgatha.graph.louvain import louvain_move_round
+
+    triples = random_graph(n=40, m=120, seed=3)
+    e = spark.createDataFrame(
+        [(f"v{a:02d}", f"v{b:02d}", w) for a, b, w in triples],
+        "src string, dst string, weight double",
+    )
+    got = {
+        r.vertex: (r.move_to, r.gain)
+        for r in louvain_move_round(e).collect()
+    }
+
+    adj = {}
+    k = {}
+    m2 = 0.0
+    for a, b, w in triples:
+        for u, v in ((f"v{a:02d}", f"v{b:02d}"), (f"v{b:02d}", f"v{a:02d}")):
+            adj.setdefault(u, []).append((v, w))
+            k[u] = k.get(u, 0.0) + w
+            m2 += w
+    # Spark's round() is HALF_UP (away from zero), NOT Python banker's
+    # round — mirror it exactly or the replay flakes at midpoints
+    from sparkgatha.similarity import _round_away
+
+    want = {}
+    for u, nbrs in adj.items():
+        best = min(
+            ((-_round_away(w - k[u] * k[v] / m2, 8), v) for v, w in nbrs)
+        )
+        g = -best[0]
+        want[u] = (best[1], g) if g > 0 else (u, 0.0)
+    assert got == want
+
+
+def test_louvain_move_prefers_strong_cluster(spark):
+    """Two triangles of heavy edges joined by one light bridge: every
+    vertex's best move stays inside its own triangle — the modularity
+    penalty k_u*k_v/2m rejects the bridge."""
+    from sparkgatha.graph.louvain import louvain_move_round
+
+    rows = []
+    for base in ("a", "b"):
+        for x, y in (("1", "2"), ("1", "3"), ("2", "3")):
+            rows.append((base + x, base + y, 10.0))
+    rows.append(("a1", "b1", 1.0))  # weak bridge
+    e = spark.createDataFrame(rows, "src string, dst string, weight double")
+    moved = {r.vertex: r.move_to for r in louvain_move_round(e).collect()}
+    for v, tgt in moved.items():
+        assert tgt[0] == v[0], (v, tgt)  # stays in its own clique

@@ -38,6 +38,12 @@ SF = "/root/testdata/sf0.001"
 CARTESIAN_OK = {
     "q_crossjoin_knn",
     "q_knn_topk_per_vec",
+    # sq8's COARSE stage scans all candidates per query BY DESIGN (the
+    # same all-pairs semantics as the exact-kNN baseline) — its point
+    # is that the scan streams 1-byte-per-dim codes instead of full
+    # doubles (~8x less traffic), not that it prunes candidates; the
+    # exact rerank above it touches only coarse_c rows per query
+    "q_sq8_topk",
 }
 
 # window specs keyed by constant-foldable literals (e.g. lit(0) grouping

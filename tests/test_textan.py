@@ -335,3 +335,93 @@ def test_bm25_matches_hand_formula_and_ranks_sensibly(spark):
         bm25_scores(d, [])
     with pytest.raises(ValueError):
         bm25_scores(d, ["apple"], b=1.5)
+
+
+def test_pack_chunks_matches_pure_python_replay(spark):
+    """Every placement row matches a direct Python replay of the rule:
+    md5-shard, doc_id-order cumsum, floor-div chunk spans."""
+    import hashlib
+
+    from sparkgatha.textan import pack_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 23)))
+            for i in range(40)
+        ]
+        + [(99, "   ")],  # zero-token doc emits nothing
+        ["doc_id", "text"],
+    )
+    cap, shards = 10, 3
+    got = {
+        (r.shard, r.chunk, r.doc_id): (r.seg_start, r.seg_len)
+        for r in pack_chunks(docs, capacity=cap, n_shards=shards).collect()
+    }
+
+    def shard_of(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % shards
+
+    want = {}
+    per_shard = {}
+    for i in range(40):
+        n = 1 + (i * 7) % 23
+        per_shard.setdefault(shard_of(i), []).append((i, n))
+    for s, items in per_shard.items():
+        start = 0
+        for doc_id, n in sorted(items):
+            for chunk in range(start // cap, (start + n - 1) // cap + 1):
+                lo = max(0, chunk * cap - start)
+                hi = min(n, (chunk + 1) * cap - start)
+                want[(s, chunk, doc_id)] = (lo, hi - lo)
+            start += n
+    assert got == want
+    assert not any(d == 99 for (_, _, d) in got)
+
+
+def test_pack_chunks_capacity_invariants(spark):
+    """Training-loader contract at fixture scale: segments partition
+    every doc exactly, and every interior (shard, chunk) holds exactly
+    ``capacity`` tokens."""
+    from pyspark.sql import functions as F
+
+    from sparkgatha.io import read_table
+    from sparkgatha.textan import pack_chunks
+    from sparkgatha.util import ws_tokens
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    cap = 64
+    out = pack_chunks(docs, capacity=cap, n_shards=4).cache()
+    # per-doc: segments sum to the doc's token count and tile it
+    per_doc = {
+        r.doc_id: r.tot
+        for r in out.groupBy("doc_id").agg(F.sum("seg_len").alias("tot")).collect()
+    }
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(ws_tokens("text")).alias("n")
+        ).collect()
+        if r.n > 0
+    }
+    assert per_doc == toks
+    # per interior chunk: exactly cap tokens (the last chunk per shard
+    # may be short)
+    fill = (
+        out.groupBy("shard", "chunk").agg(F.sum("seg_len").alias("f")).collect()
+    )
+    last = {}
+    for r in fill:
+        last[r.shard] = max(last.get(r.shard, -1), r.chunk)
+    for r in fill:
+        if r.chunk < last[r.shard]:
+            assert r.f == cap, (r.shard, r.chunk, r.f)
+        else:
+            assert 0 < r.f <= cap
+    out.unpersist()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_chunks(docs, capacity=0)
+    with pytest.raises(ValueError):
+        pack_chunks(docs, n_shards=0)
