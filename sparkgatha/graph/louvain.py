@@ -47,13 +47,19 @@ def louvain_move_round(edges: DataFrame) -> DataFrame:
     k_u cannot exist — weighted degrees are exact integer sums — and
     the single divide is the identical double expression in both
     engines)."""
+    base = edges.select("src", "dst", "weight").filter(
+        F.col("src") != F.col("dst")  # a self-move is a no-op, not a gain
+    )
     se = (
-        edges.select("src", "dst", "weight")
-        .unionByName(
-            edges.select(
+        base.unionByName(
+            base.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
         )
+        # merge duplicate rows: the rule's w_uv is the TOTAL weight
+        # between u and v, whatever shape the caller's edge list is in
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
         .localCheckpoint(eager=True)  # feeds deg, 2m, and the gain join
     )
     deg = se.groupBy(F.col("src").alias("v")).agg(
@@ -63,7 +69,10 @@ def louvain_move_round(edges: DataFrame) -> DataFrame:
     # G13 convergence-stats class — a 1-row crossJoin would plan as
     # the BNLJ node the hygiene sweep bans); the sum is an exact
     # integer, so the literal double is identical in both engines
-    m2 = float(se.agg(F.sum("weight").alias("m2")).collect()[0]["m2"])
+    m2row = se.agg(F.sum("weight").alias("m2")).collect()[0]["m2"]
+    if m2row is None or float(m2row) == 0.0:
+        raise ValueError("louvain_move_round: empty or zero-weight edge list")
+    m2 = float(m2row)
     du = deg.select(F.col("v").alias("src"), F.col("k").alias("ku"))
     dv = deg.select(F.col("v").alias("dst"), F.col("k").alias("kv"))
     g = (

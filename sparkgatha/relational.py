@@ -3028,6 +3028,85 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """A9 exact per-group percentiles (continuous interpolation — the
+    quantile_cont / numpy-linear rule both engines implement): the OLAP
+    distribution profile (p25/median/p90 price per return flag).
+    round(,4) absorbs the engines' different interpolation-arithmetic
+    orders.  Scale note: exact percentile is the ONE aggregate here
+    that is not partial-aggregable (it buffers the group's values to
+    sort); at 100 TB prefer approx_percentile (t-digest, mergeable) —
+    this exact form is the oracle-checkable contract the approx
+    variant is judged against, the same exact/approx split as
+    q_count_distinct vs q_approx_count_distinct."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+    )
+
+
+@register(
+    "q_weighted_sample",
+    """
+    WITH wt AS (
+      SELECT doc_id, n_chars AS w,
+             (('0x' || substr(md5('ws:' || doc_id::VARCHAR || ':42'),
+                              1, 15))::BIGINT + 1)
+               / 1152921504606846976.0 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, round(-ln(u) / w, 9) AS ekey
+    FROM wt
+    ORDER BY -ln(u) / w ASC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """P4w deterministic weighted sampling without replacement —
+    Efraimidis–Spiliotopoulos (2006) via the exponential race the
+    walk operators already use: every doc draws u = (md5int+1)/2^60
+    ∈ (0,1] and key = −ln(u)/w (w = n_chars); the k smallest keys ARE
+    a weight-proportional sample.  This is the corpus-rebalance
+    primitive that turns q_mixture_weights' per-source weights into an
+    actual subsample, reproducible across engines, partitionings, and
+    retries (u is a pure row hash — no RNG state).
+
+    Scale shape: one scan + TakeOrderedAndProject (per-partition
+    partial top-k, only k rows ever cross the network) — no window,
+    no shuffle, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    from sparkgatha.util import md5_long
+
+    u = (
+        md5_long(
+            F.concat(
+                F.lit("ws:"), F.col("doc_id").cast("string"), F.lit(":42")
+            )
+        )
+        + 1
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", key.alias("raw"))
+        .orderBy(F.col("raw").asc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.round("raw", 9).alias("ekey"))
+    )
+
+
 @register("q_sample", None)
 def q_sample(spark, sf_dir):
     """P4 seeded sampling — deterministic per partitioning, but the

@@ -882,27 +882,41 @@ def sq8_topk(
     and only those fetch their full double vectors for the exact cosine
     rerank (cos round 4, top-k by cos desc / nid asc).
 
-    Scale shape: the big-side scan carries only the int8-shaped code
-    array; exact vectors are touched for coarse_c rows per query via
-    the rerank join — the two-stage quantize-then-rerank scheme every
-    production vector store uses (FAISS SQ8 + refine).  Queries ride
-    broadcast; both window ranks partition by qid.
+    Scale shape — where the 8x actually comes from: computing codes
+    reads the full vectors once, so the CODE TABLE (vec_id, code) is
+    materialized WITHOUT v (the stored SQ8 index artifact; in
+    production it persists like the PageRank edge layout and amortizes
+    over every query).  The per-query coarse scan then streams only
+    that slim frame; exact vectors are touched for coarse_c rows per
+    query via the rerank join back to the raw embedding source — the
+    two-stage quantize-then-rerank scheme every production vector
+    store uses (FAISS SQ8 + refine).  Queries ride broadcast; both
+    window ranks partition by qid.
     """
     if k < 1 or coarse_c < k:
         raise ValueError(f"need 1 <= k <= coarse_c, got k={k}, coarse_c={coarse_c}")
-    coded = sq8_codes(
-        embeddings, dim=dim, vec_col=vec_col, id_col=id_col
-    ).localCheckpoint(eager=True)  # one stats pass feeds scan AND rerank
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    # the "stored index": codes only, v deliberately excluded — an
+    # eager checkpoint of (vec_id, v, code) would drag the doubles
+    # back into every coarse scan and erase the bandwidth win
+    codes = (
+        sq8_codes(embeddings, dim=dim, vec_col=vec_col, id_col=id_col)
+        .select("vec_id", "code")
+        .localCheckpoint(eager=True)
+    )
     q = F.broadcast(
-        coded.filter(F.col("vec_id") < n_queries).select(
+        codes.filter(F.col("vec_id") < n_queries)
+        .join(ev.filter(F.col("vec_id") < n_queries), "vec_id")
+        .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
             F.col("code").alias("qcode"),
         )
     )
     coarse = (
-        coded.select("vec_id", "code")
-        .crossJoin(q.drop("qv"))
+        codes.crossJoin(q.drop("qv"))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -923,7 +937,7 @@ def sq8_topk(
         .select("qid", "nid")
     )
     exact = (
-        cand.join(coded.select(F.col("vec_id").alias("nid"), "v"), "nid")
+        cand.join(ev.select(F.col("vec_id").alias("nid"), "v"), "nid")
         .join(q.select("qid", "qv"), "qid")
         .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos"))
     )

@@ -488,3 +488,60 @@ def test_sq8_codes_symmetric_range_and_guard(spark):
     assert got[0] == [0, 0, 0]
     with pytest.raises(ValueError):
         sq8_codes(e.filter("vec_id < 0"), dim=3)
+
+
+def test_percentiles_match_numpy_linear(spark):
+    """Exact group percentiles equal numpy's linear-interpolation rule
+    (the quantile_cont definition both engines implement)."""
+    import numpy as np
+    import __spark_entry__ as m
+
+    got = {
+        r.l_returnflag: (r.p25, r.p50, r.p90)
+        for r in m.queries()["q_percentiles"](spark, SF).collect()
+    }
+    l = read_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups = {}
+    for r in l:
+        groups.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for g, xs in groups.items():
+        want = tuple(
+            round(float(np.percentile(xs, p, method="linear")), 4)
+            for p in (25, 50, 90)
+        )
+        assert got[g] == want, (g, got[g], want)
+
+
+def test_weighted_sample_matches_python_replay_and_favors_heavy_docs(spark):
+    """The selected 20-doc set equals the pure-Python exponential-race
+    replay, and the sample is weight-biased: its mean n_chars exceeds
+    the corpus mean (the whole point of weighting by length)."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as m
+
+    got = [
+        (r.doc_id, r.ekey)
+        for r in m.queries()["q_weighted_sample"](spark, SF).collect()
+    ]
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        h = int(
+            hashlib.md5(f"ws:{r.doc_id}:42".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float(1 << 60)
+        keys.append((-math.log(u) / r.n_chars, r.doc_id, r.n_chars))
+    keys.sort()
+    want = [(d, round(k, 9)) for k, d, _ in keys[:20]]
+    assert sorted(got) == sorted(want)
+    mean_all = sum(r.n_chars for r in docs) / len(docs)
+    mean_sample = sum(n for _, _, n in keys[:20]) / 20
+    assert mean_sample > mean_all

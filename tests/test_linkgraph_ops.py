@@ -2108,3 +2108,24 @@ def test_louvain_move_prefers_strong_cluster(spark):
     moved = {r.vertex: r.move_to for r in louvain_move_round(e).collect()}
     for v, tgt in moved.items():
         assert tgt[0] == v[0], (v, tgt)  # stays in its own clique
+
+
+def test_louvain_move_merges_duplicates_ignores_self_loops_and_guards(spark):
+    """Duplicate (u,v) rows merge into one total w_uv (same answer as
+    the pre-summed list), self-loops drop, and the empty-input guard
+    raises."""
+    import pytest
+
+    from sparkgatha.graph.louvain import louvain_move_round
+
+    rows = [("a", "b", 2.0), ("a", "b", 3.0), ("b", "c", 1.0), ("c", "c", 9.0)]
+    dup = spark.createDataFrame(rows, "src string, dst string, weight double")
+    merged = spark.createDataFrame(
+        [("a", "b", 5.0), ("b", "c", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = sorted(map(tuple, louvain_move_round(dup).collect()))
+    want = sorted(map(tuple, louvain_move_round(merged).collect()))
+    assert got == want
+    with pytest.raises(ValueError):
+        louvain_move_round(dup.filter("src = 'zzz'")).collect()
