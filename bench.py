@@ -225,6 +225,9 @@ def main() -> None:
         "q_louvain_move",
         "q_pack_chunks",
         "q_sq8_topk",
+        "q_pack_bins",
+        "q_weighted_sample",
+        "q_percentiles",
     ):
         if name in reg:
             fn = reg[name]

@@ -1167,3 +1167,100 @@ def q_pack_chunks(spark, sf_dir):
     range-unnest replay (all-integer, no rounding anywhere)."""
     d = _t(spark, sf_dir, "documents")
     return pack_chunks(d, capacity=512, n_shards=4)
+
+
+def pack_bins(
+    docs,
+    capacity: int = 512,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(shard, bin, doc_id, n): greedy NEXT-FIT bin packing without
+    document splitting — the other standard training-sequence layout
+    (T5-style "pack whole examples, pad the remainder"; pack_chunks is
+    the GPT-style splitting variant).  Docs shard by md5(doc_id) %
+    n_shards and pack within a shard in doc_id order: a doc joins the
+    current bin iff fill + n <= capacity, else it opens the next bin
+    (an oversized doc therefore always sits alone in its own bin —
+    next-fit never splits).
+
+    Next-fit is inherently SEQUENTIAL — bin state threads through the
+    scan — so this is the canonical applyInPandas operator: parallel
+    ACROSS shards (size n_shards to the cluster), one Arrow-batched
+    linear pass WITHIN a shard.  No global order exists anywhere, by
+    design, and the per-shard pass is O(rows), not a window/join.  The
+    DuckDB oracle replays the same recurrence as a recursive CTE
+    advancing every shard one doc per round.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    import pandas as pd
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens(text_col)).alias("n"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+            ).cast("bigint"),
+            F.lit(n_shards),
+        ).alias("shard"),
+    ).filter(F.col("n") > 0)
+
+    cap = int(capacity)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], None, -1
+        for n in pdf["n"]:
+            if fill is None or fill + n > cap:
+                b, fill = b + 1, int(n)
+            else:
+                fill += int(n)
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[["shard", "bin", "doc_id", "n"]]
+
+    return sized.groupBy("shard").applyInPandas(
+        _pack, "shard bigint, bin bigint, doc_id bigint, n int"
+    )
+
+
+@register(
+    "q_pack_bins",
+    f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id, n, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS idx
+      FROM (
+        SELECT doc_id, len({_TOKS}) AS n,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 4
+                 AS shard
+        FROM documents
+        WHERE len({_TOKS}) > 0
+      )
+    ),
+    step(shard, idx, bin, fill) AS (
+      SELECT shard, 1::BIGINT, 0::BIGINT, n::BIGINT
+      FROM sized WHERE idx = 1
+      UNION ALL
+      SELECT s.shard, s.idx,
+             CASE WHEN st.fill + s.n <= 512 THEN st.bin ELSE st.bin + 1 END,
+             CASE WHEN st.fill + s.n <= 512 THEN st.fill + s.n
+                  ELSE s.n::BIGINT END
+      FROM step st JOIN sized s ON s.shard = st.shard AND s.idx = st.idx + 1
+    )
+    SELECT s.shard, st.bin, s.doc_id, s.n::INT AS n
+    FROM step st JOIN sized s ON s.shard = st.shard AND s.idx = st.idx
+    """,
+)
+def q_pack_bins(spark, sf_dir):
+    """Greedy next-fit no-split bin packing (capacity 512, 4 shards):
+    the applyInPandas sequential-per-shard pass, value-checked row for
+    row against a DuckDB recursive CTE that advances every shard one
+    doc per round."""
+    d = _t(spark, sf_dir, "documents")
+    return pack_bins(d, capacity=512, n_shards=4)

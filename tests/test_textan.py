@@ -425,3 +425,55 @@ def test_pack_chunks_capacity_invariants(spark):
         pack_chunks(docs, capacity=0)
     with pytest.raises(ValueError):
         pack_chunks(docs, n_shards=0)
+
+
+def test_pack_bins_next_fit_replay_and_invariants(spark):
+    """Next-fit no-split packing matches the pure-Python recurrence;
+    no multi-doc bin exceeds capacity; an oversized doc sits alone;
+    bin ids are contiguous from 0 per shard."""
+    import hashlib
+
+    import pytest
+
+    from sparkgatha.textan import pack_bins
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1 + (i * 11) % 17)))
+         for i in range(30)]
+        + [(777, " ".join(f"x{j}" for j in range(25)))],  # oversized
+        ["doc_id", "text"],
+    )
+    cap, shards = 10, 3
+    got = {
+        (r.shard, r.doc_id): (r.bin, r.n)
+        for r in pack_bins(docs, capacity=cap, n_shards=shards).collect()
+    }
+
+    def shard_of(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % shards
+
+    lens = {i: 1 + (i * 11) % 17 for i in range(30)}
+    lens[777] = 25
+    per_shard = {}
+    for d, n in lens.items():
+        per_shard.setdefault(shard_of(d), []).append((d, n))
+    want, fills = {}, {}
+    for s, items in per_shard.items():
+        fill, b = None, -1
+        for d, n in sorted(items):
+            if fill is None or fill + n > cap:
+                b, fill = b + 1, n
+            else:
+                fill += n
+            want[(s, d)] = (b, n)
+            fills.setdefault((s, b), 0)
+            fills[(s, b)] += n
+    assert got == want
+    for (s, b), f in fills.items():
+        members = [d for (s2, d), (b2, _) in want.items() if s2 == s and b2 == b]
+        assert f <= cap or len(members) == 1, (s, b, f, members)
+    for s in per_shard:
+        bins = sorted({b for (s2, _), (b, _) in want.items() if s2 == s})
+        assert bins == list(range(len(bins)))
+    with pytest.raises(ValueError):
+        pack_bins(docs, capacity=0)
