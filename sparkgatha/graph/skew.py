@@ -178,8 +178,20 @@ def salted_agg(
     partial_fn, final_fn = fns[agg]
 
     def two_level(d: DataFrame) -> DataFrame:
+        # salt from ROW CONTENT, not monotonically_increasing_id():
+        # the generated id is nondeterministic under task/stage retry,
+        # and a recomputed partition re-salting rows differently while
+        # sibling reduce outputs are reused can double-count or drop
+        # partial sums.  Content-hash salting is retry-stable; rows
+        # identical in every column share a salt (acceptable: real
+        # gather rows carry distinct payloads, and exactness beats a
+        # marginally better spread)
         salted = d.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in d.columns]),
+                F.lit(num_salts),
+            ),
         )
         partial = salted.groupBy(key, "_salt").agg(
             partial_fn(value).alias("_p")
