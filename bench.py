@@ -228,6 +228,7 @@ def main() -> None:
         "q_pack_bins",
         "q_weighted_sample",
         "q_percentiles",
+        "q_pq_topk",
     ):
         if name in reg:
             fn = reg[name]

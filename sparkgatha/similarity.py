@@ -635,6 +635,55 @@ def kmeans_lloyd(
     return out, cents
 
 
+def _kmeans_rounds_cte(
+    k: int, rounds: int, dim: int, suffix: str = "", src: str = "ev"
+) -> str:
+    """The suffix-parameterized round chain (``c0{sfx}``..``a{R}{sfx}``)
+    over any (vec_id, v DOUBLE[]) CTE named ``src`` — so several
+    independent kmeans replays (e.g. one per PQ subspace) can coexist
+    in ONE oracle without CTE-name collisions.  Starts with a leading
+    comma; prepend your own WITH."""
+    s = suffix
+    sql = f""",
+    c0{s} AS MATERIALIZED (
+      SELECT row_number() OVER (
+               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                        vec_id
+             ) - 1 AS cid,
+             list_transform(v, x -> round(x, 6)) AS c
+      FROM {src}
+      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      LIMIT {k}
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    a{r}{s} AS MATERIALIZED (
+      SELECT vec_id, cid, v FROM (
+        SELECT e.vec_id, c.cid, e.v,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_distance(e.v, c.c), 8), c.cid
+               ) AS rn
+        FROM {src} e CROSS JOIN c{r - 1}{s} c
+      ) WHERE rn = 1
+    )"""
+        if r < rounds:
+            sql += f""",
+    m{r}{s} AS (
+      SELECT cid, i.i, avg(v[i.i]) AS mx
+      FROM a{r}{s}, unnest(range(1, {dim + 1})) AS i(i)
+      GROUP BY cid, i.i
+    ),
+    c{r}{s} AS MATERIALIZED (
+      SELECT cid, list(round(mx, 6) ORDER BY i) AS c
+      FROM m{r}{s} GROUP BY cid
+      UNION ALL
+      SELECT p.cid, p.c FROM c{r - 1}{s} p
+      WHERE p.cid NOT IN (SELECT cid FROM m{r}{s})
+    )"""
+    return sql
+
+
 def _kmeans_cte_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
     """The unrolled DuckDB CTE chain mirroring ``kmeans_lloyd`` —
     md5-ranked seeds, per-round argmin over round(list_distance, 8)
@@ -644,47 +693,13 @@ def _kmeans_cte_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
     centroids are identical doubles in both engines.  Ends at
     ``a{rounds}`` (the final assignment) so q_kmeans and q_semdedup
     share one replay."""
-    sql = f"""
+    return (
+        """
     WITH ev AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    c0 AS MATERIALIZED (
-      SELECT row_number() OVER (
-               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
-                        vec_id
-             ) - 1 AS cid,
-             list_transform(v, x -> round(x, 6)) AS c
-      FROM ev
-      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
-      LIMIT {k}
     )"""
-    for r in range(1, rounds + 1):
-        sql += f""",
-    a{r} AS MATERIALIZED (
-      SELECT vec_id, cid, v FROM (
-        SELECT e.vec_id, c.cid, e.v,
-               row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round(list_distance(e.v, c.c), 8), c.cid
-               ) AS rn
-        FROM ev e CROSS JOIN c{r - 1} c
-      ) WHERE rn = 1
-    )"""
-        if r < rounds:
-            sql += f""",
-    m{r} AS (
-      SELECT cid, i.i, avg(v[i.i]) AS mx
-      FROM a{r}, unnest(range(1, {dim + 1})) AS i(i)
-      GROUP BY cid, i.i
-    ),
-    c{r} AS MATERIALIZED (
-      SELECT cid, list(round(mx, 6) ORDER BY i) AS c
-      FROM m{r} GROUP BY cid
-      UNION ALL
-      SELECT p.cid, p.c FROM c{r - 1} p
-      WHERE p.cid NOT IN (SELECT cid FROM m{r})
-    )"""
-    return sql
+        + _kmeans_rounds_cte(k, rounds, dim)
+    )
 
 
 def _kmeans_oracle_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
@@ -1009,3 +1024,274 @@ def q_sq8_topk(spark, sf_dir):
     replay."""
     e = _t(spark, sf_dir, "embeddings")
     return sq8_topk(e, k=5, coarse_c=20, n_queries=8)
+
+
+def _kmeans_assign_expr(vexpr, cents):
+    """The kmeans_lloyd assignment as a pure literal expression —
+    argmin over round(sqrt(Σ(a−b)²), 8) with cid tie-break, the exact
+    rule the unrolled oracle replays — reusable wherever a trained
+    codebook must re-assign rows map-only (PQ encoding)."""
+    choices = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                vexpr,
+                                F.array(*[F.lit(x) for x in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda s, x: s + x,
+                        )
+                    ),
+                    8,
+                ).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(cents)
+        ]
+    )
+    return F.array_min(choices).getField("cid")
+
+
+def pq_train_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_centroids: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(codes, codebooks): product quantization (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — the PQ in
+    FAISS IndexIVFPQ): the vector splits into ``m`` contiguous
+    subspaces of dim/m, each subspace trains its own kmeans_lloyd
+    codebook, and a vector's code is the array of its m per-subspace
+    centroid ids — dim doubles compress to m small ints.
+
+    codes = (vec_id, code array<int> length m); codebooks = list of m
+    centroid lists (the k·(dim/m) driver artifact per subspace, the
+    same bounded class as kmeans centroids).
+
+    Scale shape: training is m independent kmeans runs over SLICED
+    projections of one persisted scan (each round a map-only literal
+    assignment + one partial-aggregable groupBy — kmeans_lloyd's
+    contract); encoding is ONE map-only projection computing all m
+    argmins from codebook literals — no joins, no Python.
+    """
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim: m={m}, dim={dim}")
+    dsub = dim // m
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    codebooks = []
+    for j in range(m):
+        sub = ev.select(
+            "vec_id", F.slice("v", j * dsub + 1, dsub).alias("embedding")
+        )
+        _, cents = kmeans_lloyd(sub, k=n_centroids, rounds=rounds)
+        codebooks.append(cents)
+    code = F.array(
+        *[
+            _kmeans_assign_expr(
+                F.slice("v", j * dsub + 1, dsub), codebooks[j]
+            )
+            for j in range(m)
+        ]
+    )
+    return ev.select("vec_id", code.alias("code")), codebooks
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_centroids: int = 8,
+    rounds: int = 2,
+    coarse_c: int = 20,
+    n_queries: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, nid, cos) — PQ + ADC top-k: the coarse stage scores every
+    corpus vector against each query by ASYMMETRIC DISTANCE
+    COMPUTATION (sum over subspaces of the squared distance from the
+    query's raw subvector to the vector's assigned centroid), keeps
+    ``coarse_c`` candidates, and reranks them with the exact cosine
+    (round 4, ties by nid).
+
+    Cross-engine exactness trick: each LUT cell is snapped to fixed
+    point — d2i = floor(d2·1e8 + 0.5) as BIGINT — so the ADC score is
+    an exact INTEGER sum (the SQ8 lesson applied to PQ; both engines
+    build d2 with the identical sequential left-fold over the same
+    codebook literals, so even the pre-snap doubles are bit-equal).
+
+    Scale shape: the LUT is n_queries·m·k rows built from codebook
+    literals and broadcast; the scan side is the posexploded code
+    table (m small ints per vector — PQ's entire point is that this is
+    ~64x less traffic than the doubles), one broadcast LUT join, one
+    partial-aggregable (qid, nid) sum.  Exact vectors are touched only
+    for coarse_c rows per query in the rerank join.
+    """
+    if k < 1 or coarse_c < k:
+        raise ValueError(f"need 1 <= k <= coarse_c, got k={k}, coarse_c={coarse_c}")
+    dsub = dim // m
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    codes, codebooks = pq_train_encode(
+        embeddings, m=m, n_centroids=n_centroids, rounds=rounds,
+        dim=dim, vec_col=vec_col, id_col=id_col,
+    )
+    codes = codes.localCheckpoint(eager=True)  # the stored PQ index
+    q = ev.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    lut_cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(cid).alias("cid"),
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("qv", j * dsub + 1, dsub),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                    * F.lit(100000000.0)
+                    + F.lit(0.5)
+                ).cast("long").alias("d2i"),
+            )
+            for j in range(m)
+            for cid, c in enumerate(codebooks[j])
+        ]
+    )
+    lut = F.broadcast(
+        q.select("qid", F.explode(lut_cells).alias("cell")).select(
+            "qid", "cell.j", "cell.cid", "cell.d2i"
+        )
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("code").alias("j", "cid")
+    )
+    adc = (
+        exploded.join(lut, ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum("d2i").alias("adc"))
+    )
+    wc = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= coarse_c)
+        .select("qid", "nid")
+    )
+    exact = (
+        cand.join(ev.select(F.col("vec_id").alias("nid"), "v"), "nid")
+        .join(q, "qid")
+        .select(
+            "qid", "nid",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos"),
+        )
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        exact.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cos")
+    )
+
+
+def _pq_oracle_sql(
+    m: int = 4,
+    n_centroids: int = 8,
+    rounds: int = 2,
+    coarse_c: int = 20,
+    n_queries: int = 8,
+    dim: int = 64,
+    k: int = 5,
+) -> str:
+    """Full PQ replay: one suffixed kmeans chain per subspace over the
+    sliced vectors, the fixed-point ADC LUT from the same (round-6)
+    centroid CTEs the assignments used, integer ADC sums, and the
+    exact-cosine rerank — every stage mirrored cell for cell."""
+    dsub = dim // m
+    sql = """
+    WITH ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )"""
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sql += f""",
+    ev_s{j} AS MATERIALIZED (
+      SELECT vec_id, v[{lo}:{hi}] AS v FROM ev
+    )"""
+        sql += _kmeans_rounds_cte(
+            n_centroids, rounds, dsub, suffix=f"_s{j}", src=f"ev_s{j}"
+        )
+    sql += f""",
+    qv AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < {n_queries}),
+    lut AS ({" UNION ALL ".join(
+        f'''
+      SELECT q.qid, {j} AS j, c.cid,
+             floor(list_reduce(
+               list_transform(range(1, {dsub} + 1),
+                 i -> (q.v[{j * dsub} + i] - c.c[i])
+                      * (q.v[{j * dsub} + i] - c.c[i])),
+               (a, b) -> a + b) * 100000000.0 + 0.5)::BIGINT AS d2i
+      FROM c{rounds - 1}_s{j} c CROSS JOIN qv q'''
+        for j in range(m)
+    )}),
+    codes AS ({" UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, cid FROM a{rounds}_s{j}"
+        for j in range(m)
+    )}),
+    adc AS (
+      SELECT l.qid, c.vec_id AS nid, sum(l.d2i) AS adc
+      FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.cid
+      WHERE c.vec_id <> l.qid
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc ASC, nid ASC) AS rn
+        FROM adc
+      ) WHERE rn <= {coarse_c}
+    ),
+    exact AS (
+      SELECT cand.qid, cand.nid,
+             round(list_cosine_similarity(q.v, e.v), 4) AS cos
+      FROM cand
+      JOIN ev e ON e.vec_id = cand.nid
+      JOIN qv q ON q.qid = cand.qid
+    )
+    SELECT qid, nid, cos FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid ASC) AS rn
+      FROM exact
+    ) WHERE rn <= {k}
+    """
+    return sql
+
+
+@register("q_pq_topk", _pq_oracle_sql(4, 8, 2, 20, 8, 64, 5))
+def q_pq_topk(spark, sf_dir):
+    """Product-quantized ADC top-5 for the first 8 query vectors
+    (m=4 subspaces x 8 centroids, 2 Lloyd rounds, coarse_c=20) — the
+    FAISS-IVFPQ quantizer as a value-checked pipeline: subspace
+    codebooks, codes, the fixed-point integer ADC ranking, and the
+    exact-cosine rerank are all replayed cell for cell in DuckDB."""
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(e, k=5, m=4, n_centroids=8, rounds=2, coarse_c=20, n_queries=8)

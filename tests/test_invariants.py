@@ -545,3 +545,74 @@ def test_weighted_sample_matches_python_replay_and_favors_heavy_docs(spark):
     mean_all = sum(r.n_chars for r in docs) / len(docs)
     mean_sample = sum(n for _, _, n in keys[:20]) / 20
     assert mean_sample > mean_all
+
+
+def test_pq_uncut_equals_exact_knn(spark):
+    """With coarse_c = corpus size the ADC cut is a no-op, so PQ's
+    exact-cosine rerank must return exactly the exact-kNN top-k —
+    quantization only affects WHICH candidates reach the rerank."""
+    import __spark_entry__ as m
+    from sparkgatha.similarity import pq_topk
+
+    e = read_table(spark, SF, "embeddings")
+    n = e.count()
+    exact = {
+        (r["qid"], r["nid"], r["cos"])
+        for r in m.queries()["q_knn_topk_per_vec"](spark, SF).collect()
+        if r["qid"] < 8
+    }
+    got = {
+        (r["qid"], r["nid"], r["cos"])
+        for r in pq_topk(e, k=5, coarse_c=n, n_queries=8).collect()
+    }
+    assert got == exact
+
+
+def test_pq_codes_shape_and_guards(spark):
+    """Every vector gets an m-length code with ids in [0, k); m must
+    divide dim; k <= coarse_c enforced."""
+    import pytest
+
+    from sparkgatha.similarity import pq_topk, pq_train_encode
+
+    e = read_table(spark, SF, "embeddings")
+    codes, books = pq_train_encode(e, m=4, n_centroids=8, rounds=2)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)  # dim/m
+    rows = codes.collect()
+    assert len(rows) == e.count()
+    assert all(len(r.code) == 4 and all(0 <= c < 8 for c in r.code) for r in rows)
+    with pytest.raises(ValueError):
+        pq_train_encode(e, m=5)  # 5 does not divide 64
+    with pytest.raises(ValueError):
+        pq_topk(e, k=6, coarse_c=5)
+
+
+def test_pq_adc_recall_grows_with_coarse_c(spark):
+    """PQ's approximation contract on an ADVERSARIAL fixture: these are
+    near-random unit vectors (pairwise cosines ~N(0, 1/64)), so the
+    true top-5 are barely separated and m=4 codes blur them — measured
+    recall 0.10 / 0.475 / 0.725 at coarse_c 20 / 100 / 200.  The test
+    pins the two properties that matter: recall is (weakly) monotone
+    in coarse_c, and a wide-enough coarse cut recovers most of the
+    truth (floor 0.5 at coarse_c=200; real clustered corpora sit far
+    above this — SemDeDup-style planted near-dups rank first at any
+    coarse_c)."""
+    import __spark_entry__ as m
+    from sparkgatha.similarity import pq_topk
+
+    e = read_table(spark, SF, "embeddings")
+    exact = {
+        (r["qid"], r["nid"])
+        for r in m.queries()["q_knn_topk_per_vec"](spark, SF).collect()
+        if r["qid"] < 8
+    }
+    recalls = []
+    for cc in (20, 200):
+        got = {
+            (r["qid"], r["nid"])
+            for r in pq_topk(e, k=5, coarse_c=cc, n_queries=8).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls[0] <= recalls[1], recalls
+    assert recalls[1] >= 0.5, recalls
