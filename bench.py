@@ -229,6 +229,7 @@ def main() -> None:
         "q_weighted_sample",
         "q_percentiles",
         "q_pq_topk",
+        "q_ivfpq_topk",
     ):
         if name in reg:
             fn = reg[name]

@@ -1295,3 +1295,264 @@ def q_pq_topk(spark, sf_dir):
     exact-cosine rerank are all replayed cell for cell in DuckDB."""
     e = _t(spark, sf_dir, "embeddings")
     return pq_topk(e, k=5, m=4, n_centroids=8, rounds=2, coarse_c=20, n_queries=8)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    n_centroids: int = 8,
+    rounds: int = 2,
+    coarse_c: int = 20,
+    n_queries: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, nid, cos) — IVF-PQ (FAISS IndexIVFPQ, by_residual=False):
+    a full-dimension kmeans partitions the corpus into ``n_cells``
+    inverted lists; each query probes its ``nprobe`` nearest cells
+    (by the same rounded-distance argmin rule the cell assignment
+    used, so routing is deterministic both engines); PQ's fixed-point
+    integer ADC ranks ONLY the vectors in probed cells; exact cosine
+    reranks the coarse_c survivors.
+
+    This is the composition that scales: IVF cuts the scanned fraction
+    to ~nprobe/n_cells, PQ cuts the bytes per scanned vector ~64x, and
+    the rerank touches coarse_c full vectors per query — mirroring
+    exactly how a 10^9-vector FAISS deployment is laid out, but as
+    three DataFrame stages whose every intermediate is value-checked
+    (cells, probes, codes, integer ADC scores, reranked cosines).
+
+    A true neighbor in an unprobed cell is missed — that is IVF's
+    documented recall/cost dial (nprobe = n_cells degenerates to
+    pq_topk's full scan; then coarse_c = corpus degenerates to exact).
+    """
+    if k < 1 or coarse_c < k:
+        raise ValueError(f"need 1 <= k <= coarse_c, got k={k}, coarse_c={coarse_c}")
+    if not (1 <= nprobe <= n_cells):
+        raise ValueError(f"need 1 <= nprobe <= n_cells, got {nprobe}/{n_cells}")
+    dsub = dim // m
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
+    )
+    # inverted lists: full-dim kmeans cells (assignment is map-only vs
+    # the returned centroid literals — kmeans_lloyd's contract)
+    cells, cell_cents = kmeans_lloyd(
+        embeddings, k=n_cells, rounds=rounds, vec_col=vec_col, id_col=id_col
+    )
+    codes, codebooks = pq_train_encode(
+        embeddings, m=m, n_centroids=n_centroids, rounds=rounds,
+        dim=dim, vec_col=vec_col, id_col=id_col,
+    )
+    # the stored index: (vec_id, cell, code) — slim, no doubles
+    index = (
+        codes.join(cells.withColumnRenamed("cluster", "cell"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    q = ev.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    # probe: nprobe nearest cell centroids per query, the SAME rounded
+    # rule as the cell assignment (array_sort of (d, cid) structs over
+    # centroid literals, slice nprobe) — map-only, deterministic
+    cell_choices = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.sqrt(
+                            F.aggregate(
+                                F.zip_with(
+                                    "qv",
+                                    F.array(*[F.lit(x) for x in c]),
+                                    lambda a, b: (a - b) * (a - b),
+                                ),
+                                F.lit(0.0),
+                                lambda s, x: s + x,
+                            )
+                        ),
+                        8,
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in enumerate(cell_cents)
+            ]
+        )
+    )
+    probes = F.broadcast(
+        q.select(
+            "qid",
+            F.explode(F.slice(cell_choices, 1, nprobe)).alias("p"),
+        ).select("qid", F.col("p.cid").alias("cell"))
+    )
+    lut_cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(cid).alias("cid"),
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("qv", j * dsub + 1, dsub),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                    * F.lit(100000000.0)
+                    + F.lit(0.5)
+                ).cast("long").alias("d2i"),
+            )
+            for j in range(m)
+            for cid, c in enumerate(codebooks[j])
+        ]
+    )
+    lut = F.broadcast(
+        q.select("qid", F.explode(lut_cells).alias("cell")).select(
+            "qid", "cell.j", "cell.cid", "cell.d2i"
+        )
+    )
+    # scan only probed cells: the (qid, cell) semi-restriction rides
+    # the broadcast probe join BEFORE the code explode
+    scanned = index.join(probes, "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc = (
+        scanned.select("qid", "vec_id", F.posexplode("code").alias("j", "cid"))
+        .join(lut, ["qid", "j", "cid"])
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum("d2i").alias("adc"))
+    )
+    wc = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= coarse_c)
+        .select("qid", "nid")
+    )
+    exact = (
+        cand.join(ev.select(F.col("vec_id").alias("nid"), "v"), "nid")
+        .join(q, "qid")
+        .select(
+            "qid", "nid",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos"),
+        )
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        exact.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cos")
+    )
+
+
+def _ivfpq_oracle_sql(
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    n_centroids: int = 8,
+    rounds: int = 2,
+    coarse_c: int = 20,
+    n_queries: int = 8,
+    dim: int = 64,
+    k: int = 5,
+) -> str:
+    """IVF-PQ replay: the full-dim kmeans chain (suffix _c) gives cells
+    AND the probe centroids; per-subspace chains give codes; probes
+    rank c{R-1}_c by the same rounded rule; ADC is the integer LUT sum
+    restricted to probed cells; exact-cosine rerank."""
+    dsub = dim // m
+    sql = """
+    WITH ev AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )"""
+    sql += _kmeans_rounds_cte(n_cells, rounds, dim, suffix="_c", src="ev")
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sql += f""",
+    ev_s{j} AS MATERIALIZED (
+      SELECT vec_id, v[{lo}:{hi}] AS v FROM ev
+    )"""
+        sql += _kmeans_rounds_cte(
+            n_centroids, rounds, dsub, suffix=f"_s{j}", src=f"ev_s{j}"
+        )
+    sql += f""",
+    qv AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < {n_queries}),
+    probes AS (
+      SELECT qid, cid AS cell FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_distance(q.v, c.c), 8), c.cid
+               ) AS rn
+        FROM c{rounds - 1}_c c CROSS JOIN qv q
+      ) WHERE rn <= {nprobe}
+    ),
+    lut AS ({" UNION ALL ".join(
+        f'''
+      SELECT q.qid, {j} AS j, c.cid,
+             floor(list_reduce(
+               list_transform(range(1, {dsub} + 1),
+                 i -> (q.v[{j * dsub} + i] - c.c[i])
+                      * (q.v[{j * dsub} + i] - c.c[i])),
+               (a, b) -> a + b) * 100000000.0 + 0.5)::BIGINT AS d2i
+      FROM c{rounds - 1}_s{j} c CROSS JOIN qv q'''
+        for j in range(m)
+    )}),
+    codes AS ({" UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, cid FROM a{rounds}_s{j}"
+        for j in range(m)
+    )}),
+    scanned AS (
+      SELECT p.qid, a.vec_id
+      FROM a{rounds}_c a JOIN probes p ON p.cell = a.cid
+      WHERE a.vec_id <> p.qid
+    ),
+    adc AS (
+      SELECT s.qid, s.vec_id AS nid, sum(l.d2i) AS adc
+      FROM scanned s
+      JOIN codes c ON c.vec_id = s.vec_id
+      JOIN lut l ON l.qid = s.qid AND l.j = c.j AND l.cid = c.cid
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc ASC, nid ASC) AS rn
+        FROM adc
+      ) WHERE rn <= {coarse_c}
+    ),
+    exact AS (
+      SELECT cand.qid, cand.nid,
+             round(list_cosine_similarity(q.v, e.v), 4) AS cos
+      FROM cand
+      JOIN ev e ON e.vec_id = cand.nid
+      JOIN qv q ON q.qid = cand.qid
+    )
+    SELECT qid, nid, cos FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid ASC) AS rn
+      FROM exact
+    ) WHERE rn <= {k}
+    """
+    return sql
+
+
+@register("q_ivfpq_topk", _ivfpq_oracle_sql(8, 3, 4, 8, 2, 20, 8, 64, 5))
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-5 for the first 8 queries (8 cells, nprobe=3, m=4
+    subspaces x 8 centroids): cell routing + fixed-point integer ADC
+    within probed cells + exact rerank — the FAISS IndexIVFPQ layout
+    as three value-checked DataFrame stages (the oracle replays five
+    kmeans chains, the probe ranking, the restricted integer ADC, and
+    the rerank cell for cell)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, k=5, n_cells=8, nprobe=3, m=4, n_centroids=8,
+        rounds=2, coarse_c=20, n_queries=8,
+    )

@@ -616,3 +616,63 @@ def test_pq_adc_recall_grows_with_coarse_c(spark):
         recalls.append(len(exact & got) / len(exact))
     assert recalls[0] <= recalls[1], recalls
     assert recalls[1] >= 0.5, recalls
+
+
+def test_ivfpq_degenerates_to_exact_and_guards(spark):
+    """nprobe = n_cells (scan everything) + coarse_c = corpus (rerank
+    everything) must give exactly the exact-kNN answer — both dials
+    provably degenerate; parameter guards raise."""
+    import pytest
+
+    import __spark_entry__ as m
+    from sparkgatha.similarity import ivfpq_topk
+
+    e = read_table(spark, SF, "embeddings")
+    n = e.count()
+    exact = {
+        (r["qid"], r["nid"], r["cos"])
+        for r in m.queries()["q_knn_topk_per_vec"](spark, SF).collect()
+        if r["qid"] < 8
+    }
+    got = {
+        (r["qid"], r["nid"], r["cos"])
+        for r in ivfpq_topk(
+            e, k=5, n_cells=8, nprobe=8, coarse_c=n, n_queries=8
+        ).collect()
+    }
+    assert got == exact
+    with pytest.raises(ValueError):
+        ivfpq_topk(e, nprobe=9, n_cells=8)
+    with pytest.raises(ValueError):
+        ivfpq_topk(e, k=6, coarse_c=5)
+
+
+def test_ivfpq_results_come_from_probed_cells_only(spark):
+    """Every returned neighbor's cell is one the query probed — the
+    inverted-list restriction is real, not decorative."""
+    from pyspark.sql import functions as F
+
+    from sparkgatha.similarity import ivfpq_topk, kmeans_lloyd
+
+    e = read_table(spark, SF, "embeddings")
+    got = ivfpq_topk(e, k=5, n_cells=8, nprobe=2, n_queries=4).collect()
+    cells, cents = kmeans_lloyd(e, k=8, rounds=2)
+    cell_of = {r.vec_id: r.cluster for r in cells.collect()}
+    ev = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+
+    def probed(qid):
+        import math
+
+        def d(v, c):
+            return round(
+                math.sqrt(sum((a - b) * (a - b) for a, b in zip(v, c))), 8
+            )
+
+        ranked = sorted((d(ev[qid], c), cid) for cid, c in enumerate(cents))
+        return {cid for _, cid in ranked[:2]}
+
+    for r in got:
+        assert cell_of[r.nid] in probed(r.qid), (r.qid, r.nid)
