@@ -135,6 +135,43 @@ def main(argv=None) -> int:
     mi.add_argument("--out", required=True)
     mi.add_argument("--seed", type=int, default=0)
 
+    pk = sub.add_parser(
+        "pack",
+        help="training-sequence packing export (chunks = GPT-style "
+             "concat-and-cut, a doc may straddle chunks; bins = "
+             "T5-style next-fit, whole docs only)",
+    )
+    pk.add_argument("--corpus", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--mode", default="chunks", choices=("chunks", "bins"))
+    pk.add_argument("--capacity", type=int, default=2048)
+    pk.add_argument("--shards", type=int, default=32)
+    pk.add_argument("--text-col", default="content")
+    pk.add_argument("--id-col", default="path")
+
+    lv = sub.add_parser(
+        "louvain",
+        help="Louvain modularity-gain local-move round (community "
+             "seeding: per-vertex best move from singletons)",
+    )
+    lv.add_argument("--graph", required=True)
+    lv.add_argument("--out", required=True)
+
+    an = sub.add_parser(
+        "ann",
+        help="approximate-nearest-neighbor export over an embeddings "
+             "parquet (vec_id, embedding)",
+    )
+    an.add_argument("--embeddings", required=True)
+    an.add_argument("--out", required=True)
+    an.add_argument("--method", default="lsh",
+                    choices=("lsh", "ivf", "sq8", "pq", "ivfpq"))
+    an.add_argument("--k", type=int, default=5)
+    an.add_argument("--dim", type=int, default=64)
+    an.add_argument("--queries", type=int, default=100,
+                    help="sq8/pq/ivfpq score the first N vec_ids as "
+                         "queries; lsh/ivf run all-vs-all")
+
     ce = sub.add_parser(
         "centrality",
         help="eigenvector centrality export ((A + I) power iteration, "
@@ -421,6 +458,84 @@ def main(argv=None) -> int:
             "members": stats["members"],
             "rounds": int(stats["rounds"] or 0),
             "seed": args.seed,
+        }))
+
+    elif args.cmd == "pack":
+        from pyspark.sql import functions as F
+
+        from sparkgatha.io import CorpusIO
+        from sparkgatha.textan import pack_bins, pack_chunks
+
+        docs = CorpusIO().read(spark, args.corpus)
+        fn = pack_chunks if args.mode == "chunks" else pack_bins
+        out = fn(
+            docs, capacity=args.capacity, n_shards=args.shards,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        unit = "chunk" if args.mode == "chunks" else "bin"
+        stats = written.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("shard", unit).alias("units"),
+        ).collect()[0]
+        print(json.dumps({
+            "mode": args.mode, "capacity": args.capacity,
+            "rows": stats["rows"], "units": stats["units"],
+        }))
+
+    elif args.cmd == "louvain":
+        from pyspark.sql import functions as F
+
+        from sparkgatha.construct import load_adjacency
+        from sparkgatha.graph.louvain import louvain_move_round
+
+        nodes, edges = load_adjacency(spark, args.graph)
+        # the stored adjacency is symmetrized; the move round wants the
+        # canonical undirected list (it re-symmetrizes internally)
+        und = edges.filter(F.col("src") < F.col("dst"))
+        moves = louvain_move_round(und)
+        ku = nodes.select(F.col("id").alias("vertex"), F.col("key").alias("key"))
+        kv = nodes.select(
+            F.col("id").alias("move_to"), F.col("key").alias("move_to_key")
+        )
+        out = moves.join(ku, "vertex").join(kv, "move_to").select(
+            "key", "move_to_key", "gain"
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        stats = written.agg(
+            F.count("*").alias("vertices"),
+            F.sum((F.col("key") != F.col("move_to_key")).cast("long")).alias("moved"),
+        ).collect()[0]
+        print(json.dumps({
+            "vertices": stats["vertices"], "moved": int(stats["moved"] or 0),
+        }))
+
+    elif args.cmd == "ann":
+        from sparkgatha.similarity import (
+            ann_topk, ivf_topk, ivfpq_topk, pq_topk, sq8_topk,
+        )
+
+        e = spark.read.parquet(args.embeddings)
+        if args.method == "lsh":
+            out = ann_topk(e, k=args.k, dim=args.dim)
+        elif args.method == "ivf":
+            out = ivf_topk(e, k=args.k, dim=args.dim)
+        elif args.method == "sq8":
+            out = sq8_topk(e, k=args.k, dim=args.dim, n_queries=args.queries,
+                           coarse_c=max(20, 4 * args.k))
+        elif args.method == "pq":
+            out = pq_topk(e, k=args.k, dim=args.dim, n_queries=args.queries,
+                          coarse_c=max(20, 4 * args.k))
+        else:
+            out = ivfpq_topk(e, k=args.k, dim=args.dim,
+                             n_queries=args.queries,
+                             coarse_c=max(20, 4 * args.k))
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "method": args.method, "k": args.k,
+            "pairs": spark.read.parquet(args.out).count(),
         }))
 
     elif args.cmd == "centrality":

@@ -518,6 +518,7 @@ def kmeans_lloyd(
     rounds: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize_assignments: bool = True,
 ):
     """(assignments, centroids): ``rounds`` synchronous Lloyd
     iterations of k-means over an embedding column — the training step
@@ -629,7 +630,13 @@ def kmeans_lloyd(
                 for row in stats
             }
             cents = [got.get(cid, cents[cid]) for cid in range(k)]
-        out = assign.select("vec_id", "cluster").localCheckpoint(eager=True)
+        out = assign.select("vec_id", "cluster")
+        if materialize_assignments:
+            out = out.localCheckpoint(eager=True)
+        # else: caller only wants the centroids (PQ training discards
+        # the assignment and re-derives codes map-only) — skip the
+        # n-row eager materialization; the lazy frame recomputes from
+        # the source if ever evaluated
     finally:
         ev.unpersist()
     return out, cents
@@ -1093,7 +1100,10 @@ def pq_train_encode(
         sub = ev.select(
             "vec_id", F.slice("v", j * dsub + 1, dsub).alias("embedding")
         )
-        _, cents = kmeans_lloyd(sub, k=n_centroids, rounds=rounds)
+        _, cents = kmeans_lloyd(
+            sub, k=n_centroids, rounds=rounds,
+            materialize_assignments=False,
+        )
         codebooks.append(cents)
     code = F.array(
         *[
@@ -1104,6 +1114,36 @@ def pq_train_encode(
         ]
     )
     return ev.select("vec_id", code.alias("code")), codebooks
+
+
+def _pq_lut_expr(codebooks, dsub: int):
+    """The ADC lookup table as one expression over a ``qv`` column:
+    an array of (j, cid, d2i) structs, d2i = floor(d2*1e8 + .5) as
+    BIGINT over codebook literals — shared by pq_topk and ivfpq_topk
+    so the fixed-point rule can never drift between them."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(cid).alias("cid"),
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("qv", j * dsub + 1, dsub),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                    * F.lit(100000000.0)
+                    + F.lit(0.5)
+                ).cast("long").alias("d2i"),
+            )
+            for j, book in enumerate(codebooks)
+            for cid, c in enumerate(book)
+        ]
+    )
 
 
 def pq_topk(
@@ -1152,29 +1192,7 @@ def pq_topk(
     q = ev.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    lut_cells = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(cid).alias("cid"),
-                F.floor(
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice("qv", j * dsub + 1, dsub),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda s, x: s + x,
-                    )
-                    * F.lit(100000000.0)
-                    + F.lit(0.5)
-                ).cast("long").alias("d2i"),
-            )
-            for j in range(m)
-            for cid, c in enumerate(codebooks[j])
-        ]
-    )
+    lut_cells = _pq_lut_expr(codebooks, dsub)
     lut = F.broadcast(
         q.select("qid", F.explode(lut_cells).alias("cell")).select(
             "qid", "cell.j", "cell.cid", "cell.d2i"
@@ -1388,29 +1406,7 @@ def ivfpq_topk(
             F.explode(F.slice(cell_choices, 1, nprobe)).alias("p"),
         ).select("qid", F.col("p.cid").alias("cell"))
     )
-    lut_cells = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(cid).alias("cid"),
-                F.floor(
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice("qv", j * dsub + 1, dsub),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda s, x: s + x,
-                    )
-                    * F.lit(100000000.0)
-                    + F.lit(0.5)
-                ).cast("long").alias("d2i"),
-            )
-            for j in range(m)
-            for cid, c in enumerate(codebooks[j])
-        ]
-    )
+    lut_cells = _pq_lut_expr(codebooks, dsub)
     lut = F.broadcast(
         q.select("qid", F.explode(lut_cells).alias("cell")).select(
             "qid", "cell.j", "cell.cid", "cell.d2i"

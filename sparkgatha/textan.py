@@ -1224,8 +1224,12 @@ def pack_bins(
         pdf["bin"] = pd.Series(bins, dtype="int64")
         return pdf[["shard", "bin", "doc_id", "n"]]
 
+    # the id column keeps its source type (bigint doc ids in the
+    # fixtures, string paths in a real corpus) — hardcoding bigint
+    # breaks the Arrow conversion for string ids
+    id_type = sized.schema["doc_id"].dataType.simpleString()
     return sized.groupBy("shard").applyInPandas(
-        _pack, "shard bigint, bin bigint, doc_id bigint, n int"
+        _pack, f"shard bigint, bin bigint, doc_id {id_type}, n int"
     )
 
 

@@ -335,3 +335,60 @@ def test_cli_backbone_mis_centrality(spark, tmp_path):
     ce = spark.read.parquet(str(tmp_path / "ce"))
     assert ce.count() == n_vertices
     assert abs(ce.agg(F.sum("score")).collect()[0][0] - 1.0) < 1e-9
+
+
+def test_cli_pack_louvain_ann(spark, tmp_path):
+    """The ninth-session export commands: sequence packing (both
+    modes), the Louvain move round, and the quantized ANN methods."""
+    import json as _json
+
+    import sparkgatha.__main__ as cli
+
+    corpus_dir = str(tmp_path / "c")
+    generate_corpus(spark, 120, num_partitions=2).write.parquet(corpus_dir)
+
+    for mode in ("chunks", "bins"):
+        out = str(tmp_path / f"pk_{mode}")
+        assert cli.main([
+            "pack", "--corpus", corpus_dir, "--out", out,
+            "--mode", mode, "--capacity", "64", "--shards", "4",
+        ]) == 0
+        pk = spark.read.parquet(out)
+        assert pk.count() > 0
+        unit = "chunk" if mode == "chunks" else "bin"
+        assert {"shard", unit, "doc_id"} <= set(pk.columns)
+        if mode == "bins":
+            # capacity respected for multi-doc bins
+            fills = (
+                pk.groupBy("shard", "bin")
+                .agg(F.sum("n").alias("f"), F.count("*").alias("c"))
+                .collect()
+            )
+            assert all(r["f"] <= 64 or r["c"] == 1 for r in fills)
+
+    g = str(tmp_path / "g")
+    assert cli.main(["construct", "--corpus", corpus_dir, "--out", g,
+                     "--partitions", "4"]) == 0
+    lv = str(tmp_path / "lv")
+    assert cli.main(["louvain", "--graph", g, "--out", lv]) == 0
+    mv = spark.read.parquet(lv)
+    assert mv.count() > 0
+    assert set(mv.columns) == {"key", "move_to_key", "gain"}
+    assert mv.filter(F.col("gain") < 0).count() == 0
+
+    emb = str(tmp_path / "e")
+    rows = [(i, [float(((i * 7 + j * 3) % 13) - 6) for j in range(8)])
+            for i in range(60)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(emb)
+    for method in ("sq8", "pq", "ivfpq"):
+        out = str(tmp_path / f"ann_{method}")
+        assert cli.main([
+            "ann", "--embeddings", emb, "--out", out,
+            "--method", method, "--k", "3", "--dim", "8",
+            "--queries", "6",
+        ]) == 0
+        a = spark.read.parquet(out)
+        assert set(a.columns) == {"qid", "nid", "cos"}
+        assert a.count() > 0
