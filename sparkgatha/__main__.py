@@ -183,7 +183,21 @@ def main(argv=None) -> int:
     ce.add_argument("--max-iter", type=int, default=100)
     ce.add_argument("--unweighted", action="store_true")
 
+    pz = sub.add_parser(
+        "package",
+        help="build the spark-submit --py-files archive of this package "
+             "(no Spark session needed)",
+    )
+    pz.add_argument("--out", default="sparkgatha.zip")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "package":
+        from sparkgatha.packaging import build_pyfiles_zip
+
+        n = build_pyfiles_zip(args.out)
+        print(json.dumps({"archive": args.out, "files": n}))
+        return 0
 
     from pyspark.sql import SparkSession
 
