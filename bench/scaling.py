@@ -46,6 +46,10 @@ from sparkgatha.graph.pagerank import pagerank, prepare_pagerank
 cpus = {cpus}
 n_edges = {edges}
 edges_path = {edges_path!r}
+parts = {partitions}  # layout width: fixed across the N/4N pair so both
+                      # cells read the SAME partitioned table (a cluster
+                      # growing executors over a fixed layout), and no
+                      # local[1] cell ever caches one multi-GB block
 spark = get_spark("scaling", master=f"local[{{cpus}}]", shuffle_partitions=cpus,
                   extra_conf={{"spark.ui.enabled": "false",
                               "spark.driver.memory": {driver_mem!r}}})
@@ -56,9 +60,9 @@ if edges_path:
     # the table itself, so no extra localCheckpoint copy is kept
     e = spark.read.parquet(edges_path)
 else:
-    e = powerlaw_edges(spark, n_edges, n_vertices={vertices}, num_partitions=cpus).localCheckpoint(eager=True)
+    e = powerlaw_edges(spark, n_edges, n_vertices={vertices}, num_partitions=parts).localCheckpoint(eager=True)
 m = e.count()
-prep = prepare_pagerank(e, num_partitions=cpus, strategy={strategy!r})  # layout: once, outside walls
+prep = prepare_pagerank(e, num_partitions=parts, strategy={strategy!r})  # layout: once, outside walls
 pagerank(prepared=prep, tol=0.0, max_iter=3, check_every=3)  # warm-up (JIT), discarded
 r = pagerank(prepared=prep, tol=0.0, max_iter=10, check_every=10)
 total = sum(r.superstep_wall_s)
@@ -173,6 +177,14 @@ def main() -> None:
                          "cells at >1e8 edges, where in-run generation "
                          "would dwarf the measured walls)")
     ap.add_argument("--gen-cpus", type=int, default=32)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="fixed layout width for BOTH cells of the pair "
+                         "(default: = each cell's cpus). Pin it for "
+                         "small-N cells so local[1]/local[2] never cache "
+                         "one multi-GB block and both parallelism levels "
+                         "read the identical partitioned layout — the "
+                         "cluster analogy is growing executors over a "
+                         "fixed table layout")
     ap.add_argument("--driver-mem", default="24g",
                     help="per-run JVM heap; raise so the edge layout "
                          "NEVER spills — a local[1] spill inflates T(N) "
@@ -222,6 +234,7 @@ def main() -> None:
                     repo=REPO, cpus=cpus, edges=args.edges,
                     vertices=args.vertices, strategy=strat,
                     edges_path=args.edges_path,
+                    partitions=args.partitions or cpus,
                     driver_mem=args.driver_mem))
                 for _ in range(args.runs)
             ]
@@ -269,7 +282,8 @@ def main() -> None:
             run_snippet(RUN_SNIPPET.format(
                 repo=REPO, cpus=hi, edges=big,
                 vertices=args.vertices, strategy=strat,
-                edges_path=None, driver_mem=args.driver_mem))
+                edges_path=None, partitions=args.partitions or hi,
+                driver_mem=args.driver_mem))
             for _ in range(args.runs)
         ]
         btputs = sorted(r["edges_per_sec"] for r in bruns)

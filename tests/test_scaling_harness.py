@@ -22,7 +22,8 @@ spec.loader.exec_module(scaling)
 def test_run_snippet_formats_and_parses_without_pregen():
     code = scaling.RUN_SNIPPET.format(
         repo=REPO, cpus=8, edges=20_000_000, vertices=2_000_000,
-        strategy="broadcast", edges_path=None, driver_mem="24g")
+        strategy="broadcast", edges_path=None, partitions=8,
+        driver_mem="24g")
     tree = ast.parse(code)
     # generation branch must be reachable when no path is given
     assert "powerlaw_edges" in code
@@ -32,7 +33,8 @@ def test_run_snippet_formats_and_parses_without_pregen():
 def test_run_snippet_formats_and_parses_with_pregen():
     code = scaling.RUN_SNIPPET.format(
         repo=REPO, cpus=1, edges=80_000_000, vertices=200_000,
-        strategy="shuffle", edges_path="/tmp/edges", driver_mem="48g")
+        strategy="shuffle", edges_path="/tmp/edges", partitions=8,
+        driver_mem="48g")
     ast.parse(code)
     assert "read.parquet" in code
     # the repr-quoted path must round-trip into the scan branch
