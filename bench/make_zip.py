@@ -1,23 +1,25 @@
 """Package sparkgatha for spark-submit --py-files (north rule shipping
-requirement): python bench/make_zip.py [out.zip]"""
+requirement): python bench/make_zip.py [out.zip]
+
+Thin alias for ``python -m sparkgatha package`` — the deterministic
+builder lives in sparkgatha/packaging.py (sorted entries, fixed
+timestamps, byte-identical rebuilds) so cluster caches keyed on the
+archive hash never churn.
+"""
 
 from __future__ import annotations
 
 import os
 import sys
-import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sparkgatha.packaging import build_pyfiles_zip  # noqa: E402
 
 
 def make_zip(out: str) -> str:
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        pkg = os.path.join(REPO, "sparkgatha")
-        for root, _, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, REPO))
+    build_pyfiles_zip(out)
     return out
 
 
