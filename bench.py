@@ -125,7 +125,9 @@ def main() -> None:
     timed("b_triangle_counts", lambda: triangle_counts(edges_b).count())
     timed(
         "b_lpa_5_supersteps",
-        lambda: label_propagation(edges_b, max_iter=5, num_partitions=CPUS).count(),
+        lambda: label_propagation(
+            edges_b, max_iter=5, num_partitions=CPUS, check_every=5
+        ).count(),
     )
     # walk-corpus generation at scale: ~2e6 walks (one per vertex), the
     # frontier-only-shuffle superstep shape (graph/walks.py)

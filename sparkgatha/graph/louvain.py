@@ -103,3 +103,44 @@ def louvain_move_round(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("gain"),
     )
+
+
+def coarsen_by_labels(
+    edges: DataFrame,
+    labels: DataFrame,
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+) -> DataFrame:
+    """Louvain phase-2 contraction (Blondel et al. 2008 §2): collapse
+    every community to one supervertex and sum edge weights —
+    ``(c_src, c_dst, weight)``, canonical ``c_src <= c_dst``, where a
+    community's internal weight surfaces as its ``c_src == c_dst``
+    self-loop row (exactly the self-loop full Louvain's next level
+    needs, since modularity counts internal weight).
+
+    Total weight is conserved by construction: sum(weight) in == out
+    (tests).  Scale shape: two |V|-row label joins against the edge
+    table — the same vertex-state join every superstep runs, so the
+    same layout discipline applies (labels broadcast when small,
+    hash(src)/hash(dst) co-partition beyond that) — then ONE groupBy
+    whose key count is the community count (<< |E|), with partial
+    map-side combine.  Each Louvain level shrinks the graph, so the
+    contraction is cheapest exactly when it runs most often."""
+    lu = labels.select(
+        F.col(vertex_col).alias("src"), F.col(label_col).alias("_cs")
+    )
+    lv = labels.select(
+        F.col(vertex_col).alias("dst"), F.col(label_col).alias("_cd")
+    )
+    return (
+        edges.select("src", "dst", "weight")
+        .join(lu, "src")
+        .join(lv, "dst")
+        .select(
+            F.least("_cs", "_cd").alias("c_src"),
+            F.greatest("_cs", "_cd").alias("c_dst"),
+            "weight",
+        )
+        .groupBy("c_src", "c_dst")
+        .agg(F.sum("weight").alias("weight"))
+    )

@@ -57,6 +57,7 @@ def label_propagation(
     metrics_sink: MetricsSink | None = None,
     strategy: str = "auto",
     hot_threshold: int | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """(vertex long, label long) over symmetrized ``edges(src,dst,weight)``.
 
@@ -71,6 +72,17 @@ def label_propagation(
     the beyond-broadcast regime; in that mode the layout partitions by
     src so the vote join is exchange-free on the edge side) | 'auto'.
     Both strategies are result-identical (tests).
+
+    ``check_every``: fuse this many supersteps into ONE Spark job (the
+    pagerank fused-block discipline — interior steps end in a lazy
+    ``localCheckpoint`` so each materializes exactly once inside the
+    block-end action).  Labels are bit-identical to per-step execution
+    (the superstep is a pure synchronous transform); only the metric /
+    convergence-check granularity coarsens to block boundaries, so a run
+    that converges mid-block does up to ``check_every - 1`` idempotent
+    extra supersteps (a fixpoint is stable under the deterministic
+    tie-break).  Durable checkpoints keep their ``checkpoint_every``
+    cadence: blocks are clamped so boundaries land on it.
     """
     ckpt = CheckpointManager(checkpoint_dir, run_id)
     sink = metrics_sink or MetricsSink(checkpoint_dir, run_id)
@@ -130,12 +142,12 @@ def label_propagation(
                 "vertex", F.col("vertex").alias("label")
             ).localCheckpoint(eager=True)
 
-        it = start_it
-        while it < max_iter:
-            it += 1
-            t0 = time.monotonic()
-            state = F.broadcast(labels) if strategy == "broadcast" else (
-                labels.repartition(num_partitions, "vertex")
+        def step(lbl: DataFrame) -> DataFrame:
+            """One synchronous superstep as a pure transform of
+            ``lbl(vertex, label)`` → (vertex, label, _changed)."""
+            cur = lbl.select("vertex", "label")
+            state = F.broadcast(cur) if strategy == "broadcast" else (
+                cur.repartition(num_partitions, "vertex")
             )
             # gather: total incident weight per (vertex, neighbor label);
             # partial agg is partition-local against the stationary layout
@@ -146,7 +158,7 @@ def label_propagation(
                 # ≤HOT_MIRROR_CAP hot-src label rows, broadcast into the
                 # salted hot edges — no shuffle on the hot branch
                 hot_state = F.broadcast(
-                    labels.join(F.broadcast(hot_srcs_v), "vertex", "left_semi")
+                    cur.join(F.broadcast(hot_srcs_v), "vertex", "left_semi")
                 )
                 contrib = contrib.unionByName(
                     hot_layout.join(
@@ -173,17 +185,29 @@ def label_propagation(
                     F.col("dst").alias("vertex"), F.col("b.label").alias("new_label")
                 )
             )
-            new_labels = (
-                labels.join(best, "vertex", "left")
-                .select(
-                    "vertex",
-                    F.coalesce("new_label", "label").alias("label"),
-                    (F.coalesce("new_label", "label") != F.col("label")).alias(
-                        "_changed"
-                    ),
-                )
+            return cur.join(best, "vertex", "left").select(
+                "vertex",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias(
+                    "_changed"
+                ),
             )
-            new_labels = new_labels.localCheckpoint(eager=False)
+
+        it = start_it
+        while it < max_iter:
+            # fused block: `block` supersteps chained lazily, ONE driver
+            # action (the changed-count) at the end; each interior frame
+            # feeds two consumers (state broadcast/shuffle + self-join)
+            # and materializes once via the lazy localCheckpoint
+            block = min(max(check_every, 1), max_iter - it)
+            if checkpoint_dir is not None:
+                block = min(block, checkpoint_every - it % checkpoint_every)
+            block = max(block, 1)
+            t0 = time.monotonic()
+            new_labels = labels
+            for _ in range(block):
+                new_labels = step(new_labels).localCheckpoint(eager=False)
+            it += block
             changed = new_labels.filter(F.col("_changed")).count()
             wall = time.monotonic() - t0
             durable = checkpoint_dir is not None and (

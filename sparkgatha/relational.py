@@ -1726,6 +1726,162 @@ def q_louvain_move(spark, sf_dir):
 
 
 @register(
+    "q_graph_coarsen",
+    f"""
+    WITH {_ADJ_CTE},
+    se AS (
+      SELECT src, dst, weight FROM ae
+      UNION ALL SELECT dst, src, weight FROM ae
+    ),
+    deg AS (SELECT src AS v, sum(weight)::DOUBLE AS k FROM se GROUP BY src),
+    m2 AS (SELECT sum(weight)::DOUBLE AS m2 FROM se),
+    g AS (
+      SELECT se.src AS u, se.dst AS nbr,
+             round(se.weight::DOUBLE
+                   - (du.k * dv.k) / (SELECT m2 FROM m2), 8) AS g8
+      FROM se JOIN deg du ON du.v = se.src JOIN deg dv ON dv.v = se.dst
+    ),
+    best AS (
+      SELECT u, nbr, g8 FROM (
+        SELECT u, nbr, g8,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY g8 DESC, nbr ASC) AS rn
+        FROM g
+      ) WHERE rn = 1
+    ),
+    mv AS (
+      SELECT u AS vertex, CASE WHEN g8 > 0 THEN nbr ELSE u END AS c
+      FROM best
+    )
+    SELECT least(cu.c, cv.c) AS c_src, greatest(cu.c, cv.c) AS c_dst,
+           sum(ae.weight)::BIGINT AS weight
+    FROM ae JOIN mv cu ON cu.vertex = ae.src JOIN mv cv ON cv.vertex = ae.dst
+    GROUP BY 1, 2
+    """,
+)
+def q_graph_coarsen(spark, sf_dir):
+    """G41 Louvain phase-2 contraction: one G39 move round from
+    singletons assigns communities, then the graph contracts to one
+    supervertex per community with summed weights (internal weight as
+    the self-loop) — the step that turns the move round into full
+    multi-level Louvain.  Value-checked against DuckDB replaying the
+    identical move rule + contraction aggregate."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.louvain import coarsen_by_labels, louvain_move_round
+
+    edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    moves = louvain_move_round(edges).select(
+        "vertex", F.col("move_to").alias("label")
+    )
+    return coarsen_by_labels(edges, moves).select(
+        "c_src", "c_dst", F.col("weight").cast("long").alias("weight")
+    )
+
+
+@register(
+    "q_simrank",
+    f"""
+    WITH {_ADJ_CTE},
+    und AS (
+      SELECT src, dst FROM ae WHERE src <> dst
+      UNION ALL SELECT dst, src FROM ae WHERE src <> dst
+    ),
+    deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY src),
+    topv AS (SELECT v FROM deg ORDER BY d DESC, v ASC LIMIT 64),
+    sub AS (
+      SELECT u.src, u.dst FROM und u
+      JOIN topv t1 ON u.src = t1.v JOIN topv t2 ON u.dst = t2.v
+    ),
+    sd AS (SELECT src AS v, count(*) AS d FROM sub GROUP BY src),
+    verts AS (SELECT DISTINCT src AS v FROM sub),
+    s0 AS (SELECT v AS x, v AS y, 100000000::BIGINT AS s8 FROM verts),
+    m1 AS (
+      SELECT e1.src AS a, e2.src AS b, sum(s0.s8)::BIGINT AS m8
+      FROM sub e1 JOIN s0 ON e1.dst = s0.x JOIN sub e2 ON s0.y = e2.dst
+      GROUP BY 1, 2
+    ),
+    s1 AS (
+      SELECT v AS x, v AS y, 100000000::BIGINT AS s8 FROM verts
+      UNION ALL
+      SELECT a AS x, b AS y,
+             round(0.8::DOUBLE * m8 / (da.d * db.d), 0)::BIGINT AS s8
+      FROM m1 JOIN sd da ON da.v = m1.a JOIN sd db ON db.v = m1.b
+      WHERE a <> b
+        AND round(0.8::DOUBLE * m8 / (da.d * db.d), 0)::BIGINT > 0
+    ),
+    m2 AS (
+      SELECT e1.src AS a, e2.src AS b, sum(s1.s8)::BIGINT AS m8
+      FROM sub e1 JOIN s1 ON e1.dst = s1.x JOIN sub e2 ON s1.y = e2.dst
+      GROUP BY 1, 2
+    ),
+    s2 AS (
+      SELECT a AS x, b AS y,
+             round(0.8::DOUBLE * m8 / (da.d * db.d), 0)::BIGINT AS s8
+      FROM m2 JOIN sd da ON da.v = m2.a JOIN sd db ON db.v = m2.b
+      WHERE a <> b
+        AND round(0.8::DOUBLE * m8 / (da.d * db.d), 0)::BIGINT > 0
+    )
+    SELECT x AS a, y AS b, s8 / 100000000.0::DOUBLE AS score
+    FROM s2 WHERE x < y
+    """,
+)
+def q_simrank(spark, sf_dir):
+    """G40 SimRank (Jeh & Widom 2002), 2 synchronous rounds at C=0.8
+    over the top-64-degree induced subgraph of the window-1 adjacency
+    graph (the candidate-set restriction every scalable SimRank use
+    applies — pair state is O(top²) by design); per-round round(·,8)
+    makes the recurrence engine-independent.  Value-checked against
+    DuckDB's fully unrolled two-round replay."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.simrank import simrank
+
+    edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    return simrank(edges, c=0.8, iters=2, top=64)
+
+
+@register(
+    "q_event_transition_graph",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS win_start_epoch,
+           prev AS src, event_type AS dst, count(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_event_transition_graph(spark, sf_dir):
+    """G42 temporal transition graph: per-user event sequences (ordered
+    by ts with event_id tie-break) become (prev_type → type) edges,
+    counted per 1-hour tumbling window of the arriving event — the
+    edge-extraction shape for event streams (W2 lag + ST1 window + G1
+    aggregation in one plan; in stream mode the same plan runs under
+    streaming.tumbling with a watermark)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("prev").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("win_start_epoch"),
+            "src",
+            "dst",
+            "n",
+        )
+    )
+
+
+@register(
     "q_powerlaw_alpha",
     f"""
     WITH {_ADJ_CTE},

@@ -275,3 +275,100 @@ def test_lpa_shuffle_strategy_identical(spark):
     lc = {r["vertex"]: r["label"] for r in c.collect()}
     assert la == lb
     assert la == lc
+
+
+def test_lpa_fused_blocks_identical(spark):
+    """check_every>1 fuses supersteps into one job but must be
+    label-identical to per-step execution — in both strategies, and at a
+    block size that does not divide max_iter (tail block)."""
+    from sparkgatha.graph.lpa import label_propagation
+
+    triples = random_graph(n=120, m=420, seed=47)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    base = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(
+            edges, max_iter=7, num_partitions=4, strategy="broadcast"
+        ).collect()
+    }
+    for strategy in ("broadcast", "shuffle"):
+        fused = {
+            r["vertex"]: r["label"]
+            for r in label_propagation(
+                edges, max_iter=7, num_partitions=4, strategy=strategy,
+                check_every=3,
+            ).collect()
+        }
+        assert fused == base, strategy
+
+
+def test_simrank_matches_pure_python(spark):
+    """SimRank (2 rounds, C=0.8) vs an independent pure-Python replay of
+    the pinned rule — whole graph induced (top >= n), so the top-k cut
+    is not exercised here (the replica test covers it on real terms)."""
+    from sparkgatha.graph.simrank import simrank
+
+    triples = random_graph(n=40, m=90, seed=11, weighted=False)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    got = {
+        (r["a"], r["b"]): r["score"]
+        for r in simrank(edges, c=0.8, iters=2, top=40).collect()
+    }
+
+    import math
+
+    nbrs = {}
+    for a, b, _ in triples:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    # exact scaled-long state, mirroring the engine: sums of longs are
+    # order-independent, and the one double expression per update is
+    # computed from identical integers (HALF_UP via floor(x + 0.5) —
+    # Python's round() is half-even, the engines' is half-up)
+    s8 = {(v, v): 10**8 for v in nbrs}
+    for _ in range(2):
+        nxt = {(v, v): 10**8 for v in nbrs}
+        for a in nbrs:
+            for b in nbrs:
+                if a == b:
+                    continue
+                m8 = sum(
+                    s8.get((u, v), 0) for u in nbrs[a] for v in nbrs[b]
+                )
+                val = math.floor(
+                    0.8 * m8 / (len(nbrs[a]) * len(nbrs[b])) + 0.5
+                )
+                if val > 0:
+                    nxt[(a, b)] = val
+        s8 = nxt
+    want = {
+        (a, b): v / 1e8 for (a, b), v in s8.items() if a < b and v > 0
+    }
+    assert got == want
+
+
+def test_simrank_top_guard():
+    from sparkgatha.graph.simrank import simrank
+
+    with pytest.raises(ValueError, match="guard"):
+        simrank(None, top=5000)
+
+
+def test_coarsen_conserves_weight_and_self_loops(spark):
+    """coarsen_by_labels: total weight in == out, and a community's
+    internal weight lands on its self-loop row."""
+    from sparkgatha.graph.louvain import coarsen_by_labels
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("b", "c", 1.0), ("c", "d", 2.0), ("d", "e", 5.0)],
+        "src string, dst string, weight double",
+    )
+    labels = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "y"), ("e", "y")],
+        "vertex string, label string",
+    )
+    got = {
+        (r["c_src"], r["c_dst"]): r["weight"]
+        for r in coarsen_by_labels(edges, labels).collect()
+    }
+    assert got == {("x", "x"): 4.0, ("x", "y"): 2.0, ("y", "y"): 5.0}
