@@ -156,6 +156,10 @@ def main(argv=None) -> int:
     )
     lv.add_argument("--graph", required=True)
     lv.add_argument("--out", required=True)
+    lv.add_argument("--levels", type=int, default=0,
+                    help="run full multi-level Louvain (move + contract "
+                         "per level) instead of the single seeding "
+                         "round; writes (key, community_key)")
 
     an = sub.add_parser(
         "ann",
@@ -508,23 +512,52 @@ def main(argv=None) -> int:
         # the stored adjacency is symmetrized; the move round wants the
         # canonical undirected list (it re-symmetrizes internally)
         und = edges.filter(F.col("src") < F.col("dst"))
-        moves = louvain_move_round(und)
-        ku = nodes.select(F.col("id").alias("vertex"), F.col("key").alias("key"))
-        kv = nodes.select(
-            F.col("id").alias("move_to"), F.col("key").alias("move_to_key")
-        )
-        out = moves.join(ku, "vertex").join(kv, "move_to").select(
-            "key", "move_to_key", "gain"
-        )
-        out.write.mode("overwrite").parquet(args.out)
-        written = spark.read.parquet(args.out)
-        stats = written.agg(
-            F.count("*").alias("vertices"),
-            F.sum((F.col("key") != F.col("move_to_key")).cast("long")).alias("moved"),
-        ).collect()[0]
-        print(json.dumps({
-            "vertices": stats["vertices"], "moved": int(stats["moved"] or 0),
-        }))
+        if args.levels > 0:
+            from sparkgatha.graph.louvain import louvain
+
+            comm = louvain(und, max_levels=args.levels)
+            ku = nodes.select(F.col("id").alias("vertex"), "key")
+            kc = nodes.select(
+                F.col("id").alias("community"),
+                F.col("key").alias("community_key"),
+            )
+            out = comm.join(ku, "vertex").join(kc, "community").select(
+                "key", "community_key"
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            written = spark.read.parquet(args.out)
+            stats = written.agg(
+                F.count("*").alias("vertices"),
+                F.countDistinct("community_key").alias("communities"),
+            ).collect()[0]
+            print(json.dumps({
+                "op": "louvain", "levels": args.levels,
+                "vertices": stats["vertices"],
+                "communities": stats["communities"], "out": args.out,
+            }))
+        else:
+            moves = louvain_move_round(und)
+            ku = nodes.select(
+                F.col("id").alias("vertex"), F.col("key").alias("key")
+            )
+            kv = nodes.select(
+                F.col("id").alias("move_to"), F.col("key").alias("move_to_key")
+            )
+            out = moves.join(ku, "vertex").join(kv, "move_to").select(
+                "key", "move_to_key", "gain"
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            written = spark.read.parquet(args.out)
+            stats = written.agg(
+                F.count("*").alias("vertices"),
+                F.sum(
+                    (F.col("key") != F.col("move_to_key")).cast("long")
+                ).alias("moved"),
+            ).collect()[0]
+            print(json.dumps({
+                "vertices": stats["vertices"],
+                "moved": int(stats["moved"] or 0),
+            }))
 
     elif args.cmd == "ann":
         from sparkgatha.similarity import (

@@ -36,7 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def louvain_move_round(edges: DataFrame) -> DataFrame:
+def louvain_move_round(
+    edges: DataFrame, count_self_loops: bool = False
+) -> DataFrame:
     """(vertex, move_to, gain) over a canonical undirected weighted
     edge list (src < dst, weight) — one synchronous Louvain local-move
     round from the singleton partition.  ``move_to == vertex`` and
@@ -46,10 +48,29 @@ def louvain_move_round(edges: DataFrame) -> DataFrame:
     makes the ranking engine-independent (fp summation-order noise in
     k_u cannot exist — weighted degrees are exact integer sums — and
     the single divide is the identical double expression in both
-    engines)."""
-    base = edges.select("src", "dst", "weight").filter(
+    engines).
+
+    ``count_self_loops=True`` (the multi-level ``louvain`` path): a
+    self-loop stays ineligible as a move target but its weight counts —
+    the standard A_ii = 2w convention adds 2·w_self to the vertex's
+    degree and to 2m, so a contracted community's internal mass resists
+    further merges.  The default drops self-loops entirely: that is the
+    pinned cross-engine rule the q_louvain_move oracle replays, and raw
+    corpora have none."""
+    # one materialization of the (possibly expensive) upstream: base,
+    # loops, and the m2 scans all derive from this cached frame
+    pre = edges.select("src", "dst", "weight").localCheckpoint(eager=True)
+    base = pre.filter(
         F.col("src") != F.col("dst")  # a self-move is a no-op, not a gain
     )
+    if count_self_loops:
+        loops = (
+            pre.filter(F.col("src") == F.col("dst"))
+            .groupBy(F.col("src").alias("v"))
+            .agg((F.lit(2.0) * F.sum("weight")).alias("k_self"))
+        )
+    else:
+        loops = None
     se = (
         base.unionByName(
             base.select(
@@ -65,14 +86,29 @@ def louvain_move_round(edges: DataFrame) -> DataFrame:
     deg = se.groupBy(F.col("src").alias("v")).agg(
         F.sum("weight").cast("double").alias("k")
     )
+    if loops is not None:
+        deg = deg.join(
+            loops.withColumnRenamed("v", "lv"), deg.v == F.col("lv"), "left"
+        ).select(
+            "v",
+            (F.col("k") + F.coalesce(F.col("k_self"), F.lit(0.0)))
+            .alias("k"),
+        )
     # 2m as a bounded 1-row driver scalar baked in as a literal (the
     # G13 convergence-stats class — a 1-row crossJoin would plan as
-    # the BNLJ node the hygiene sweep bans); the sum is an exact
-    # integer, so the literal double is identical in both engines
-    m2row = se.agg(F.sum("weight").alias("m2")).collect()[0]["m2"]
-    if m2row is None or float(m2row) == 0.0:
+    # the BNLJ node the hygiene sweep bans); on loop-free integer-weight
+    # corpora the sum is an exact integer, identical in both engines
+    m2row = (
+        se.agg(F.sum("weight").alias("m2")).collect()[0]["m2"] or 0.0
+    )
+    loop_m2 = 0.0
+    if loops is not None:
+        loop_m2 = (
+            loops.agg(F.sum("k_self").alias("l2")).collect()[0]["l2"] or 0.0
+        )
+    m2 = float(m2row) + float(loop_m2)
+    if m2 == 0.0:
         raise ValueError("louvain_move_round: empty or zero-weight edge list")
-    m2 = float(m2row)
     du = deg.select(F.col("v").alias("src"), F.col("k").alias("ku"))
     dv = deg.select(F.col("v").alias("dst"), F.col("k").alias("kv"))
     g = (
@@ -144,3 +180,90 @@ def coarsen_by_labels(
         .groupBy("c_src", "c_dst")
         .agg(F.sum("weight").alias("weight"))
     )
+
+
+def louvain(edges: DataFrame, max_levels: int = 4) -> DataFrame:
+    """(vertex, community) — multi-level Louvain: repeat [one G39
+    singleton move round on the current graph → contract] until a round
+    proposes no move or ``max_levels`` is reached.
+
+    Synchronous singleton rounds can propose swaps (u→v while v→u) and
+    chains; contracting by the raw move target would relabel without
+    merging and oscillate.  Each level therefore contracts by the
+    CONNECTED COMPONENTS of the positive-gain move graph (G5,
+    deterministic min-vertex labels): mutual moves merge, chains
+    agglomerate, and the vertex count strictly decreases whenever any
+    move was proposed — so the level loop terminates.  Contraction
+    self-loops carry internal weight into the next level's degrees
+    (louvain_move_round's A_ii = 2w handling), which is what makes
+    merged communities progressively harder to absorb.
+
+    Scale shape per level: one move round (two degree joins + struct
+    argmax), one CC run on the ≤|V|-edge pointer graph, one |V|-row
+    mapping composition join, one contraction groupBy — each level runs
+    on a strictly smaller graph, so the first level dominates."""
+    from sparkgatha.graph.cc import connected_components
+
+    cur = edges.select("src", "dst", "weight")
+    mapping = None  # (vertex, community) over the ORIGINAL vertex set
+    for _ in range(max(max_levels, 1)):
+        moves = louvain_move_round(cur, count_self_loops=True)
+        move_e = moves.filter(F.col("move_to") != F.col("vertex")).select(
+            F.col("vertex").alias("src"),
+            F.col("move_to").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        if move_e.limit(1).count() == 0:
+            break
+        sym = move_e.unionByName(
+            move_e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        comp = connected_components(sym).select(
+            "vertex", F.col("component").alias("label")
+        )
+        # vertices with no positive-gain move keep their own community
+        verts = (
+            cur.select(F.col("src").alias("vertex"))
+            .unionByName(cur.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        labels = (
+            verts.join(comp, "vertex", "left")
+            .select(
+                "vertex", F.coalesce("label", F.col("vertex")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if mapping is None:
+            mapping = labels.select(
+                "vertex", F.col("label").alias("community")
+            )
+        else:
+            lbl2 = labels.select(
+                F.col("vertex").alias("community"),
+                F.col("label").alias("_next"),
+            )
+            mapping = mapping.join(lbl2, "community", "left").select(
+                "vertex",
+                F.coalesce("_next", "community").alias("community"),
+            )
+        mapping = mapping.localCheckpoint(eager=True)
+        cur = (
+            coarsen_by_labels(cur, labels)
+            .select(
+                F.col("c_src").alias("src"),
+                F.col("c_dst").alias("dst"),
+                "weight",
+            )
+            .localCheckpoint(eager=True)
+        )
+    if mapping is None:
+        verts = (
+            cur.select(F.col("src").alias("vertex"))
+            .unionByName(cur.select(F.col("dst").alias("vertex")))
+            .distinct()
+        )
+        mapping = verts.select("vertex", F.col("vertex").alias("community"))
+    return mapping

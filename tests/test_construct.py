@@ -376,6 +376,15 @@ def test_cli_pack_louvain_ann(spark, tmp_path):
     assert set(mv.columns) == {"key", "move_to_key", "gain"}
     assert mv.filter(F.col("gain") < 0).count() == 0
 
+    # full multi-level mode: every vertex mapped, communities shrink
+    lvm = str(tmp_path / "lvm")
+    assert cli.main(["louvain", "--graph", g, "--out", lvm,
+                     "--levels", "3"]) == 0
+    cm = spark.read.parquet(lvm)
+    assert set(cm.columns) == {"key", "community_key"}
+    assert cm.count() == mv.count()
+    assert cm.select("community_key").distinct().count() < cm.count()
+
     emb = str(tmp_path / "e")
     rows = [(i, [float(((i * 7 + j * 3) % 13) - 6) for j in range(8)])
             for i in range(60)]
