@@ -89,15 +89,16 @@ PRIORITY_WINDOW = [
                             # self-join and of every driver-green
                             # superstep join in q_g5/q_g6/q_k_core;
                             # q_join_smj stays in the replica)
-    "q_louvain_move",       # G39 Louvain modularity-gain local move
-                            # (the modularity-seeking counterpart of
-                            # G6's LPA; rotated in r4 ninth session
-                            # displacing q_join_outer — J3's left-outer
-                            # null semantics are value-checked inside
-                            # q_g7_triangles' zero-fill LEFT JOIN and
-                            # q_g6's per-round coalesce merge;
-                            # q_join_outer and the full-outer variant
-                            # stay in the replica)
+    "q_graph_coarsen",      # G41 Louvain phase-2 contraction (rotated
+                            # in r4 tenth session displacing
+                            # q_louvain_move — G39's move round runs
+                            # VERBATIM as this key's first stage, so
+                            # its move/gain rule keeps driver-value
+                            # evidence transitively; q_louvain_move
+                            # stays in the replica.  The earlier J3
+                            # displacement note carries: left-outer
+                            # null semantics stay value-checked inside
+                            # q_g7_triangles and q_g6)
     "q_join_semi",          # J4
     "q_sq8_topk",           # int8 scalar-quantized ANN + exact rerank
                             # (the bandwidth-oriented ANN variant whose
@@ -114,7 +115,14 @@ PRIORITY_WINDOW = [
                             # (one slot value-checks the whole dedup
                             # stack; J3-full q_join_full_outer moved to
                             # the local replica — J3 keeps q_join_outer)
-    "q_selfjoin_cooc",      # J6 / G1
+    "q_simrank",            # G40 SimRank, exact scaled-long state
+                            # (rotated in r4 tenth session displacing
+                            # q_selfjoin_cooc — J6's self-join shape is
+                            # the physical plan of this key's
+                            # sub⋈state⋈sub gather AND q_g7_triangles'
+                            # 3-way edge self-join; G1's extractor runs
+                            # inside every q_g* key and this one;
+                            # q_selfjoin_cooc stays in the replica)
     "q_join_range",         # J7
     "q_asof",               # J8
     "q_near_dup_clusters",  # transitive near-dup canonicalization (G5
