@@ -146,6 +146,15 @@ def main() -> None:
         "b_msf_2m",
         lambda: minimum_spanning_forest(edges_m).count(),
     )
+    # multi-level Louvain on the same 2e6 slice: per level one move
+    # round + CC-of-move-graph + contraction — the agglomeration cost
+    # being tracked (G43)
+    from sparkgatha.graph.louvain import louvain
+
+    timed(
+        "b_louvain_2level_2m",
+        lambda: louvain(edges_m, max_levels=2).count(),
+    )
 
     # --- input A: extraction spine + algorithms on the documents graph ---
     docs = read_table(spark, SF_DIR, "documents")
@@ -232,6 +241,9 @@ def main() -> None:
         "q_percentiles",
         "q_pq_topk",
         "q_ivfpq_topk",
+        "q_simrank",
+        "q_graph_coarsen",
+        "q_event_transition_graph",
     ):
         if name in reg:
             fn = reg[name]

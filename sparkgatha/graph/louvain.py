@@ -182,6 +182,56 @@ def coarsen_by_labels(
     )
 
 
+def louvain_level(edges: DataFrame):
+    """One full G43 Louvain level over ``(src, dst, weight)``:
+    self-loop-aware move round → connected components of the
+    positive-gain move graph (G5, min-vertex labels — merges mutual
+    moves and chains that raw move targets would only relabel) →
+    contraction.
+
+    Returns ``(labels, coarse)``: ``labels(vertex, label)`` covers
+    EVERY vertex of ``edges`` (non-movers keep themselves), ``coarse``
+    is the contracted ``(src, dst, weight)`` graph with community-
+    internal weight as self-loops.  Returns ``(None, edges)`` when the
+    round proposes no move (the level fixpoint)."""
+    from sparkgatha.graph.cc import connected_components
+
+    cur = edges.select("src", "dst", "weight")
+    moves = louvain_move_round(cur, count_self_loops=True)
+    move_e = moves.filter(F.col("move_to") != F.col("vertex")).select(
+        F.col("vertex").alias("src"),
+        F.col("move_to").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    if move_e.limit(1).count() == 0:
+        return None, cur
+    sym = move_e.unionByName(
+        move_e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    comp = connected_components(sym).select(
+        "vertex", F.col("component").alias("label")
+    )
+    # vertices with no positive-gain move keep their own community
+    verts = (
+        cur.select(F.col("src").alias("vertex"))
+        .unionByName(cur.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    labels = (
+        verts.join(comp, "vertex", "left")
+        .select(
+            "vertex", F.coalesce("label", F.col("vertex")).alias("label")
+        )
+        .localCheckpoint(eager=True)
+    )
+    coarse = coarsen_by_labels(cur, labels).select(
+        F.col("c_src").alias("src"), F.col("c_dst").alias("dst"), "weight"
+    )
+    return labels, coarse
+
+
 def louvain(edges: DataFrame, max_levels: int = 4) -> DataFrame:
     """(vertex, community) — multi-level Louvain: repeat [one G39
     singleton move round on the current graph → contract] until a round
@@ -202,40 +252,12 @@ def louvain(edges: DataFrame, max_levels: int = 4) -> DataFrame:
     argmax), one CC run on the ≤|V|-edge pointer graph, one |V|-row
     mapping composition join, one contraction groupBy — each level runs
     on a strictly smaller graph, so the first level dominates."""
-    from sparkgatha.graph.cc import connected_components
-
     cur = edges.select("src", "dst", "weight")
     mapping = None  # (vertex, community) over the ORIGINAL vertex set
     for _ in range(max(max_levels, 1)):
-        moves = louvain_move_round(cur, count_self_loops=True)
-        move_e = moves.filter(F.col("move_to") != F.col("vertex")).select(
-            F.col("vertex").alias("src"),
-            F.col("move_to").alias("dst"),
-            F.lit(1.0).alias("weight"),
-        )
-        if move_e.limit(1).count() == 0:
+        labels, coarse = louvain_level(cur)
+        if labels is None:
             break
-        sym = move_e.unionByName(
-            move_e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-            )
-        )
-        comp = connected_components(sym).select(
-            "vertex", F.col("component").alias("label")
-        )
-        # vertices with no positive-gain move keep their own community
-        verts = (
-            cur.select(F.col("src").alias("vertex"))
-            .unionByName(cur.select(F.col("dst").alias("vertex")))
-            .distinct()
-        )
-        labels = (
-            verts.join(comp, "vertex", "left")
-            .select(
-                "vertex", F.coalesce("label", F.col("vertex")).alias("label")
-            )
-            .localCheckpoint(eager=True)
-        )
         if mapping is None:
             mapping = labels.select(
                 "vertex", F.col("label").alias("community")
@@ -250,15 +272,7 @@ def louvain(edges: DataFrame, max_levels: int = 4) -> DataFrame:
                 F.coalesce("_next", "community").alias("community"),
             )
         mapping = mapping.localCheckpoint(eager=True)
-        cur = (
-            coarsen_by_labels(cur, labels)
-            .select(
-                F.col("c_src").alias("src"),
-                F.col("c_dst").alias("dst"),
-                "weight",
-            )
-            .localCheckpoint(eager=True)
-        )
+        cur = coarse.localCheckpoint(eager=True)
     if mapping is None:
         verts = (
             cur.select(F.col("src").alias("vertex"))

@@ -1779,6 +1779,83 @@ def q_graph_coarsen(spark, sf_dir):
 
 
 @register(
+    "q_louvain_level",
+    f"""
+    WITH RECURSIVE {_ADJ_CTE},
+    se AS (
+      SELECT src, dst, weight FROM ae
+      UNION ALL SELECT dst, src, weight FROM ae
+    ),
+    deg AS (SELECT src AS v, sum(weight)::DOUBLE AS k FROM se GROUP BY src),
+    m2 AS (SELECT sum(weight)::DOUBLE AS m2 FROM se),
+    g AS (
+      SELECT se.src AS u, se.dst AS nbr,
+             round(se.weight::DOUBLE
+                   - (du.k * dv.k) / (SELECT m2 FROM m2), 8) AS g8
+      FROM se JOIN deg du ON du.v = se.src JOIN deg dv ON dv.v = se.dst
+    ),
+    best AS (
+      SELECT u, nbr, g8 FROM (
+        SELECT u, nbr, g8,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY g8 DESC, nbr ASC) AS rn
+        FROM g
+      ) WHERE rn = 1
+    ),
+    mv AS (
+      SELECT u AS vertex, CASE WHEN g8 > 0 THEN nbr ELSE u END AS c
+      FROM best
+    ),
+    mve AS (SELECT DISTINCT a, b FROM (
+      SELECT vertex AS a, c AS b FROM mv WHERE c <> vertex
+      UNION ALL
+      SELECT c, vertex FROM mv WHERE c <> vertex
+    )),
+    reach(a, b) AS (
+      SELECT a, b FROM mve
+      UNION
+      SELECT r.a, m.b FROM reach r JOIN mve m ON m.a = r.b
+    ),
+    comp AS (SELECT a AS vertex, least(a, min(b)) AS lab
+             FROM reach GROUP BY a),
+    -- DISTINCT explicitly: inside a WITH RECURSIVE list DuckDB gives a
+    -- bare top-level UNION union-all semantics for non-self-referencing
+    -- CTEs, so UNION-as-dedup cannot be relied on here
+    av AS (SELECT DISTINCT v FROM (
+      SELECT src AS v FROM ae UNION ALL SELECT dst FROM ae
+    )),
+    lab AS (
+      SELECT av.v AS vertex, coalesce(comp.lab, av.v) AS lab
+      FROM av LEFT JOIN comp ON comp.vertex = av.v
+    )
+    SELECT least(lu.lab, lv.lab) AS c_src,
+           greatest(lu.lab, lv.lab) AS c_dst,
+           sum(ae.weight)::BIGINT AS weight
+    FROM ae JOIN lab lu ON lu.vertex = ae.src
+            JOIN lab lv ON lv.vertex = ae.dst
+    GROUP BY 1, 2
+    """,
+)
+def q_louvain_level(spark, sf_dir):
+    """G43 one FULL Louvain level (the unit louvain() iterates): G39
+    move round → connected components of the positive-gain move graph
+    (merging mutual moves and chains) → G41 contraction.  Value-checked
+    end-to-end against DuckDB replaying the move rule plus a
+    recursive-CTE transitive closure (the q_g5 oracle pattern) plus the
+    contraction aggregate."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.louvain import louvain_level
+
+    edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    _labels, coarse = louvain_level(edges)
+    return coarse.select(
+        F.col("src").alias("c_src"),
+        F.col("dst").alias("c_dst"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+@register(
     "q_simrank",
     f"""
     WITH {_ADJ_CTE},
