@@ -89,16 +89,18 @@ PRIORITY_WINDOW = [
                             # self-join and of every driver-green
                             # superstep join in q_g5/q_g6/q_k_core;
                             # q_join_smj stays in the replica)
-    "q_graph_coarsen",      # G41 Louvain phase-2 contraction (rotated
-                            # in r4 tenth session displacing
-                            # q_louvain_move — G39's move round runs
-                            # VERBATIM as this key's first stage, so
-                            # its move/gain rule keeps driver-value
-                            # evidence transitively; q_louvain_move
-                            # stays in the replica.  The earlier J3
-                            # displacement note carries: left-outer
-                            # null semantics stay value-checked inside
-                            # q_g7_triangles and q_g6)
+    "q_louvain_level",      # G43 one FULL Louvain level (rotated in r4
+                            # tenth session displacing q_louvain_move —
+                            # G39's move round AND G41's contraction
+                            # both run VERBATIM as this key's stages,
+                            # plus the G5-closure merge of the move
+                            # graph, so all three keep driver-value
+                            # evidence in one slot; q_louvain_move and
+                            # q_graph_coarsen stay in the replica.  The
+                            # earlier J3 displacement note carries:
+                            # left-outer null semantics stay
+                            # value-checked inside q_g7_triangles, q_g6,
+                            # and this key's non-mover coalesce)
     "q_join_semi",          # J4
     "q_sq8_topk",           # int8 scalar-quantized ANN + exact rerank
                             # (the bandwidth-oriented ANN variant whose

@@ -19,7 +19,7 @@ Scale notes (100 TB path):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from sparkgatha.relational import _t, register
 from sparkgatha.util import md5_long as _md5_long, ws_tokens  # shared hash/tokenize conventions
@@ -582,6 +582,135 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .join(sb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 8,
+    threshold: float = 0.8,
+    num_partitions: int | None = None,
+    key_len: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD
+    1995): sort the corpus by a blocking key (normalized text prefix),
+    compare each record only with its ``window`` successors in that
+    order, keep pairs with shingle-set Jaccard ≥ ``threshold``.
+    Candidate count is O(n·window) — LINEAR, the property the method
+    exists for — vs the inverted index's per-shingle quadratic blowup.
+
+    Scale shape — exact global rank WITHOUT a single-partition window
+    (the 100 TB funnel the plan-hygiene sweep bans):
+    ``repartitionByRange(key, id)`` gives ordered non-overlapping
+    ranges; ranks are row_number windows PARTITIONED by the range id
+    plus per-range start offsets from a bounded P-row collect (the G13
+    driver-scalar class).  The final rank is boundary-independent, so
+    range-sampler placement cannot change the output.  Neighbor pairs
+    are an equi-join on (rank + off), off ∈ 1..window — no theta join,
+    no cartesian."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.lower(F.trim(F.col(text_col))), 1, key_len).alias(
+            "key"
+        ),
+        _shingles(text_col).alias("_sh"),
+    )
+    p = num_partitions or d.sparkSession.sparkContext.defaultParallelism
+    # materialize the range layout ONCE: the offsets collect and the
+    # ranking window must read the SAME boundary placement — the range
+    # sampler is not stable across re-evaluations, and offsets from one
+    # placement applied to ranks from another corrupt the global rank
+    rp = (
+        d.repartitionByRange(p, "key", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = rp.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    off, offsets = 0, {}
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = off
+        off += row["c"]
+    off_df = F.broadcast(
+        d.sparkSession.createDataFrame(
+            list(offsets.items()), "_pid int, _off long"
+        )
+    )
+    w = W.partitionBy("_pid").orderBy("key", "doc_id")
+    ranked = (
+        rp.withColumn("_lr", F.row_number().over(w))
+        .join(off_df, "_pid")
+        .select(
+            "doc_id", "_sh", (F.col("_off") + F.col("_lr")).alias("r")
+        )
+        .localCheckpoint(eager=True)  # feeds both sides of the pair join
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("_ida"), F.col("_sh").alias("_sha"),
+        F.explode(
+            F.sequence(F.col("r") + 1, F.col("r") + window)
+        ).alias("_rb"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("_idb"), F.col("_sh").alias("_shb"),
+        F.col("r").alias("_rb"),
+    )
+    ix = F.size(F.array_intersect("_sha", "_shb"))
+    un = F.size("_sha") + F.size("_shb") - ix
+    jac = ix / un
+    return (
+        a.join(b, "_rb")
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "q_dedup_sorted_neighborhood",
+    f"""
+    WITH {_SHINGLES_SQL},
+    keyed AS (
+      SELECT doc_id, substr(lower(trim(text)), 1, 32) AS key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS r
+      FROM keyed
+    ),
+    cand AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 8
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.ida, c.idb, count(*) AS ix
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.ida
+      JOIN sh b ON b.doc_id = c.idb AND b.shingle = a.shingle
+      GROUP BY c.ida, c.idb
+    )
+    SELECT least(i.ida, i.idb) AS doc_a,
+           greatest(i.ida, i.idb) AS doc_b,
+           round(ix * 1.0 / (sa.n + sb.n - ix), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.ida
+    JOIN sizes sb ON sb.doc_id = i.idb
+    WHERE round(ix * 1.0 / (sa.n + sb.n - ix), 4) >= 0.8
+    """,
+)
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (Hernández & Stolfo 1995): normalized-
+    prefix blocking key, rank-window-8 candidates (O(n·w), linear),
+    shingle-set Jaccard ≥ 0.8 — the linear-candidate counterpart of the
+    guarded inverted-index q_dedup_ngram_jaccard.  Value-checked: the
+    oracle replays key → global rank → rank-window join → set Jaccard."""
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=8, threshold=0.8
     )
 
 

@@ -164,3 +164,44 @@ def test_decontaminate_short_docs_and_bad_k(spark):
     assert kept == [1, 2]
     with pytest.raises(ValueError):
         window_hashes(corpus, k=1)
+
+
+def test_sorted_neighborhood_finds_planted_neighbors(spark):
+    """SNM: near-identical docs sharing a key prefix pair up; the same
+    pair placed outside each other's rank window is (by design) missed —
+    the blocking-key tradeoff the method documents.  The ranking plan
+    must not funnel through a single partition."""
+    from sparkgatha.dedup import sorted_neighborhood_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base), (2, base + " iota")]
+    # filler whose keys sort BETWEEN the pair when window is tiny
+    rows += [(100 + i, f"alpha b{chr(97 + i)} filler text distinct "
+              f"words {i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in sorted_neighborhood_pairs(
+            docs, window=12, threshold=0.5, num_partitions=4
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    # re-key doc 2 to 'alpha bz ...': the fillers ('alpha ba'..'alpha
+    # bl') now sort between doc 1 ('alpha beta...') and doc 2, so a
+    # window of 1 cannot reach across them — the documented
+    # blocking-key miss mode
+    missed = sorted_neighborhood_pairs(
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 2, F.concat(F.lit("alpha bz "),
+                                                  F.col("text")))
+            .otherwise(F.col("text")),
+        ),
+        window=1, threshold=0.5, num_partitions=4,
+    ).collect()
+    assert all((r["doc_a"], r["doc_b"]) != (1, 2) for r in missed)
+    # plan hygiene: exact global rank without a single-partition funnel
+    plan = sorted_neighborhood_pairs(
+        docs, window=2, threshold=0.5, num_partitions=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
