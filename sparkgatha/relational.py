@@ -1959,6 +1959,110 @@ def q_event_transition_graph(spark, sf_dir):
 
 
 @register(
+    "q_graph_snapshot_diff",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    snap AS (
+      SELECT DISTINCT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS win,
+             prev AS src, event_type AS dst
+      FROM seq WHERE prev IS NOT NULL
+    ),
+    wins AS (SELECT DISTINCT win FROM snap),
+    pairs AS (
+      SELECT a.win AS win_prev, b.win AS win_next
+      FROM wins a JOIN wins b ON b.win = a.win + 3600
+    ),
+    prv AS (
+      SELECT p.win_next AS bnd, s.src, s.dst
+      FROM pairs p JOIN snap s ON s.win = p.win_prev
+    ),
+    nxt AS (
+      SELECT p.win_next AS bnd, s.src, s.dst
+      FROM pairs p JOIN snap s ON s.win = p.win_next
+    )
+    SELECT coalesce(prv.bnd, nxt.bnd) AS win_start_epoch,
+           sum(CASE WHEN prv.src IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_added,
+           sum(CASE WHEN nxt.src IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_removed,
+           sum(CASE WHEN prv.src IS NOT NULL AND nxt.src IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM prv
+    FULL JOIN nxt ON nxt.bnd = prv.bnd
+         AND nxt.src = prv.src AND nxt.dst = prv.dst
+    GROUP BY 1
+    """,
+)
+def q_graph_snapshot_diff(spark, sf_dir):
+    """G44 temporal graph churn: for every consecutive pair of hourly
+    transition-graph snapshots (G42's edge set, distinct edges per
+    window), count edges added / removed / kept at the boundary — the
+    snapshot-evolution diagnostic an incremental maintainer (ST6)
+    budgets its delta merges by.  Expressed as one full-outer join of
+    adjacent snapshots on the edge key."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    snap = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.unix_timestamp(F.window("ts", "1 hour").start).alias("win"),
+            F.col("prev").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # both sides of the boundary join
+    )
+    wins = snap.select("win").distinct()
+    pairs = wins.alias("a").join(
+        wins.alias("b"),
+        F.col("b.win") == F.col("a.win") + 3600,
+    ).select(
+        F.col("a.win").alias("win_prev"), F.col("b.win").alias("win_next")
+    )
+    prv = pairs.join(snap, pairs.win_prev == snap.win).select(
+        F.col("win_next").alias("bnd"), "src", "dst"
+    )
+    nxt = pairs.join(snap, pairs.win_next == snap.win).select(
+        F.col("win_next").alias("bnd2"),
+        F.col("src").alias("src2"),
+        F.col("dst").alias("dst2"),
+    )
+    both = prv.join(
+        nxt,
+        (F.col("bnd") == F.col("bnd2"))
+        & (F.col("src") == F.col("src2"))
+        & (F.col("dst") == F.col("dst2")),
+        "full",
+    )
+    return (
+        both.withColumn(
+            "win_start_epoch",
+            F.coalesce("bnd", "bnd2"),
+        )
+        .groupBy("win_start_epoch")
+        .agg(
+            F.sum(
+                F.when(F.col("src").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_added"),
+            F.sum(
+                F.when(F.col("src2").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("src").isNotNull() & F.col("src2").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@register(
     "q_powerlaw_alpha",
     f"""
     WITH {_ADJ_CTE},
