@@ -174,13 +174,15 @@ def extract_cooccurrence_edges(
     ``weight_mode='count'`` (default): weight = number of documents in
     which the pair co-occurs.
     ``weight_mode='idf'``: weight = co-count x mean(idf(src), idf(dst))
-    with idf(t) = ln(n_docs / df(t)) — the reference's TF-IDF-flavored
+    with idf(t) = ln(n_docs / df(t));  ``weight_mode='pmi'``: weight =
+    ln(co-count · n_docs / (df(src) · df(dst))) — pointwise mutual
+    information, the reference's TF-IDF-flavored
     term-edge weighting (AGATHA's term↔sentence edges are TF-IDF-ish,
     SURVEY.md §2.11 G1): hub terms that co-occur everywhere carry less
     weight.  The document-frequency table is vocabulary-sized (an A2
     aggregation), so the idf joins shuffle edges against a table orders
     of magnitude smaller than the edge set; ``min_weight`` always
-    applies to the raw co-count, before idf scaling.
+    applies to the raw co-count, before idf/pmi scaling.
     ``max_df`` (fraction of docs) drops hub terms *before* pairing —
     the reference's frequency-cutoff skew control.
     ``max_terms_per_doc`` caps the quadratic per-document pair fan-out:
@@ -240,7 +242,9 @@ def extract_cooccurrence_edges(
     # one corpus count serves both the max_df threshold and the idf
     # numerator (was two scans when both levers were set)
     n_docs = (
-        docs.count() if (max_df is not None or weight_mode == "idf") else None
+        docs.count()
+        if (max_df is not None or weight_mode in ("idf", "pmi"))
+        else None
     )
 
     if max_df is not None:
@@ -307,6 +311,33 @@ def extract_cooccurrence_edges(
                     F.col("weight")
                     * (F.col("idf_src") + F.col("idf_dst"))
                     / 2.0
+                ).alias("weight"),
+            )
+        )
+    elif weight_mode == "pmi":
+        # pointwise mutual information over document co-occurrence:
+        # p(u,v) = cnt/N, p(t) = df(t)/N  →  PMI = ln(cnt·N / (df_u·df_v)).
+        # Negative values are kept — "both common, rarely together" is
+        # signal the reference's semantic weighting uses, and dropping
+        # them silently would change the graph's degree profile
+        dfreq = (
+            toks.select(F.explode("terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        dfc = lambda alias: dfreq.select(  # noqa: E731
+            F.col("term").alias(alias), F.col("df").alias(f"df_{alias}")
+        )
+        edges = (
+            edges.join(dfc("src"), "src")
+            .join(dfc("dst"), "dst")
+            .select(
+                "src",
+                "dst",
+                F.log(
+                    F.col("weight")
+                    * F.lit(float(n_docs))
+                    / (F.col("df_src") * F.col("df_dst"))
                 ).alias("weight"),
             )
         )

@@ -1231,6 +1231,45 @@ def q_edges_idf(spark, sf_dir):
     return e.select("src", "dst", F.round("weight", 4).alias("weight"))
 
 
+@register(
+    "q_edges_pmi",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(term)
+      WHERE t.term NOT IN ('a','the') AND t.term <> ''
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    e AS (
+      SELECT a.term AS src, b.term AS dst, count(*) AS cnt
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT e.src, e.dst,
+           round(ln(e.cnt * nd.n * 1.0 / (ds.df * dd.df)), 4) AS weight
+    FROM e
+    CROSS JOIN nd
+    JOIN dfreq ds ON ds.term = e.src
+    JOIN dfreq dd ON dd.term = e.dst
+    """,
+)
+def q_edges_pmi(spark, sf_dir):
+    """G1 with pointwise-mutual-information weights
+    (weight_mode='pmi'): PMI = ln(cnt·N / (df_src·df_dst)) over
+    document co-occurrence — the association weighting that separates
+    'co-occur because both common' (PMI < 0, kept) from genuinely
+    associated pairs; oracle-checked end-to-end."""
+    from sparkgatha.extract import extract_cooccurrence_edges
+
+    d = _t(spark, sf_dir, "documents")
+    e = extract_cooccurrence_edges(
+        d, text_col="text", weight_mode="pmi", max_terms_per_doc=None
+    )
+    return e.select("src", "dst", F.round("weight", 4).alias("weight"))
+
+
 # ---------------------------------------------------------------------------
 # graph / sampling / approx operators — not SQL-expressible (iterative or
 # engine-specific): registered with oracle=None → driver rows-only check
