@@ -194,6 +194,18 @@ def main(argv=None) -> int:
     )
     pz.add_argument("--out", default="sparkgatha.zip")
 
+    sq = sub.add_parser(
+        "sql",
+        help="ANSI SQL over the fixture tables (region nation customer "
+             "supplier part orders lineitem events documents embeddings "
+             "registered as views); --out writes parquet, otherwise the "
+             "first --limit rows print as JSON lines",
+    )
+    sq.add_argument("--sf-dir", required=True)
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--out", default=None)
+    sq.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "package":
@@ -558,6 +570,19 @@ def main(argv=None) -> int:
                 "vertices": stats["vertices"],
                 "moved": int(stats["moved"] or 0),
             }))
+
+    elif args.cmd == "sql":
+        from sparkgatha.io import register_views
+
+        register_views(spark, args.sf_dir)
+        res = spark.sql(args.query)
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"op": "sql", "rows": n, "out": args.out}))
+        else:
+            for row in res.limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
 
     elif args.cmd == "ann":
         from sparkgatha.similarity import (

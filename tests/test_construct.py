@@ -401,3 +401,21 @@ def test_cli_pack_louvain_ann(spark, tmp_path):
         a = spark.read.parquet(out)
         assert set(a.columns) == {"qid", "nid", "cos"}
         assert a.count() > 0
+
+
+def test_cli_sql_passthrough(spark, tmp_path):
+    """`sql` command: views registered, query runs, --out round-trips."""
+    import json as _json
+
+    import sparkgatha.__main__ as cli
+
+    out = str(tmp_path / "sqlout")
+    assert cli.main([
+        "sql", "--sf-dir", "/root/testdata/sf0.001",
+        "--query",
+        "SELECT r_name, count(*) AS n FROM region GROUP BY r_name",
+        "--out", out,
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert set(got.columns) == {"r_name", "n"}
