@@ -244,6 +244,10 @@ def main() -> None:
         "q_simrank",
         "q_graph_coarsen",
         "q_event_transition_graph",
+        "q_louvain_level",
+        "q_dedup_sorted_neighborhood",
+        "q_graph_snapshot_diff",
+        "q_edges_pmi",
     ):
         if name in reg:
             fn = reg[name]
