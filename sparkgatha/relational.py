@@ -1895,6 +1895,118 @@ def q_louvain_level(spark, sf_dir):
 
 
 @register(
+    "q_conductance",
+    f"""
+    WITH RECURSIVE {_ADJ_CTE},
+    se AS (
+      SELECT src, dst, weight FROM ae
+      UNION ALL SELECT dst, src, weight FROM ae
+    ),
+    deg AS (SELECT src AS v, sum(weight)::DOUBLE AS k FROM se GROUP BY src),
+    m2 AS (SELECT sum(weight)::DOUBLE AS m2 FROM se),
+    g AS (
+      SELECT se.src AS u, se.dst AS nbr,
+             round(se.weight::DOUBLE
+                   - (du.k * dv.k) / (SELECT m2 FROM m2), 8) AS g8
+      FROM se JOIN deg du ON du.v = se.src JOIN deg dv ON dv.v = se.dst
+    ),
+    best AS (
+      SELECT u, nbr, g8 FROM (
+        SELECT u, nbr, g8,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY g8 DESC, nbr ASC) AS rn
+        FROM g
+      ) WHERE rn = 1
+    ),
+    mv AS (
+      SELECT u AS vertex, CASE WHEN g8 > 0 THEN nbr ELSE u END AS c
+      FROM best
+    ),
+    mve AS (SELECT DISTINCT a, b FROM (
+      SELECT vertex AS a, c AS b FROM mv WHERE c <> vertex
+      UNION ALL
+      SELECT c, vertex FROM mv WHERE c <> vertex
+    )),
+    reach(a, b) AS (
+      SELECT a, b FROM mve
+      UNION
+      SELECT r.a, m.b FROM reach r JOIN mve m ON m.a = r.b
+    ),
+    comp AS (SELECT a AS vertex, least(a, min(b)) AS lab
+             FROM reach GROUP BY a),
+    av AS (SELECT DISTINCT v FROM (
+      SELECT src AS v FROM ae UNION ALL SELECT dst FROM ae
+    )),
+    lab AS (
+      SELECT av.v AS vertex, coalesce(comp.lab, av.v) AS lab
+      FROM av LEFT JOIN comp ON comp.vertex = av.v
+    ),
+    tot AS (SELECT sum(weight)::BIGINT AS t FROM se),
+    agg AS (
+      SELECT lu.lab AS community,
+             sum(se.weight)::BIGINT AS vol,
+             sum(CASE WHEN lu.lab <> lv.lab THEN se.weight
+                      ELSE 0 END)::BIGINT AS cut
+      FROM se JOIN lab lu ON lu.vertex = se.src
+              JOIN lab lv ON lv.vertex = se.dst
+      GROUP BY lu.lab
+    )
+    SELECT community, vol, cut,
+           round(cut * 1.0 / least(vol, tot.t - vol), 8) AS conductance
+    FROM agg CROSS JOIN tot
+    WHERE least(vol, tot.t - vol) > 0
+    """,
+)
+def q_conductance(spark, sf_dir):
+    """G45 per-community conductance φ(c) = cut(c) / min(vol(c),
+    2m − vol(c)) of the G43 Louvain-level partition over the
+    symmetrized adjacency graph — the cut-quality metric complementing
+    q_modularity's density view (non-vacuous: the level yields multiple
+    communities on the fixtures, unlike LPA which floods this connected
+    hub-heavy graph to one label).  All sums are exact integer weights,
+    so the single rounded division is engine-identical; 2m is a bounded
+    driver scalar baked as a literal (the G13 class, no BNLJ)."""
+    from sparkgatha.extract import extract_adjacency_edges
+    from sparkgatha.graph.louvain import louvain_level
+
+    edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
+    labels, _coarse = louvain_level(edges)
+    se = (
+        edges.select("src", "dst", "weight")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                "weight",
+            )
+        )
+        .localCheckpoint(eager=True)  # feeds tot and the label joins
+    )
+    tot = int(se.agg(F.sum("weight")).collect()[0][0])
+    lu = labels.select(F.col("vertex").alias("src"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("vertex").alias("dst"), F.col("label").alias("cv"))
+    agg = (
+        se.join(lu, "src")
+        .join(lv, "dst")
+        .groupBy(F.col("cu").alias("community"))
+        .agg(
+            F.sum("weight").cast("long").alias("vol"),
+            F.sum(
+                F.when(F.col("cu") != F.col("cv"), F.col("weight")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("cut"),
+        )
+    )
+    denom = F.least(F.col("vol"), F.lit(tot) - F.col("vol"))
+    return agg.filter(denom > 0).select(
+        "community",
+        "vol",
+        "cut",
+        F.round(F.col("cut") / denom, 8).alias("conductance"),
+    )
+
+
+@register(
     "q_simrank",
     f"""
     WITH {_ADJ_CTE},
