@@ -144,3 +144,95 @@ def test_prop_extraction_canonical_and_partition_invariant(spark, texts):
     for r in e1:
         assert r["src"] < r["dst"]
         assert 1.0 <= r["weight"] <= n_docs
+
+
+@given(triples=edge_lists())
+@settings(**SETTINGS)
+def test_prop_louvain_partition_valid_and_conserves_weight(spark, triples):
+    """Multi-level Louvain on random graphs: every vertex mapped exactly
+    once, community representatives are graph vertices, and each level's
+    contraction conserves total weight."""
+    if not triples:
+        return
+    from sparkgatha.graph.louvain import louvain, louvain_level
+
+    edges = spark.createDataFrame(
+        [(str(a), str(b), w) for a, b, w in triples],
+        "src string, dst string, weight double",
+    )
+    verts = {str(a) for a, _, _ in triples} | {str(b) for _, b, _ in triples}
+    rows = louvain(edges, max_levels=3).collect()
+    got = {r["vertex"]: r["community"] for r in rows}
+    assert set(got) == verts and len(rows) == len(verts)
+    assert set(got.values()) <= verts
+    labels, coarse = louvain_level(edges)
+    if labels is not None:
+        tin = sum(w for _, _, w in triples)
+        tout = coarse.agg(F.sum("weight")).collect()[0][0]
+        assert abs(tin - tout) < 1e-6 * max(tin, 1.0)
+
+
+@given(triples=edge_lists())
+@settings(**SETTINGS)
+def test_prop_simrank_bounds_and_symmetric_inputs(spark, triples):
+    """SimRank invariants on random graphs: canonical a < b output, all
+    scores in (0, C], and a vertex pair with identical neighbor sets
+    reaches exactly C = s(a,b) = C/(d·d) · Σ s(u,u) when N(a) == N(b)
+    is a single shared neighbor."""
+    if not triples:
+        return
+    from sparkgatha.graph.simrank import simrank
+
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    rows = simrank(edges, c=0.8, iters=2, top=64).collect()
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert 0.0 < r["score"] <= 0.8 + 1e-9
+
+
+def test_simrank_twins_hit_c_exactly(spark):
+    """Two leaves hanging off one hub have identical singleton neighbor
+    sets: s1(leaf1, leaf2) = C/(1·1)·s0(hub,hub) = C exactly."""
+    from sparkgatha.graph.simrank import simrank
+
+    edges = to_spark_edges(
+        spark, [(1, 0, 1.0), (2, 0, 1.0)], symmetric=True
+    )
+    got = {(r["a"], r["b"]): r["score"]
+           for r in simrank(edges, c=0.8, iters=1, top=8).collect()}
+    assert got[(1, 2)] == 0.8
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=40),
+        min_size=2, max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_prop_sorted_neighborhood_sound(spark, texts):
+    """SNM soundness on random corpora: every reported pair really has
+    shingle-set Jaccard >= the threshold (completeness is only within
+    the rank window, by design)."""
+    from sparkgatha.dedup import N_SHINGLE, sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted_neighborhood_pairs(
+        docs, window=4, threshold=0.5, num_partitions=2
+    ).collect()
+
+    def sh(t):
+        toks = [x for x in t.lower().strip().split() if x]
+        if len(toks) >= N_SHINGLE:
+            return {
+                " ".join(toks[i : i + N_SHINGLE])
+                for i in range(len(toks) - N_SHINGLE + 1)
+            }
+        return {" ".join(toks)}
+
+    for r in got:
+        a, b = sh(texts[r["doc_a"]]), sh(texts[r["doc_b"]])
+        j = len(a & b) / len(a | b)
+        assert round(j, 4) >= 0.5, (r, a, b)
