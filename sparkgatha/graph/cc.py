@@ -118,6 +118,7 @@ def connected_components(
     resume: bool = False,
     run_id: str = "cc",
     metrics_sink: MetricsSink | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """(vertex long, component long) — component = min vertex id, exact.
 
@@ -127,6 +128,24 @@ def connected_components(
     edge set + manifest (G12); ``resume=True`` continues from the largest
     complete round (the algorithm state IS the link set, so restarting on
     it is exact).  Per-round link counts/fingerprints go to the S6 sink.
+
+    ``check_every``: fuse this many large-star+small-star rounds into
+    ONE Spark job (the pagerank/LPA fused-block discipline — interior
+    rounds end in a lazy ``localCheckpoint``, the block-end fingerprint
+    is the only action).  Labels are bit-identical: the star rounds are
+    idempotent at the fixpoint, so overshooting a mid-block convergence
+    changes nothing; only metric/convergence granularity coarsens to
+    block boundaries.  Durable checkpoints keep their cadence.
+
+    MEASURED CAVEAT — unlike pagerank/LPA, fusing HURTS here (2x wall
+    at 2e7 edges: 12 s/run per-round vs 27 s fused): each star round
+    references its input in several branches, and inside one fused job
+    Spark launches those consumer stages concurrently BEFORE the lazy
+    interior cache exists, so they race and recompute the round instead
+    of sharing it.  The per-round fingerprint action (the thing fusion
+    removes) is what forces materialization between fan-outs.  Default
+    1 is the fast path; the knob stays for workloads whose round count
+    dwarfs per-job overhead, with this trade documented.
     """
     spark = edges.sparkSession
     ckpt = CheckpointManager(checkpoint_dir, run_id)
@@ -151,9 +170,14 @@ def connected_components(
         prev_fp = _fingerprint(e)
         it = start_it
         while it < max_iter:
-            it += 1
+            block = min(max(check_every, 1), max_iter - it)
+            if checkpoint_dir is not None:
+                block = min(block, checkpoint_every - it % checkpoint_every)
+            block = max(block, 1)
             t0 = time.monotonic()
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            for _ in range(block):
+                e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            it += block
             fp = _fingerprint(e)
             wall = time.monotonic() - t0
             converged = fp == prev_fp
