@@ -2110,6 +2110,41 @@ def q_event_transition_graph(spark, sf_dir):
 
 
 @register(
+    "q_equidepth_hist",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_equidepth_hist(spark, sf_dir):
+    """A9 equi-depth histogram: per-group deciles via ntile over the
+    deterministic (value, event_id) order — the data-profile summary a
+    cost model or mixture-weighting pass reads (equal-count buckets
+    track skew where equal-width bins collapse).  The window is
+    PARTITIONED by the group key (never a global funnel); both engines
+    share ntile's remainder-to-front-buckets rule given the identical
+    total order."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
     "q_graph_snapshot_diff",
     """
     WITH seq AS (
