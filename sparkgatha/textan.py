@@ -788,10 +788,15 @@ def _bpe_chain_sql(
 
 
 def _bpe_oracle_sql(rounds: int = 3) -> str:
-    """Unrolled DuckDB mirror of ``bpe_merges``."""
+    """Unrolled DuckDB mirror of ``bpe_merges``.
+
+    ``pc`` comes out of DuckDB's ``SUM(BIGINT)`` as HUGEINT (int128);
+    Spark emits BIGINT for the same sum, and the driver's value hash is
+    type-aware, so the cast keeps bit-identical values from hashing
+    differently (the one red row of CORRECTNESS_r04)."""
     selects = [
         f"SELECT {r} AS rnd, x AS left_sym, y AS right_sym,"
-        f" pc AS pair_count FROM b{r}"
+        f" CAST(pc AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     ]
     return (
@@ -881,7 +886,7 @@ _BPE_ENCODE_ORACLE = (
     ct AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
     SELECT ct.doc_id,
            count(*) AS n_words,
-           sum(enc.n_syms) AS n_bpe_tokens
+           CAST(sum(enc.n_syms) AS BIGINT) AS n_bpe_tokens
     FROM ct JOIN enc ON enc.w = ct.t
     GROUP BY ct.doc_id
     """

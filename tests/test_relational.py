@@ -45,3 +45,21 @@ def test_all_queries_return_rows(spark):
     for name, spec in REGISTRY.items():
         if spec.oracle is None:
             assert spec.fn(spark, SF_DIR).limit(1).count() >= 0, name
+
+
+def test_no_oracle_emits_hugeint(con):
+    """Driver-hash false-negative guard (VERDICT r4 item 1): DuckDB
+    promotes SUM(BIGINT) to HUGEINT (int128) while Spark emits BIGINT,
+    so a type-aware value hash diverges on bit-identical values (the
+    q_bpe_merges red row of CORRECTNESS_r04).  Type every registered
+    oracle via a bind-only pass and reject HUGEINT/UHUGEINT/DECIMAL
+    output columns — oracles must CAST such sums to BIGINT/DOUBLE."""
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    offenders = []
+    for name in ORACLE_NAMES:
+        rel = con.sql(REGISTRY[name].oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(b in t for b in banned):
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, "; ".join(offenders)
