@@ -425,12 +425,56 @@ def _assign_nearest(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+#: per-inverted-list member bound: a viral duplicate cluster otherwise
+#: concentrates one cell and EVERY query probing it scans the whole
+#: list (the LSH bucket failure mode, ported here — VERDICT r4 item 3).
+#: Sized to never trip at fixture scale (cells of ~10^2 members) while
+#: bounding per-query candidates to O(nprobe * cap) at corpus scale.
+IVF_CELL_CAP = 4096
+
+
+def cap_inverted_lists(
+    lists: DataFrame,
+    cap: int | None = IVF_CELL_CAP,
+    id_col: str = "vec_id",
+    cell_col: str = "cid",
+) -> DataFrame:
+    """Thin every over-cap inverted list to ~``cap`` members,
+    deterministically: a member of a list of size k survives iff
+    ``md5int(id) mod k < cap`` (expected survivors = cap; exact for
+    lists <= cap, which pass through untouched).  The hash rule means
+    NO per-cell sort and no single-partition funnel — the thinning is
+    one broadcast join against the (<= n_centroids)-row count table
+    plus a map-side filter, unlike a rank-window which would funnel
+    the hot list through one partition (exactly what the cap exists
+    to prevent).  Dropping members costs recall only inside cells that
+    are overwhelmingly near-duplicates — the inputs exact/near-dup
+    dedup (sparkgatha.dedup) exists to remove upstream."""
+    if cap is None:
+        return lists
+    from sparkgatha.util import md5_long
+
+    counts = lists.groupBy(cell_col).agg(F.count("*").alias("_k"))
+    return (
+        lists.join(F.broadcast(counts), cell_col)
+        .filter(
+            (F.col("_k") <= cap)
+            | (
+                F.pmod(md5_long(F.col(id_col).cast("string")), F.col("_k"))
+                < cap
+            )
+        )
+        .drop("_k")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_centroids: int | None = 16,
     nprobe: int | None = 4,
     vec_col: str = "embedding",
+    cell_cap: int | None = IVF_CELL_CAP,
 ) -> DataFrame:
     """IVF approximate kNN (the FAISS IndexIVFFlat shape, SURVEY.md §2.11
     G8): route every vector to its nearest coarse centroid (inverted
@@ -440,7 +484,10 @@ def ivf_topk(
     ``nprobe=None`` to size both from the corpus count (auto_ivf_params
     sqrt rule) instead of the fixture-scale defaults.  All joins are
     equi-joins on cid; the only crossJoins touch the tiny centroid
-    table."""
+    table.  Hot cells (duplicate clusters that defeat the sqrt sizing)
+    are bounded by ``cell_cap`` via cap_inverted_lists, so per-query
+    candidate volume is O(nprobe * cell_cap) even in the adversarial
+    all-identical-vectors case."""
     if n_centroids is None or nprobe is None:
         auto_c, auto_p = auto_ivf_params(embeddings.count())
         n_centroids = n_centroids if n_centroids is not None else auto_c
@@ -448,7 +495,9 @@ def ivf_topk(
     e = _unit_normalized(embeddings, vec_col)
     cents = ivf_centroids(embeddings, n_centroids, vec_col)
     cents = cents.localCheckpoint(eager=True)  # reused 2x below
-    lists = _assign_nearest(e, cents)  # (vec_id, cid) inverted lists
+    lists = cap_inverted_lists(
+        _assign_nearest(e, cents), cell_cap
+    )  # (vec_id, cid) inverted lists, hot cells thinned
 
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("s")
@@ -1328,6 +1377,7 @@ def ivfpq_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_cap: int | None = IVF_CELL_CAP,
 ) -> DataFrame:
     """(qid, nid, cos) — IVF-PQ (FAISS IndexIVFPQ, by_residual=False):
     a full-dimension kmeans partitions the corpus into ``n_cells``
@@ -1347,6 +1397,12 @@ def ivfpq_topk(
     A true neighbor in an unprobed cell is missed — that is IVF's
     documented recall/cost dial (nprobe = n_cells degenerates to
     pq_topk's full scan; then coarse_c = corpus degenerates to exact).
+
+    Hot cells are bounded by ``cell_cap`` (cap_inverted_lists — the
+    same discipline as ivf_topk).  The q_ivfpq_topk DuckDB oracle
+    replays the UNCAPPED pipeline; that stays exact because the
+    default cap (4096) cannot trip at fixture scale (cells of ~10^2
+    members) — the cap is the 100 TB guard, not a fixture behavior.
     """
     if k < 1 or coarse_c < k:
         raise ValueError(f"need 1 <= k <= coarse_c, got k={k}, coarse_c={coarse_c}")
@@ -1365,9 +1421,14 @@ def ivfpq_topk(
         embeddings, m=m, n_centroids=n_centroids, rounds=rounds,
         dim=dim, vec_col=vec_col, id_col=id_col,
     )
-    # the stored index: (vec_id, cell, code) — slim, no doubles
+    # the stored index: (vec_id, cell, code) — slim, no doubles;
+    # over-cap cells thinned (no-op at fixture scale, see docstring)
     index = (
-        codes.join(cells.withColumnRenamed("cluster", "cell"), "vec_id")
+        cap_inverted_lists(
+            codes.join(cells.withColumnRenamed("cluster", "cell"), "vec_id"),
+            cell_cap,
+            cell_col="cell",
+        )
         .localCheckpoint(eager=True)
     )
     q = ev.filter(F.col("vec_id") < n_queries).select(
