@@ -337,7 +337,9 @@ def extract_cooccurrence_edges(
                 F.log(
                     F.col("weight")
                     * F.lit(float(n_docs))
-                    / (F.col("df_src") * F.col("df_dst"))
+                    # cast BEFORE multiplying: df*df as long x long silently
+                    # overflows in non-ANSI Spark once df reaches ~3e9
+                    / (F.col("df_src").cast("double") * F.col("df_dst"))
                 ).alias("weight"),
             )
         )

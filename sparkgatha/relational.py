@@ -1248,7 +1248,7 @@ def q_edges_idf(spark, sf_dir):
       GROUP BY a.term, b.term
     )
     SELECT e.src, e.dst,
-           round(ln(e.cnt * nd.n * 1.0 / (ds.df * dd.df)), 4) AS weight
+           round(ln(e.cnt * nd.n * 1.0 / (ds.df::DOUBLE * dd.df)), 4) AS weight
     FROM e
     CROSS JOIN nd
     JOIN dfreq ds ON ds.term = e.src
@@ -1971,6 +1971,16 @@ def q_conductance(spark, sf_dir):
 
     edges = extract_adjacency_edges(_t(spark, sf_dir, "documents"))
     labels, _coarse = louvain_level(edges)
+    if labels is None:
+        # level fixpoint (no positive-gain move): conductance of the
+        # identity (singleton) partition, matching the oracle's
+        # recursive replay which degrades to vertex -> vertex labels
+        labels = (
+            edges.select(F.col("src").alias("vertex"))
+            .unionByName(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .select("vertex", F.col("vertex").alias("label"))
+        )
     se = (
         edges.select("src", "dst", "weight")
         .unionByName(
@@ -2115,7 +2125,7 @@ def q_event_transition_graph(spark, sf_dir):
     WITH r AS (
       SELECT event_type, value,
              ntile(10) OVER (PARTITION BY event_type
-                             ORDER BY value, event_id) AS bucket
+                             ORDER BY value NULLS LAST, event_id) AS bucket
       FROM events
     )
     SELECT event_type, bucket, count(*) AS n,
@@ -2132,7 +2142,11 @@ def q_equidepth_hist(spark, sf_dir):
     share ntile's remainder-to-front-buckets rule given the identical
     total order."""
     e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST pinned on BOTH sides: Spark defaults ASC to nulls-first,
+    # DuckDB to nulls-last — unpinned, one NULL value shifts every bucket
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return (
         e.withColumn("bucket", F.ntile(10).over(w))
         .groupBy("event_type", "bucket")

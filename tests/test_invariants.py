@@ -736,3 +736,28 @@ def test_ivfpq_results_come_from_probed_cells_only(spark):
 
     for r in got:
         assert cell_of[r.nid] in probed(r.qid), (r.qid, r.nid)
+
+
+def test_conductance_fixpoint_singleton_fallback(spark, tmp_path, monkeypatch):
+    """ADVICE r4: when louvain_level hits its fixpoint (no positive-gain
+    move -> labels None), q_conductance must degrade to the singleton
+    (identity) partition like the oracle's recursive replay does, not
+    crash.  On the path graph xx-yy-zz every singleton's cut equals its
+    volume, so all conductances are exactly 1.0."""
+    import sparkgatha.graph.louvain as louvain_mod
+    from sparkgatha.relational import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(1, "xx yy", "en", "s", 5), (2, "yy zz", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(
+        louvain_mod, "louvain_level", lambda edges: (None, edges)
+    )
+    out = REGISTRY["q_conductance"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert all(abs(r["conductance"] - 1.0) < 1e-12 for r in out)
+    assert sorted(r["community"] for r in out) == sorted(
+        {r["community"] for r in out}
+    )  # three distinct singleton labels
