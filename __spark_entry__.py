@@ -125,7 +125,15 @@ PRIORITY_WINDOW = [
                             # 3-way edge self-join; G1's extractor runs
                             # inside every q_g* key and this one;
                             # q_selfjoin_cooc stays in the replica)
-    "q_join_range",         # J7
+    "q_densest",            # G34 densest-subgraph (BKV peel) — rotated
+                            # in r5: the argmax peel round is
+                            # SQL-mirrored but the machinery had no
+                            # in-window value check; displaces
+                            # q_join_range (J7's bounded-theta shape
+                            # stays driver-checked via q_asof's
+                            # time-bounded ordered join and replica via
+                            # q_join_range/q_window_dup_pairs' offset
+                            # join; q_join_range stays in the replica)
     "q_asof",               # J8
     "q_near_dup_clusters",  # transitive near-dup canonicalization (G5
                             # closure over the verified-pair graph) —
@@ -255,10 +263,14 @@ PRIORITY_WINDOW = [
                             # The §2.8 array-family note from the
                             # q_array_dot rotation still holds via
                             # q_knn_topk_per_vec's checked cosine)
-    "q_json_props",         # §2.8 map/json + S3 (the conditional family
-                            # q_case_when rotated out in r4 — CASE/WHEN
-                            # coverage stays via q_filter/q_asof, which
-                            # run when()/coalesce() in checked outputs)
+    "q_matching",           # G33 maximal matching / vertex cover —
+                            # rotated in r5: edge-side symmetry breaking
+                            # (q_mis only covers the vertex side);
+                            # displaces q_json_props (§2.8 map/json + S3
+                            # JSON parse stays in the replica at both
+                            # SFs; the conditional-family note carries —
+                            # CASE/WHEN coverage stays via
+                            # q_filter/q_asof's checked when()/coalesce())
     "q_pack_chunks",        # concat-and-chunk sequence packing (the
                             # training-sequence layout step; rotated in
                             # r4 ninth session displacing
