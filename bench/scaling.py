@@ -154,7 +154,7 @@ print("RESULT " + json.dumps({{"iters_per_sec": round(sum(its) / wall, 1)}}))
 def run_snippet(code: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-u", "-c", code],
-        capture_output=True, text=True, timeout=5400,
+        capture_output=True, text=True, timeout=10800,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
