@@ -11,17 +11,25 @@ meets genuinely bipartite layers (doc–term, part–supplier) where the
 two-sided structure is an invariant worth asserting, and the conflict
 edges are exactly the witnesses that break it.
 
-Physical discipline: one G5 run elects roots (under G5's OWN iteration
-bound — star contraction converges in O(log V) rounds — while
-``max_iter`` bounds only the BFS, whose round count is the diameter);
-one multi-source BFS
-(every root seeds distance 0 — roots are unique per component, so the
-frontiers never interfere) over the stationary hash(src)-partitioned
-edge layout, frontier broadcast per superstep (paths.shortest_paths'
-shape, generalized to a seed FRAME); conflicts are a single self-join
-of the edge list against the color table.  Supersteps = graph
-diameter; state is O(V); nothing driver-side but the per-round
-improved count.
+Physical discipline: ONE fused superstep loop computes the component
+root and the root distance together.  Every vertex starts as its own
+candidate root at distance 0 and each round keeps the lexicographic
+minimum ``(root, dist)`` over itself and its neighbors' states + 1 hop
+— after k rounds every vertex within k hops of its component's true
+root (the min id) holds the final ``(root, d(root, ·))``, so the loop
+converges in ecc(root) + 1 supersteps.  That is the SAME round count
+the previous two-phase design paid for its BFS phase alone, with the
+separate G5 star-contraction election (O(log V) extra rounds, each a
+shuffle + action) eliminated: the op as a whole was always
+diameter-bound through ``max_iter``, so fusing is strictly fewer
+rounds at every scale.  Edges live in a stationary
+hash(src)-partitioned layout persisted once; the frontier (still-
+improving vertices only) broadcasts into the relax join while small
+and falls back to a shuffle join beyond BROADCAST_FRONTIER_MAX; the
+per-round improved count rides the same action that materializes the
+lazily checkpointed next state — one Spark job per superstep; state is
+O(V); conflicts are a single self-join of the edge list against the
+color table.
 """
 
 from __future__ import annotations
@@ -29,10 +37,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sparkgatha.graph.canon import canonical_undirected
-from sparkgatha.graph.cc import connected_components
-from sparkgatha.graph.paths import min_dist_from_seeds
+from sparkgatha.graph.paths import BROADCAST_FRONTIER_MAX
+from sparkgatha.util import no_aqe
 
 
 @dataclass
@@ -52,49 +61,108 @@ def bipartite_color(
 ) -> BipartiteResult:
     """2-color ``edges`` (read undirected, self-loops dropped by the
     canonicalization; a self-loop is an odd cycle the caller should
-    screen separately if it must count).  Raises if the BFS has not
-    drained within ``max_iter`` supersteps — a silent truncation would
-    mislabel the unreached tail."""
+    screen separately if it must count).  Raises if the propagation has
+    not drained within ``max_iter`` supersteps — a silent truncation
+    would mislabel the unreached tail.  ``max_iter`` bounds ecc(root) +
+    1, exactly the bound the BFS phase of the previous two-phase design
+    carried, so callers' settings are unchanged."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    spark = edges.sparkSession
     e = canonical_undirected(edges).localCheckpoint(eager=True)
-    # root election uses G5's own bound: star contraction converges in
-    # O(log V) rounds, so the default (50) dominates any real graph;
-    # forwarding the BFS's diameter-scaled max_iter here would let a
-    # small value silently truncate the component labels instead of
-    # tripping the BFS rail below
-    comp = connected_components(
-        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    ).localCheckpoint(eager=True)
-    roots = comp.filter(F.col("vertex") == F.col("component")).select(
-        "vertex", F.lit(0.0).alias("distance")
-    )
     sym = e.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"),
-        F.lit(1.0).alias("weight"),
+        F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
-        e.select(
-            F.col("v").alias("src"), F.col("u").alias("dst"),
-            F.lit(1.0).alias("weight"),
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    with no_aqe(spark):
+        layout = (
+            sym.repartition(num_partitions, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    )
-    # the shared G9 relaxation loop (paths.min_dist_from_seeds), seeded
-    # with every root at distance 0 — unit weights make it plain BFS
-    dist, drained = min_dist_from_seeds(
-        sym, roots, max_iter=max_iter, num_partitions=num_partitions
-    )
+        layout.count()  # materialize the one-time stationary layout
+        # state: every vertex is its own candidate root at distance 0;
+        # sym carries both directions so src covers every endpoint
+        state = (
+            layout.select(F.col("src").alias("vertex"))
+            .distinct()
+            .select(
+                "vertex",
+                F.struct(
+                    F.col("vertex").alias("root"),
+                    F.lit(0).cast("long").alias("dist"),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = state
+        frontier_rows = state.count()
+        drained = frontier_rows == 0
+        for _ in range(max_iter):
+            if drained:
+                break
+            probe = (
+                F.broadcast(frontier)
+                if frontier_rows <= BROADCAST_FRONTIER_MAX
+                else frontier
+            )
+            # candidate = lexicographic-min neighbor state + 1 hop;
+            # struct min orders by (root, dist) — the true root (the
+            # component min id) dominates every transient local
+            # minimum, and among its wavefronts the smallest hop wins
+            cand = (
+                layout.join(probe, layout.src == probe.vertex)
+                .select(
+                    F.col("dst").alias("vertex"),
+                    F.struct(
+                        F.col("s.root").alias("root"),
+                        (F.col("s.dist") + F.lit(1).cast("long")).alias(
+                            "dist"
+                        ),
+                    ).alias("s"),
+                )
+                .groupBy("vertex")
+                .agg(F.min("s").alias("s"))
+            )
+            # every vertex is already in state, so a left join suffices
+            merged = (
+                state.alias("d")
+                .join(cand.alias("c"), "vertex", "left")
+                .select(
+                    "vertex",
+                    F.when(
+                        F.col("c.s").isNotNull()
+                        & (F.col("c.s") < F.col("d.s")),
+                        F.col("c.s"),
+                    )
+                    .otherwise(F.col("d.s"))
+                    .alias("s"),
+                    (
+                        F.col("c.s").isNotNull()
+                        & (F.col("c.s") < F.col("d.s"))
+                    ).alias("_improved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            frontier_rows = merged.filter(F.col("_improved")).count()
+            state = merged.select("vertex", "s")
+            if frontier_rows == 0:
+                drained = True
+                break
+            frontier = merged.filter(F.col("_improved")).select("vertex", "s")
+        layout.unpersist()
     if not drained:
         raise RuntimeError(
-            f"bipartite_color: BFS still active after max_iter={max_iter} "
-            "supersteps; raise max_iter (diameter exceeds it)"
+            f"bipartite_color: propagation still active after "
+            f"max_iter={max_iter} supersteps; raise max_iter "
+            "(root eccentricity exceeds it)"
         )
     colors = (
-        comp.join(dist, "vertex")
-        .select(
+        state.select(
             "vertex",
-            "component",
-            F.col("distance").cast("long").alias("dist"),
-            (F.col("distance").cast("long") % 2).alias("color"),
+            F.col("s.root").alias("component"),
+            F.col("s.dist").alias("dist"),
+            (F.col("s.dist") % 2).alias("color"),
         )
         .localCheckpoint(eager=True)
     )

@@ -3408,11 +3408,14 @@ def _bipartite_oracle_sql(rounds: int = 8) -> str:
 
 @register("q_bipartite", _bipartite_oracle_sql(8))
 def q_bipartite(spark, sf_dir):
-    """G36 bipartite 2-coloring of the part-supplier graph: G5 elects
-    each component's root, one multi-source BFS colors every vertex by
-    distance parity — checked against the unrolled min-label +
-    min-hop DuckDB replay (the DISTANCES are value-checked, not just
-    the parity).  The fixture graph is bipartite by construction
+    """G36 bipartite 2-coloring of the part-supplier graph: one fused
+    superstep loop propagates the lexicographic-min (root, dist) state,
+    electing each component's min-id root and coloring every vertex by
+    root-distance parity in ecc(root) rounds — the round count the old
+    separate BFS phase alone paid, with the star-contraction election
+    eliminated — checked against the unrolled min-label + min-hop
+    DuckDB replay (the DISTANCES are value-checked, not just the
+    parity).  The fixture graph is bipartite by construction
     ('p:'/'s:' namespaces), so the conflict frame is empty — asserted
     in pytest along with odd-cycle detection on planted non-bipartite
     graphs."""
