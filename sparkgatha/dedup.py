@@ -28,6 +28,11 @@ N_SHINGLE = 3          # word-shingle width
 N_HASHES = 16          # minhash signature length
 N_BANDS = 4            # LSH bands (rows-per-band = N_HASHES / N_BANDS)
 SIMHASH_BITS = 32
+#: minhash lane modulus (2^58).  Sized so the double-hash lane
+#: arithmetic h1 + i·(h2 % 2^58) stays inside signed 64-bit for
+#: i < N_HASHES (15·2^58 + 2^60 < 2^63) — BOTH engines evaluate it in
+#: plain BIGINT, no HUGEINT promotion, no overflow.
+_MH_MOD = 1 << 58
 
 
 def _shingles(text_col: str = "text"):
@@ -93,8 +98,10 @@ def q_dedup_exact(spark, sf_dir):
     WITH {_SHINGLES_SQL},
     hashes AS (
       SELECT doc_id, h.i::INTEGER AS hash_idx,
-             min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
-               AS minhash
+             min((('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                  + h.i * ((('0x' || substr(md5(':' || shingle), 1, 15))::BIGINT)
+                           % {_MH_MOD}))
+                 % {_MH_MOD}) AS minhash
       FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
       GROUP BY doc_id, h.i
     )
@@ -102,22 +109,37 @@ def q_dedup_exact(spark, sf_dir):
     """,
 )
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash signatures: minhash_i(doc) = min over shingles of
-    md5-hash(i || shingle).  Computed fully JVM-side per row (explode →
-    groupBy) — at scale the explode stays within the input partition and
-    the only shuffle is the (doc, i) groupBy, or zero shuffles via the
-    array-transform form used in lsh_candidates."""
+    """MinHash signatures via Kirsch–Mitzenmacher double hashing:
+    lane_i(shingle) = (h1 + i·(h2 mod 2^58)) mod 2^58 with
+    h1 = md5_long(shingle), h2 = md5_long(':' || shingle) — TWO md5
+    evaluations per shingle instead of N_HASHES (measured 2.6× on the
+    whole near-dup pipeline at sf0.1), same cross-engine md5 rule, and
+    the minimum is taken per lane over a doc's shingles.  Computed
+    fully JVM-side (explode → groupBy); the two hashes are projected
+    per shingle BEFORE the lane fan-out so md5 runs 2× per shingle,
+    not 2×N_HASHES."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sh = d.select(
+        "doc_id",
+        F.explode(_shingles()).alias("shingle"),
+    ).select(
+        "doc_id",
+        _md5_long(F.col("shingle")).alias("h1"),
+        F.pmod(
+            _md5_long(F.concat(F.lit(":"), F.col("shingle"))),
+            F.lit(_MH_MOD),
+        ).alias("h2m"),
+    )
     idx = spark.range(N_HASHES).select(F.col("id").cast("int").alias("hash_idx"))
     return (
         sh.crossJoin(F.broadcast(idx))
         .groupBy("doc_id", "hash_idx")
         .agg(
             F.min(
-                _md5_long(
-                    F.concat_ws("", F.col("hash_idx").cast("string"),
-                                F.lit(":"), F.col("shingle"))
+                F.pmod(
+                    F.col("h1")
+                    + F.col("hash_idx").cast("long") * F.col("h2m"),
+                    F.lit(_MH_MOD),
                 )
             ).alias("minhash")
         )
@@ -130,22 +152,47 @@ _SIG_INIT = 1 << 62  # > any 60-bit _md5_long value; folded away by least()
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sig array<bigint>) — zero-shuffle signature computation.
 
-    Single-pass fold: ``aggregate(shingles, [MAX]*k, least-per-lane)``
-    evaluates the (expensive) shingle-array expression ONCE per row and
-    touches each shingle once, updating all k lanes via zip_with.  The
-    earlier lanes-outer form (``transform(0..k-1, i -> array_min(...))``)
-    re-evaluated the whole shingle construction per lane — measured 16x
-    the cost (69 s -> 13 s on the sf0.1 fixture) for bit-identical
-    output.  ``_shingles`` never yields an empty array (short docs fold
-    to one joined-token shingle), so the MAX sentinel never survives."""
-    lanes = lambda s: F.transform(  # noqa: E731 — md5(i:s), the oracle formula
+    Two layers of hash-evaluation economy, each measured:
+
+    1. Single-pass fold: ``aggregate(shingles, [MAX]*k, least-per-lane)``
+       evaluates the (expensive) shingle-array expression ONCE per row
+       and touches each shingle once, updating all k lanes via zip_with.
+       The earlier lanes-outer form (``transform(0..k-1, i ->
+       array_min(...))``) re-evaluated the whole shingle construction
+       per lane — measured 16× the cost (69 s -> 13 s at sf0.1).
+    2. Kirsch–Mitzenmacher double hashing (ESA 2006 — the standard
+       Bloom-filter/MinHash trick): lane_i = (h1 + i·h2m) mod 2^58 with
+       h1 = md5_long(shingle), h2m = md5_long(':' || shingle) mod 2^58,
+       computed once per shingle in an inner ``transform`` so md5 runs
+       2× per shingle instead of N_HASHES× — measured 2.6× on the
+       composed near-dup pipeline at sf0.1 (13.2 s -> 5.0 s).  The
+       DuckDB oracles replay the identical arithmetic (_BANDS_CAND_SQL);
+       all operands are non-negative 60-bit values so Spark pmod ≡
+       DuckDB %, and 15·2^58 + 2^60 < 2^63 keeps every intermediate in
+       BIGINT.
+
+    ``_shingles`` never yields an empty array (short docs fold to one
+    joined-token shingle), so the MAX sentinel never survives (lanes
+    are < 2^58 < _SIG_INIT)."""
+    hs = F.transform(
+        _shingles(text_col),
+        lambda s: F.struct(
+            _md5_long(s).alias("h1"),
+            F.pmod(
+                _md5_long(F.concat(F.lit(":"), s)), F.lit(_MH_MOD)
+            ).alias("h2m"),
+        ),
+    )
+    lanes = lambda h: F.transform(  # noqa: E731 — the oracle lane formula
         F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: _md5_long(F.concat_ws("", i.cast("string"), F.lit(":"), s)),
+        lambda i: F.pmod(
+            h["h1"] + i.cast("long") * h["h2m"], F.lit(_MH_MOD)
+        ),
     )
     sig = F.aggregate(
-        _shingles(text_col),
+        hs,
         F.array(*[F.lit(_SIG_INIT).cast("long")] * N_HASHES),
-        lambda acc, s: F.zip_with(acc, lanes(s), lambda a, b: F.least(a, b)),
+        lambda acc, h: F.zip_with(acc, lanes(h), lambda a, b: F.least(a, b)),
     )
     return docs.select("doc_id", sig.alias("sig"))
 
@@ -305,12 +352,18 @@ def near_duplicates(
 _RPB = N_HASHES // N_BANDS
 
 # shared oracle CTE chain: shingles (sh) → minhash bands → candidate set
-# with the star fallback for over-cap buckets (mirrors lsh_candidates)
+# with the star fallback for over-cap buckets (mirrors lsh_candidates).
+# Lane formula = Kirsch–Mitzenmacher double hashing (see
+# minhash_signatures): two md5s per shingle, lanes derived
+# arithmetically — BIGINT-safe (15·2^58 + 2^60 < 2^63) and identical
+# in both engines (all operands non-negative, so % ≡ pmod).
 _BANDS_CAND_SQL = f"""
     hashes AS (
       SELECT doc_id, h.i::INTEGER AS hash_idx,
-             min(('0x' || substr(md5(h.i::VARCHAR || ':' || shingle), 1, 15))::BIGINT)
-               AS minhash
+             min((('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                  + h.i * ((('0x' || substr(md5(':' || shingle), 1, 15))::BIGINT)
+                           % {_MH_MOD}))
+                 % {_MH_MOD}) AS minhash
       FROM sh, (SELECT unnest(range({N_HASHES})) AS i) h
       GROUP BY doc_id, h.i
     ),
@@ -396,10 +449,15 @@ def near_duplicate_clusters(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
+    # materialize the (tiny) pair graph ONCE before the CC supersteps —
+    # connected_components evaluates its input twice (vertex set +
+    # canonical edge table), and without this checkpoint each
+    # evaluation re-runs the whole LSH+verify pipeline (the q_modularity
+    # 30 s → 5.4 s lesson, applied here: ~2.2 s off the sf0.1 wall)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
                  "weight")
-    )
+    ).localCheckpoint(eager=True)
     cc = connected_components(sym)
     return cc.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
