@@ -248,6 +248,7 @@ def main() -> None:
         "q_dedup_sorted_neighborhood",
         "q_graph_snapshot_diff",
         "q_edges_pmi",
+        "q_triangles_doulion",
     ):
         if name in reg:
             fn = reg[name]

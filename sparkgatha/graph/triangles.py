@@ -141,6 +141,57 @@ def global_triangle_count(edges: DataFrame) -> int:
     return int((row["s"] or 0) // 3)
 
 
+def triangle_estimate_doulion(
+    edges: DataFrame, keep_hex: int = 64
+) -> DataFrame:
+    """One row ``(sampled_edges, sampled_triangles, est_triangles)`` —
+    DOULION (Tsourakakis, Kang & Faloutsos, KDD 2009): toss a p-coin
+    per UNDIRECTED edge, count triangles exactly on the sparsified
+    graph with the same degree-oriented wedge join, and scale the count
+    by 1/p³ (an unbiased estimator of the true global triangle count).
+
+    This is the 100 TB path when the exact wedge join is too expensive:
+    sampling at p thins the wedge self-join by ~p² and the closing join
+    input by p, for a variance the paper bounds — the standard
+    sparsify-then-count trade on massive graphs.  ``keep_hex``/256 = p
+    (default 64 → p = 0.25, a 16× wedge reduction).
+
+    The coin is NOT random-state: an edge survives iff the first two
+    hex chars of md5("u:v") of its canonical (u < v) key sort below
+    ``keep_hex``'s hex form — deterministic across engines, retries,
+    partitionings (the q_sample_hash discipline), so the DuckDB oracle
+    replays the identical sample and the estimate is value-checkable
+    bit-for-bit.  keep_hex ≥ 256 keeps every edge (p = 1) and must
+    reproduce the exact count — pinned by a pytest invariant.
+    """
+    if keep_hex < 1:
+        raise ValueError(f"keep_hex must be >= 1, got {keep_hex}")
+    p = min(keep_hex, 256) / 256.0
+    # 'g' sorts above every lowercase-hex string: p=1 keeps all edges
+    thr = "g" if keep_hex >= 256 else format(keep_hex, "02x")
+    und = canonical_undirected(edges)
+    coin = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("u").cast("string"), F.col("v").cast("string")
+            )
+        ),
+        1,
+        2,
+    )
+    samp = und.filter(coin < F.lit(thr)).localCheckpoint(eager=True)
+    o = _orient(samp, _degrees(samp))
+    t = _triangles(o).agg(F.count("*").alias("sampled_triangles"))
+    m = samp.agg(F.count("*").alias("sampled_edges"))
+    return m.crossJoin(t).select(
+        "sampled_edges",
+        "sampled_triangles",
+        F.round(F.col("sampled_triangles") / F.lit(p) ** 3, 4).alias(
+            "est_triangles"
+        ),
+    )
+
+
 def bipartite_square_count(edges: DataFrame, pivot: str = "src") -> DataFrame:
     """One row ``(n_squares, n_codiag_pairs)`` — the number of 4-cycles
     (squares / butterflies) in a BIPARTITE edge list, the standard

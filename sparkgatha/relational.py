@@ -3877,6 +3877,45 @@ def q_transitivity(spark, sf_dir):
 
 
 @register(
+    "q_triangles_doulion",
+    f"""
+    WITH {_BIGRAM_CTE},
+    samp AS MATERIALIZED (
+      SELECT u, v FROM big WHERE substr(md5(u || ':' || v), 1, 2) < '40'
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM samp t1
+      JOIN samp t2 ON t2.u = t1.v
+      JOIN samp t3 ON t3.u = t1.u AND t3.v = t2.v
+    ),
+    m AS (SELECT count(*) AS me FROM samp)
+    SELECT me AS sampled_edges, t AS sampled_triangles,
+           round(t * 64.0, 4) AS est_triangles
+    FROM m, tri
+    """,
+)
+def q_triangles_doulion(spark, sf_dir):
+    """DOULION sparsified triangle estimate (Tsourakakis KDD'09) on the
+    sampled window-1 bigram graph: a deterministic md5 p=0.25 edge coin,
+    exact degree-oriented count on the survivors, ×1/p³ scale-up — the
+    sparsify-then-count path for graphs where the exact wedge join is
+    too expensive.  The oracle replays the identical coin (same md5 of
+    the canonical "u:v" key) and canonical x<y<z triangle join, so the
+    whole estimator is value-checked bit-for-bit (t·64 is exact in
+    binary).  p=1 ≡ exact count is pinned in tests/test_linkgraph_ops."""
+    from sparkgatha.extract import extract_adjacency_edges, symmetrize
+    from sparkgatha.graph.triangles import triangle_estimate_doulion
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    )
+    e = symmetrize(extract_adjacency_edges(sampled, text_col="text"))
+    return triangle_estimate_doulion(e, keep_hex=64)
+
+
+@register(
     "q_reciprocity",
     f"""
     WITH {_DIGRAPH_CTE},

@@ -2182,3 +2182,64 @@ def test_louvain_multilevel_improves_modularity(spark):
     assert q_multi > q_singleton
     assert q_multi > 0.2
     assert single.count() == verts.count()
+
+
+# ---------------------------------------------------------------------------
+# DOULION sparsified triangle estimate (graph/triangles.py)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.triangles import (  # noqa: E402
+    global_triangle_count,
+    triangle_estimate_doulion,
+)
+
+
+def test_doulion_p1_reproduces_exact_count(spark, triples):
+    """keep_hex >= 256 keeps every edge: the estimator degenerates to
+    the exact degree-oriented count — the invariant that pins the
+    sampled pipeline to the exact one."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    exact = global_triangle_count(edges)
+    row = triangle_estimate_doulion(edges, keep_hex=256).collect()[0]
+    assert row["sampled_edges"] == len(triples)
+    assert row["sampled_triangles"] == exact
+    assert row["est_triangles"] == pytest.approx(float(exact))
+
+
+def test_doulion_coin_is_deterministic_and_thins(spark, triples):
+    """The md5 coin is state-free: two runs agree bit-for-bit, the
+    p=0.25 sample is a strict thinning, and the estimate is exactly
+    sampled/p^3 (64x)."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    r1 = triangle_estimate_doulion(edges, keep_hex=64).collect()[0]
+    r2 = triangle_estimate_doulion(edges, keep_hex=64).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert 0 < r1["sampled_edges"] < len(triples)
+    assert r1["est_triangles"] == pytest.approx(
+        r1["sampled_triangles"] * 64.0
+    )
+
+
+def test_doulion_estimate_tracks_exact_on_clique_union(spark):
+    """Estimator quality on a triangle-rich graph (40 disjoint K8s,
+    exact T = 40*C(8,3) = 2240): the deterministic p=0.25 sample must
+    land within 2x of truth — loose (DOULION is a variance trade), but
+    pins that the scale-up arithmetic points at the right magnitude."""
+    rows = []
+    for c in range(40):
+        base = c * 8
+        for i in range(8):
+            for j in range(i + 1, 8):
+                rows.append((base + i, base + j, 1.0))
+    edges = to_spark_edges(spark, rows, symmetric=True)
+    exact = 40 * 56  # 40 cliques x C(8,3)
+    est = triangle_estimate_doulion(edges, keep_hex=64).collect()[0][
+        "est_triangles"
+    ]
+    assert exact / 2 <= est <= exact * 2
+
+
+def test_doulion_rejects_bad_keep_hex(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    with pytest.raises(ValueError, match="keep_hex"):
+        triangle_estimate_doulion(edges, keep_hex=0)
