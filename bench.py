@@ -249,6 +249,7 @@ def main() -> None:
         "q_graph_snapshot_diff",
         "q_edges_pmi",
         "q_triangles_doulion",
+        "q_ppr_montecarlo",
     ):
         if name in reg:
             fn = reg[name]

@@ -299,3 +299,132 @@ def biased_walks(
         finally:
             adj.unpersist()
         return out
+
+
+def ppr_monte_carlo(
+    edges: DataFrame,
+    alpha: float = 0.5,
+    walks_per_vertex: int = 4,
+    max_len: int = 6,
+    seed: int = 0,
+    max_neighbors: int | None = None,
+) -> DataFrame:
+    """(seed_vertex, vertex, n_walks, est) — Monte-Carlo END-POINT
+    personalized-PageRank estimates (Fogaras et al. 2005; Avrachenkov
+    et al. 2007): start ``walks_per_vertex`` walks at every vertex; at
+    each step a walk STOPS with probability 1 − alpha (the restart
+    event) and otherwise hops to a uniform random neighbor.  The
+    terminal-vertex distribution of walks started at s IS PPR_s(·), so
+    ``est = terminal_count / walks_per_vertex`` is unbiased up to the
+    ``max_len`` truncation (a walk still active after max_len steps
+    terminates in place; the affected mass is alpha**max_len).
+
+    Both coins are md5 hashes — stop: md5int(walk_id:t:stop:seed)
+    mapped to (0,1] by the (h+1)/2^60 rule biased_walks uses; hop:
+    random_walks' exact sorted-list-index rule, so trajectories
+    coincide with random_walks at the same seed.  No RNG state ⇒
+    identical across engines, retries, and partitionings, and the
+    whole estimator is DuckDB-value-checkable bit-for-bit (counts are
+    integers; est = count/R is exact in binary for power-of-two R).
+
+    This is the PPR path that survives 10^12 edges: no global rank
+    vector, no convergence loop — R·V walk rows shrinking geometrically
+    (expected total work R·V/(1−alpha) rows), ONE equi-join per step
+    against the stationary adjacency layout, and walks from different
+    seeds never interact, so the computation shards freely.  Exact G4
+    power iteration stays the right tool for one global ranking; this
+    is the per-seed neighborhood-relevance form (topic queries,
+    seed-set expansion) where iterating a full |V| state per seed set
+    would be absurd.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if walks_per_vertex < 1:
+        raise ValueError(
+            f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
+        )
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    spark = edges.sparkSession
+    with no_aqe(spark):
+        adj = _adjacency_table(edges, max_neighbors)
+        try:
+            replicas = spark.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("i")
+            )
+            frontier = (
+                adj.select(F.col("src").alias("origin"))
+                .crossJoin(F.broadcast(replicas))
+                .select(
+                    F.concat_ws(
+                        "#",
+                        F.col("origin").cast("string"),
+                        F.col("i").cast("string"),
+                    ).alias("walk_id"),
+                    "origin",
+                    F.col("origin").alias("cur"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            terminals = None
+            for t in range(1, max_len + 1):
+                u = (
+                    _md5int(
+                        F.concat_ws(
+                            ":",
+                            F.col("walk_id"),
+                            F.lit(str(t)),
+                            F.lit("stop"),
+                            F.lit(str(seed)),
+                        )
+                    )
+                    + 1
+                ) / F.lit(_HASH_UNIT)
+                stopped = frontier.filter(u > alpha).select("origin", "cur")
+                active = frontier.filter(u <= alpha)
+                hop = _md5int(
+                    F.concat_ws(
+                        ":", F.col("walk_id"), F.lit(str(t)), F.lit(str(seed))
+                    )
+                )
+                j = active.join(adj, active.cur == adj.src, "left")
+                # a walk at a sink (directed graphs only) terminates in
+                # place rather than silently vanishing — terminal mass
+                # per seed is always exactly walks_per_vertex
+                sunk = j.filter(F.col("deg").isNull()).select("origin", "cur")
+                step_terms = stopped.unionByName(sunk).localCheckpoint(
+                    eager=True
+                )
+                terminals = (
+                    step_terms
+                    if terminals is None
+                    else terminals.unionByName(step_terms)
+                )
+                frontier = (
+                    j.filter(F.col("deg").isNotNull())
+                    .select(
+                        "walk_id",
+                        "origin",
+                        F.element_at(
+                            "nbrs", (F.pmod(hop, F.col("deg")) + 1).cast("int")
+                        ).alias("cur"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            terminals = terminals.unionByName(
+                frontier.select("origin", "cur")
+            )
+        finally:
+            # frontier and every step's terminals are eagerly
+            # checkpointed — nothing downstream re-reads adj
+            adj.unpersist()
+        return (
+            terminals.groupBy(
+                F.col("origin").alias("seed_vertex"),
+                F.col("cur").alias("vertex"),
+            )
+            .agg(F.count("*").alias("n_walks"))
+            .withColumn(
+                "est", F.col("n_walks") / F.lit(float(walks_per_vertex))
+            )
+        )

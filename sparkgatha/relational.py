@@ -2791,6 +2791,82 @@ def q_biased_walks(spark, sf_dir):
     )
 
 
+def _ppr_mc_oracle_sql(
+    max_len: int, alpha: float = 0.5, r: int = 4, seed: int = 0
+) -> str:
+    """G47 unrolled Monte-Carlo end-point PPR mirror: per step the
+    (h+1)/2^60 stop coin splits the frontier (u > alpha terminates at
+    cur, u <= alpha hops by random_walks' exact sorted-list-index
+    rule); walks alive after max_len steps terminate in place.
+    Terminal counts per (origin, vertex) are integers and est =
+    count/R is exact binary for power-of-two R, so the whole estimator
+    value-checks bit-for-bit.  No sink branch: _GRAPH_CTE's e is
+    symmetric, every vertex has out-edges (the engine's left-join sink
+    rail is pinned separately by pytest on a directed path)."""
+    two60 = float(1 << 60)
+    sql = f"""
+    WITH {_GRAPH_CTE},
+    adj AS MATERIALIZED (
+      SELECT src, list_sort(list(dst)) AS nbrs, count(*) AS deg
+      FROM e GROUP BY src
+    ),
+    w_0 AS MATERIALIZED (
+      SELECT src || '#' || i AS walk_id, src AS origin, src AS cur
+      FROM adj, unnest(range(0, {r})) AS rep(i)
+    )"""
+    for t in range(1, max_len + 1):
+        sql += f""",
+    u_{t} AS MATERIALIZED (
+      SELECT walk_id, origin, cur,
+             ((('0x' || substr(md5(walk_id || ':{t}:stop:{seed}'),
+                               1, 15))::BIGINT + 1) / {two60}) AS u
+      FROM w_{t - 1}
+    ),
+    term_{t} AS (SELECT origin, cur FROM u_{t} WHERE u > {alpha}),
+    w_{t} AS MATERIALIZED (
+      SELECT w.walk_id, w.origin,
+             a.nbrs[CAST(('0x' || substr(md5(w.walk_id || ':{t}:{seed}'),
+                                         1, 15))::BIGINT % a.deg AS INT) + 1]
+               AS cur
+      FROM u_{t} w JOIN adj a ON a.src = w.cur
+      WHERE w.u <= {alpha}
+    )"""
+    terms = "\n      UNION ALL ".join(
+        [f"SELECT origin, cur FROM term_{t}" for t in range(1, max_len + 1)]
+        + [f"SELECT origin, cur FROM w_{max_len}"]
+    )
+    sql += f""",
+    terminals AS ({terms})
+    SELECT origin AS seed_vertex, cur AS vertex, count(*) AS n_walks,
+           count(*) / {float(r)} AS est
+    FROM terminals GROUP BY 1, 2
+    """
+    return sql
+
+
+@register("q_ppr_montecarlo", _ppr_mc_oracle_sql(6))
+def q_ppr_montecarlo(spark, sf_dir):
+    """G47 Monte-Carlo end-point personalized PageRank (Fogaras'05 /
+    Avrachenkov'07): 4 walks per seed vertex over the symmetrized
+    co-occurrence graph, stop coin 1−alpha per step, terminal-vertex
+    frequencies as PPR estimates — the per-seed local-computation PPR
+    path beside exact G4 power iteration.  Deterministic md5 coins make
+    the sample identical across engines, so the estimator (integer
+    terminal counts and the exact-binary count/4 estimates) is
+    value-checked bit-for-bit against the 6-step unrolled DuckDB
+    replay."""
+    from sparkgatha.extract import extract_cooccurrence_edges, symmetrize
+    from sparkgatha.graph.walks import ppr_monte_carlo
+
+    d = _t(spark, sf_dir, "documents")
+    edges = symmetrize(
+        extract_cooccurrence_edges(d, text_col="text", max_terms_per_doc=None)
+    )
+    return ppr_monte_carlo(
+        edges, alpha=0.5, walks_per_vertex=4, max_len=6, seed=0
+    )
+
+
 @register("q_random_walks", _walks_oracle_sql(4))
 def q_random_walks(spark, sf_dir):
     """G18 deterministic random-walk corpus (DeepWalk-style training

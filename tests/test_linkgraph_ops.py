@@ -2243,3 +2243,107 @@ def test_doulion_rejects_bad_keep_hex(spark, triples):
     edges = to_spark_edges(spark, triples, symmetric=True)
     with pytest.raises(ValueError, match="keep_hex"):
         triangle_estimate_doulion(edges, keep_hex=0)
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo personalized PageRank (graph/walks.py:ppr_monte_carlo)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from sparkgatha.graph.walks import ppr_monte_carlo  # noqa: E402
+
+
+def test_ppr_mc_mass_conservation_and_determinism(spark, triples):
+    """Every seed's terminal mass is EXACTLY walks_per_vertex (walks
+    stop, sink-terminate, or truncate — none vanish), every estimate is
+    count/R, and two runs agree bit-for-bit (the coins are md5, not
+    RNG state)."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    r1 = ppr_monte_carlo(
+        edges, alpha=0.5, walks_per_vertex=4, max_len=5
+    ).collect()
+    per_seed = {}
+    for row in r1:
+        per_seed[row["seed_vertex"]] = (
+            per_seed.get(row["seed_vertex"], 0) + row["n_walks"]
+        )
+        assert row["est"] == row["n_walks"] / 4.0
+    n_vertices = len({v for a, b, _ in triples for v in (a, b)})
+    assert len(per_seed) == n_vertices
+    assert all(m == 4 for m in per_seed.values()), per_seed
+    r2 = ppr_monte_carlo(
+        edges, alpha=0.5, walks_per_vertex=4, max_len=5
+    ).collect()
+    key = lambda r: (r["seed_vertex"], r["vertex"])  # noqa: E731
+    assert sorted(map(tuple, r1), key=str) == sorted(map(tuple, r2), key=str)
+
+
+def test_ppr_mc_sink_walks_terminate_in_place(spark):
+    """On the DIRECTED path a->b->c every walk either stops en route or
+    sink-terminates at c — terminal mass per seed is exactly R and no
+    terminal lies outside the reachable set."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    rows = ppr_monte_carlo(
+        edges, alpha=0.5, walks_per_vertex=8, max_len=12
+    ).collect()
+    reach = {1: {1, 2, 3}, 2: {2, 3}, 3: {3}}
+    mass = {}
+    for r in rows:
+        assert r["vertex"] in reach[r["seed_vertex"]], r
+        mass[r["seed_vertex"]] = mass.get(r["seed_vertex"], 0) + r["n_walks"]
+    # vertex 3 has no out-edges: _adjacency_table drops it, so only the
+    # two vertices with out-edges seed walks (random_walks' contract)
+    assert mass == {1: 8, 2: 8}
+
+
+def test_ppr_mc_tracks_exact_ppr(spark):
+    """Estimator quality vs the EXACT truncated PPR series computed in
+    numpy on a seeded 24-vertex graph: with R=1024 and L=20 (residual
+    mass 0.5^20 ~ 1e-6) the mean total-variation distance across seeds
+    must be small and no seed's TV may exceed a loose per-seed bound —
+    pins that the terminal-frequency arithmetic targets the right
+    distribution, not just that it is deterministic."""
+    triples = random_graph(n=24, m=60, seed=11, weighted=False)
+    edges = to_spark_edges(spark, triples, symmetric=True)
+
+    # exact: ppr_s = (1-a) * sum_{k=0..L} a^k (P^k)[s], row-stochastic P
+    # over the same distinct symmetric adjacency, plus the truncation
+    # convention (residual mass a^{L+1} stays on the L-step positions)
+    verts = sorted({v for a, b, _ in triples for v in (a, b)})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    P = np.zeros((n, n))
+    for a, b, _ in triples:
+        P[idx[a], idx[b]] = 1.0
+        P[idx[b], idx[a]] = 1.0
+    P /= P.sum(axis=1, keepdims=True)
+    alpha, L = 0.5, 20
+    exact = np.zeros((n, n))
+    walk = np.eye(n)
+    for k in range(L + 1):
+        exact += (1 - alpha) * alpha**k * walk
+        walk = walk @ P
+    exact += alpha ** (L + 1) * walk  # truncated walks end in place
+
+    got = ppr_monte_carlo(
+        edges, alpha=alpha, walks_per_vertex=1024, max_len=L
+    ).collect()
+    est = np.zeros((n, n))
+    for r in got:
+        est[idx[r["seed_vertex"]], idx[r["vertex"]]] = r["est"]
+    tv = 0.5 * np.abs(est - exact).sum(axis=1)
+    assert tv.mean() < 0.10, tv.mean()
+    assert tv.max() < 0.25, tv.max()
+
+
+def test_ppr_mc_rejects_bad_params(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    with pytest.raises(ValueError, match="alpha"):
+        ppr_monte_carlo(edges, alpha=1.0)
+    with pytest.raises(ValueError, match="walks_per_vertex"):
+        ppr_monte_carlo(edges, walks_per_vertex=0)
+    with pytest.raises(ValueError, match="max_len"):
+        ppr_monte_carlo(edges, max_len=0)
