@@ -3967,7 +3967,7 @@ def q_transitivity(spark, sf_dir):
     ),
     m AS (SELECT count(*) AS me FROM samp)
     SELECT me AS sampled_edges, t AS sampled_triangles,
-           round(t * 64.0, 4) AS est_triangles
+           round(t::DOUBLE * 64, 4) AS est_triangles
     FROM m, tri
     """,
 )
