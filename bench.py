@@ -250,6 +250,7 @@ def main() -> None:
         "q_edges_pmi",
         "q_triangles_doulion",
         "q_ppr_montecarlo",
+        "q_weighted_walks",
     ):
         if name in reg:
             fn = reg[name]

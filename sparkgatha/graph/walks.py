@@ -428,3 +428,102 @@ def ppr_monte_carlo(
                 "est", F.col("n_walks") / F.lit(float(walks_per_vertex))
             )
         )
+
+
+def weighted_walks(
+    edges: DataFrame,
+    length: int,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """(walk_id string, step int, vertex) — first-order
+    WEIGHT-PROPORTIONAL walks: the next hop is sampled with probability
+    ∝ edge weight (the node2vec paper's weighted-graph rule at
+    p = q = 1) via the deterministic exponential race biased_walks
+    proved out: candidate n draws u = (md5int(walk_id:t:seed:n)+1)/2^60
+    and key = −ln(u)/w(cur,n); the minimum key wins (ties by n
+    ascending).  min over Exp(w) races IS proportional-to-w sampling,
+    every input is row-local, so the corpus is retry/partitioning-
+    invariant and DuckDB-oracle value-checkable round for round.
+
+    Physical shape per step: weight-proportional sampling genuinely
+    needs the candidate WEIGHTS, so the step is one equi-join of the
+    one-row-per-walk frontier against the stationary weighted edge
+    table (O(deg) candidate rows per walk-step — true of any
+    proportional sampler) + one partial-aggregable min(struct) argmin
+    per walk: no window, hubs never sort.  Parallel (src, dst) rows
+    are weight-summed once up front; walks at sinks end short
+    (random_walks' contract)."""
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if walks_per_vertex < 1:
+        raise ValueError(
+            f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
+        )
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with no_aqe(spark):
+        we = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .repartition(n_part, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            replicas = spark.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("i")
+            )
+            frontier = (
+                we.select("src")
+                .distinct()
+                .crossJoin(F.broadcast(replicas))
+                .select(
+                    F.concat_ws(
+                        "#",
+                        F.col("src").cast("string"),
+                        F.col("i").cast("string"),
+                    ).alias("walk_id"),
+                    F.col("src").alias("cur"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            out = frontier.select(
+                "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+            )
+            for t in range(1, length + 1):
+                u = (
+                    _md5int(
+                        F.concat_ws(
+                            ":",
+                            F.col("walk_id"),
+                            F.lit(str(t)),
+                            F.lit(str(seed)),
+                            F.col("dst").cast("string"),
+                        )
+                    )
+                    + 1
+                ) / F.lit(_HASH_UNIT)
+                key = -F.log(u) / F.col("weight")
+                frontier = (
+                    frontier.join(we, frontier.cur == we.src)
+                    .groupBy("walk_id")
+                    .agg(
+                        F.min(
+                            F.struct(key.alias("k"), F.col("dst").alias("n"))
+                        ).alias("b")
+                    )
+                    .select("walk_id", F.col("b.n").alias("cur"))
+                    .localCheckpoint(eager=True)
+                )
+                out = out.unionByName(
+                    frontier.select(
+                        "walk_id",
+                        F.lit(t).alias("step"),
+                        F.col("cur").alias("vertex"),
+                    )
+                )
+        finally:
+            we.unpersist()
+        return out

@@ -2867,6 +2867,62 @@ def q_ppr_montecarlo(spark, sf_dir):
     )
 
 
+def _weighted_walks_oracle_sql(length: int, seed: int = 0) -> str:
+    """G18c unrolled weight-proportional mirror over the symmetrized
+    window-1 weighted graph: per step each candidate edge races
+    −ln((md5int(walk_id:t:seed:dst)+1)/2^60)/weight and the per-walk
+    row_number()=1 under (key, dst) — the window-ranked mirror of
+    Spark's min(struct), the identical convention the biased-walks
+    oracle proved engine-stable (incl. ln on the same doubles)."""
+    two60 = float(1 << 60)
+    sql = f"""
+    WITH {_ADJ_CTE},
+    se AS MATERIALIZED (
+      SELECT src, dst, weight FROM ae
+      UNION ALL SELECT dst AS src, src AS dst, weight FROM ae
+    ),
+    w_0 AS MATERIALIZED (
+      SELECT src || '#0' AS walk_id, src AS cur
+      FROM (SELECT DISTINCT src FROM se)
+    )"""
+    for t in range(1, length + 1):
+        sql += f""",
+    w_{t} AS MATERIALIZED (
+      SELECT walk_id, cur FROM (
+        SELECT w.walk_id, e.dst AS cur,
+               row_number() OVER (
+                 PARTITION BY w.walk_id
+                 ORDER BY (-ln((('0x' || substr(md5(w.walk_id || ':{t}:{seed}:'
+                                                    || e.dst), 1, 15))::BIGINT
+                                + 1) / {two60})) / e.weight, e.dst
+               ) AS rn
+        FROM w_{t - 1} w JOIN se e ON e.src = w.cur
+      ) WHERE rn = 1
+    )"""
+    sql += "\n    SELECT walk_id, 0 AS step, cur AS vertex FROM w_0"
+    for t in range(1, length + 1):
+        sql += (
+            f"\n    UNION ALL SELECT walk_id, {t} AS step, cur FROM w_{t}"
+        )
+    return sql
+
+
+@register("q_weighted_walks", _weighted_walks_oracle_sql(3))
+def q_weighted_walks(spark, sf_dir):
+    """G18c weight-proportional first-order walk corpus over the
+    symmetrized window-1 bigram graph (co-occurrence counts as
+    transition weights — frequent pairs attract the walker, the
+    weighted-graph rule of the node2vec paper at p=q=1), value-checked
+    round for round against the 3-step unrolled DuckDB replay of the
+    same exponential race."""
+    from sparkgatha.extract import extract_adjacency_edges, symmetrize
+    from sparkgatha.graph.walks import weighted_walks
+
+    d = _t(spark, sf_dir, "documents")
+    edges = symmetrize(extract_adjacency_edges(d, text_col="text"))
+    return weighted_walks(edges, length=3, walks_per_vertex=1, seed=0)
+
+
 @register("q_random_walks", _walks_oracle_sql(4))
 def q_random_walks(spark, sf_dir):
     """G18 deterministic random-walk corpus (DeepWalk-style training

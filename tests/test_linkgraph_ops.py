@@ -2347,3 +2347,56 @@ def test_ppr_mc_rejects_bad_params(spark, triples):
         ppr_monte_carlo(edges, walks_per_vertex=0)
     with pytest.raises(ValueError, match="max_len"):
         ppr_monte_carlo(edges, max_len=0)
+
+
+# ---------------------------------------------------------------------------
+# Weight-proportional first-order walks (graph/walks.py:weighted_walks)
+# ---------------------------------------------------------------------------
+
+from sparkgatha.graph.walks import weighted_walks  # noqa: E402
+
+
+def test_weighted_walks_sample_proportional_to_weight(spark):
+    """On the weighted star 0-{1,2,3,4} with weights 1,2,4,8 the
+    empirical step-1 pick frequencies of 2048 walks from the center
+    must track weight/15 — pins that the exponential race actually
+    samples ∝ w, not just that it is deterministic (stderr at R=2048
+    is ~0.011; the ±0.05 band is ~4.5 sigma)."""
+    rows = [(0, n, float(2 ** (n - 1))) for n in (1, 2, 3, 4)]
+    edges = to_spark_edges(spark, rows, symmetric=True)
+    got = (
+        weighted_walks(edges, length=1, walks_per_vertex=2048)
+        .filter("step = 1")
+        .collect()
+    )
+    picks = [r["vertex"] for r in got if r["walk_id"].startswith("0#")]
+    assert len(picks) == 2048
+    for n in (1, 2, 3, 4):
+        expect = 2 ** (n - 1) / 15.0
+        freq = picks.count(n) / 2048.0
+        assert abs(freq - expect) < 0.05, (n, freq, expect)
+
+
+def test_weighted_walks_follow_edges_and_are_deterministic(spark, triples):
+    """Every consecutive (step t-1, step t) pair is an edge of the
+    input, and two runs agree bit-for-bit."""
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    eset = {(a, b) for a, b, _ in triples} | {(b, a) for a, b, _ in triples}
+    r1 = weighted_walks(edges, length=3, walks_per_vertex=1).collect()
+    byw = {}
+    for r in r1:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    for wid, steps in byw.items():
+        assert steps[0] == int(wid.split("#")[0])
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in eset, (wid, t)
+    r2 = weighted_walks(edges, length=3, walks_per_vertex=1).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_weighted_walks_rejects_bad_params(spark, triples):
+    edges = to_spark_edges(spark, triples, symmetric=True)
+    with pytest.raises(ValueError, match="length"):
+        weighted_walks(edges, length=0)
+    with pytest.raises(ValueError, match="walks_per_vertex"):
+        weighted_walks(edges, length=2, walks_per_vertex=0)
