@@ -108,6 +108,11 @@ def main(argv=None) -> int:
         "--q", type=float, default=None,
         help="node2vec in-out parameter (see --p)",
     )
+    w.add_argument(
+        "--weighted", action="store_true",
+        help="sample the next hop proportional to edge weight "
+             "(first-order; incompatible with --p/--q)",
+    )
 
     pr = sub.add_parser(
         "profile",
@@ -356,12 +361,25 @@ def main(argv=None) -> int:
         from pyspark.sql import functions as F
 
         from sparkgatha.construct import load_adjacency
-        from sparkgatha.graph.walks import biased_walks, random_walks
+        from sparkgatha.graph.walks import (
+            biased_walks,
+            random_walks,
+            weighted_walks,
+        )
 
         nodes, edges = load_adjacency(spark, args.graph)
         if (args.p is None) != (args.q is None):
             raise SystemExit("walks: --p and --q must be given together")
-        if args.p is not None:
+        if args.weighted and args.p is not None:
+            raise SystemExit("walks: --weighted is incompatible with --p/--q")
+        if args.weighted:
+            hops = weighted_walks(
+                edges,
+                length=args.length,
+                walks_per_vertex=args.walks_per_vertex,
+                seed=args.seed,
+            )
+        elif args.p is not None:
             hops = biased_walks(
                 edges,
                 length=args.length,

@@ -274,6 +274,22 @@ def test_cli_construct_and_query(spark, tmp_path):
     assert bw.filter(F.size("terms") != 6).count() == 0
     assert (
         cli.main(
+            ["walks", "--graph", str(tmp_path / "g"), "--out",
+             str(tmp_path / "w3"), "--length", "5", "--weighted"]
+        )
+        == 0
+    )
+    ww = spark.read.parquet(str(tmp_path / "w3"))
+    assert ww.count() == walks.count()  # same starts, full length
+    assert ww.filter(F.size("terms") != 6).count() == 0
+    with pytest.raises(SystemExit, match="incompatible"):
+        cli.main(
+            ["walks", "--graph", str(tmp_path / "g"), "--out",
+             str(tmp_path / "w4"), "--weighted", "--p", "2.0",
+             "--q", "0.5"]
+        )
+    assert (
+        cli.main(
             ["profile", "--graph", str(tmp_path / "g"), "--out",
              str(tmp_path / "p")]
         )
