@@ -180,15 +180,21 @@ def triangle_estimate_doulion(
         2,
     )
     samp = und.filter(coin < F.lit(thr)).localCheckpoint(eager=True)
+    # bounded 1-row driver scalar baked as a literal (the bm25-N /
+    # louvain-2m discipline) — a crossJoin scalar attach would put a
+    # BroadcastNestedLoopJoin in the plan for no reason
+    n_samp = samp.count()
     o = _orient(samp, _degrees(samp))
-    t = _triangles(o).agg(F.count("*").alias("sampled_triangles"))
-    m = samp.agg(F.count("*").alias("sampled_edges"))
-    return m.crossJoin(t).select(
-        "sampled_edges",
-        "sampled_triangles",
-        F.round(F.col("sampled_triangles") / F.lit(p) ** 3, 4).alias(
-            "est_triangles"
-        ),
+    return (
+        _triangles(o)
+        .agg(F.count("*").alias("sampled_triangles"))
+        .select(
+            F.lit(n_samp).cast("bigint").alias("sampled_edges"),
+            "sampled_triangles",
+            F.round(F.col("sampled_triangles") / F.lit(p) ** 3, 4).alias(
+                "est_triangles"
+            ),
+        )
     )
 
 

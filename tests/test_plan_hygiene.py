@@ -51,11 +51,16 @@ CARTESIAN_OK = {
 _PARTITION_KEY_RE = re.compile(r"windowspecdefinition\(([^)]*)\)")
 
 
+# replica-tier keys added after the round-5 window froze, swept with the
+# same discipline as the graded 50 (their final post-checkpoint plans)
+_EXTRA_SWEPT = ("q_triangles_doulion", "q_ppr_montecarlo", "q_weighted_walks")
+
+
 def _window_entries():
     import __spark_entry__ as m
 
     qs = m.queries()
-    return list(qs.items())[:50]
+    return list(qs.items())[:50] + [(n, qs[n]) for n in _EXTRA_SWEPT]
 
 
 @pytest.mark.parametrize(
