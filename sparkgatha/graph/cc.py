@@ -47,7 +47,11 @@ from pyspark.sql import DataFrame, functions as F
 from sparkgatha.graph.canon import canonical_undirected
 from sparkgatha.graph.checkpoint import CheckpointManager
 from sparkgatha.graph.metrics import MetricsSink
-from sparkgatha.util import no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -100,10 +104,11 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _fingerprint(e: DataFrame):
+    # multi-arg xxhash64 — no per-row string materialization (r6: the
+    # concat_ws form allocated a UTF8String per edge per round; only the
+    # equality of consecutive fingerprints matters, not the hash family)
     row = (
-        e.select(
-            F.xxhash64(F.concat_ws(":", F.col("u"), F.col("v"))).alias("h")
-        )
+        e.select(F.xxhash64(F.col("u"), F.col("v")).alias("h"))
         .agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n"))
         .collect()[0]
     )
@@ -168,6 +173,7 @@ def connected_components(
         if e is None:
             e = _canonical(edges).localCheckpoint(eager=True)
         prev_fp = _fingerprint(e)
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         it = start_it
         while it < max_iter:
             block = min(max(check_every, 1), max_iter - it)
@@ -175,10 +181,30 @@ def connected_components(
                 block = min(block, checkpoint_every - it % checkpoint_every)
             block = max(block, 1)
             t0 = time.monotonic()
-            for _ in range(block):
-                e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            it += block
-            fp = _fingerprint(e)
+            # r6 scale-adaptive exchanges: size this round's shuffles to
+            # the CURRENT link count (the fingerprint already tallies
+            # it) — labels are partitioning-independent exact integers,
+            # so only wall changes (guide §2.2; capped at the session
+            # default so cluster-scale runs are untouched)
+            round_p = adaptive_shuffle_partitions(prev_fp[1], default_p)
+            with scoped_shuffle_partitions(spark, round_p):
+                for _ in range(block):
+                    # r6: the large-star output feeds BOTH small-star
+                    # branches (its min agg and its join), and the two
+                    # copies optimize into non-canonically-equal
+                    # subtrees (filter/pruning pushdown diverges), so
+                    # ReusedExchange never collapses them — a lazy
+                    # chain computes the large star TWICE per round
+                    # (measured: 4x 64-task map stages per round job at
+                    # 2e7 edges).  Materializing it eagerly costs one
+                    # extra job per round and removes the duplicate
+                    # compute outright; labels are bit-identical (same
+                    # algebra, same round count).
+                    e = _small_star(
+                        _large_star(e).localCheckpoint(eager=True)
+                    ).localCheckpoint(eager=False)
+                it += block
+                fp = _fingerprint(e)
             wall = time.monotonic() - t0
             converged = fp == prev_fp
             durable = checkpoint_dir is not None and (

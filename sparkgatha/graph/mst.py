@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from sparkgatha.graph.cc import connected_components
-from sparkgatha.util import checkpoint_reset_stats, no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    checkpoint_reset_stats,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 #: component count at least halves per round, so > 64 rounds means the
 #: loop is broken, not the graph large
@@ -72,9 +77,16 @@ def minimum_spanning_forest(edges: DataFrame) -> DataFrame:
             )
         )
         work = checkpoint_reset_stats(work)
+        # full count instead of a limit probe: it reads the cached
+        # checkpoint blocks, doubles as the emptiness test, and sizes
+        # this round's exchanges (r6 scale-adaptive shuffles — the
+        # working set shrinks geometrically, so late rounds run on a
+        # handful of partitions instead of the session default)
+        n_work = work.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         forest = None
         rounds = 0
-        while work.limit(1).count() > 0:
+        while n_work > 0:
             rounds += 1
             if rounds > _ROUND_RAIL:
                 raise RuntimeError(
@@ -82,59 +94,67 @@ def minimum_spanning_forest(edges: DataFrame) -> DataFrame:
                     "rounds — components halve per round, so this is a "
                     "merge bug, not a large graph"
                 )
-            # each component picks its lightest incident crossing edge
-            # under the (weight, u, v) total order
-            pick = F.struct("weight", "u", "v", "cu", "cv").alias("e")
-            both = work.select(F.col("cu").alias("c"), pick).unionByName(
-                work.select(F.col("cv").alias("c"), pick)
-            )
-            chosen = (
-                both.groupBy("c")
-                .agg(F.min("e").alias("e"))
-                .select("e.weight", "e.u", "e.v", "e.cu", "e.cv")
-                .distinct()  # one edge may be picked by both endpoints
-            )
-            chosen = checkpoint_reset_stats(chosen)
-            # the forest is never joined or re-referenced inside a
-            # round, and each picked frame is a select of the already-
-            # checkpointed `chosen` — a plain union chain of ≤ 64 flat
-            # leaves needs no re-materialization of its own
-            picked = chosen.select("u", "v", "weight")
-            forest = (
-                picked if forest is None else forest.unionByName(picked)
-            )
-            # merge: G5 on the chosen component-pair graph (tiny —
-            # ≤ #components rows); component label = min member id
-            cmap = connected_components(
-                chosen.select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
-            )
-            mu = cmap.select(
-                F.col("vertex").alias("cu"), F.col("component").alias("nu")
-            )
-            mv = cmap.select(
-                F.col("vertex").alias("cv"), F.col("component").alias("nv")
-            )
-            # relabel, drop intra-component edges, re-reduce to the
-            # lightest edge per NEW component pair
-            work = (
-                work.join(mu, "cu", "left")
-                .join(mv, "cv", "left")
-                .select(
-                    F.coalesce("nu", "cu").alias("a"),
-                    F.coalesce("nv", "cv").alias("b"),
-                    "weight", "u", "v",
+            with scoped_shuffle_partitions(
+                spark, adaptive_shuffle_partitions(n_work, default_p)
+            ):
+                # each component picks its lightest incident crossing
+                # edge under the (weight, u, v) total order
+                pick = F.struct("weight", "u", "v", "cu", "cv").alias("e")
+                both = work.select(F.col("cu").alias("c"), pick).unionByName(
+                    work.select(F.col("cv").alias("c"), pick)
                 )
-                .filter(F.col("a") != F.col("b"))
-                .select(
-                    F.least("a", "b").alias("cu"),
-                    F.greatest("a", "b").alias("cv"),
-                    "weight", "u", "v",
+                chosen = (
+                    both.groupBy("c")
+                    .agg(F.min("e").alias("e"))
+                    .select("e.weight", "e.u", "e.v", "e.cu", "e.cv")
+                    .distinct()  # one edge may be picked by both endpoints
                 )
-                .groupBy("cu", "cv")
-                .agg(F.min(F.struct("weight", "u", "v")).alias("e"))
-                .select("cu", "cv", "e.weight", "e.u", "e.v")
-            )
-            work = checkpoint_reset_stats(work)
+                chosen = checkpoint_reset_stats(chosen)
+                # the forest is never joined or re-referenced inside a
+                # round, and each picked frame is a select of the already-
+                # checkpointed `chosen` — a plain union chain of ≤ 64 flat
+                # leaves needs no re-materialization of its own
+                picked = chosen.select("u", "v", "weight")
+                forest = (
+                    picked if forest is None else forest.unionByName(picked)
+                )
+                # merge: G5 on the chosen component-pair graph (tiny —
+                # ≤ #components rows); component label = min member id.
+                # Runs inside this round's shuffle scope, so its own
+                # adaptive rounds cap at this round's partition count.
+                cmap = connected_components(
+                    chosen.select(
+                        F.col("cu").alias("src"), F.col("cv").alias("dst")
+                    )
+                )
+                mu = cmap.select(
+                    F.col("vertex").alias("cu"), F.col("component").alias("nu")
+                )
+                mv = cmap.select(
+                    F.col("vertex").alias("cv"), F.col("component").alias("nv")
+                )
+                # relabel, drop intra-component edges, re-reduce to the
+                # lightest edge per NEW component pair
+                work = (
+                    work.join(mu, "cu", "left")
+                    .join(mv, "cv", "left")
+                    .select(
+                        F.coalesce("nu", "cu").alias("a"),
+                        F.coalesce("nv", "cv").alias("b"),
+                        "weight", "u", "v",
+                    )
+                    .filter(F.col("a") != F.col("b"))
+                    .select(
+                        F.least("a", "b").alias("cu"),
+                        F.greatest("a", "b").alias("cv"),
+                        "weight", "u", "v",
+                    )
+                    .groupBy("cu", "cv")
+                    .agg(F.min(F.struct("weight", "u", "v")).alias("e"))
+                    .select("cu", "cv", "e.weight", "e.u", "e.v")
+                )
+                work = checkpoint_reset_stats(work)
+                n_work = work.count()
         if forest is None:
             # no non-self-loop edges at all
             return work.select("u", "v", "weight")
