@@ -38,7 +38,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from sparkgatha.graph.canon import canonical_undirected
-from sparkgatha.util import checkpoint_reset_stats, md5_long, no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    checkpoint_reset_stats,
+    md5_long,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 
 def _edge_priority(u: Column, v: Column, rnd: int, seed: int) -> Column:
@@ -70,49 +76,62 @@ def maximal_matching(
         e = checkpoint_reset_stats(canonical_undirected(edges))
         matched = None
         rnd = 0
-        while e.limit(1).count() > 0:
+        # r6: cached full count replaces the limit probe and sizes each
+        # round's exchanges to the shrinking candidate edge set (md5
+        # priorities + min-struct aggs are partitioning-independent)
+        n_e = e.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        while n_e > 0:
             rnd += 1
-            pri = e.select(
-                "u",
-                "v",
-                F.struct(
-                    _edge_priority(F.col("u"), F.col("v"), rnd, seed).alias(
-                        "p"
-                    ),
-                    F.col("u").alias("pu"),
-                    F.col("v").alias("pv"),
-                ).alias("s"),
-            )
-            both = pri.select(F.col("u").alias("x"), "s").unionByName(
-                pri.select(F.col("v").alias("x"), "s")
-            )
-            # per-endpoint minimum priority tuple — partial-aggregable
-            mins = both.groupBy("x").agg(F.min("s").alias("m"))
-            winners = checkpoint_reset_stats(
-                pri.join(
-                    mins.select(F.col("x").alias("u"), F.col("m").alias("mu")),
+            with scoped_shuffle_partitions(
+                spark, adaptive_shuffle_partitions(n_e, default_p)
+            ):
+                pri = e.select(
                     "u",
-                )
-                .join(
-                    mins.select(F.col("x").alias("v"), F.col("m").alias("mv")),
                     "v",
+                    F.struct(
+                        _edge_priority(F.col("u"), F.col("v"), rnd, seed).alias(
+                            "p"
+                        ),
+                        F.col("u").alias("pu"),
+                        F.col("v").alias("pv"),
+                    ).alias("s"),
                 )
-                .filter((F.col("s") == F.col("mu")) & (F.col("s") == F.col("mv")))
-                .select("u", "v")
-            )
-            picked = winners.select("u", "v", F.lit(rnd).alias("round"))
-            matched = picked if matched is None else matched.unionByName(picked)
-            if max_rounds is not None and rnd >= max_rounds:
-                break  # before the shrink: its frames would never be read
-            gone = (
-                winners.select(F.col("u").alias("x"))
-                .unionByName(winners.select(F.col("v").alias("x")))
-                .distinct()
-            )
-            e = checkpoint_reset_stats(
-                e.join(gone.withColumnRenamed("x", "u"), "u", "left_anti")
-                .join(gone.withColumnRenamed("x", "v"), "v", "left_anti")
-            )
+                both = pri.select(F.col("u").alias("x"), "s").unionByName(
+                    pri.select(F.col("v").alias("x"), "s")
+                )
+                # per-endpoint minimum priority tuple — partial-aggregable
+                mins = both.groupBy("x").agg(F.min("s").alias("m"))
+                winners = checkpoint_reset_stats(
+                    pri.join(
+                        mins.select(F.col("x").alias("u"), F.col("m").alias("mu")),
+                        "u",
+                    )
+                    .join(
+                        mins.select(F.col("x").alias("v"), F.col("m").alias("mv")),
+                        "v",
+                    )
+                    .filter(
+                        (F.col("s") == F.col("mu")) & (F.col("s") == F.col("mv"))
+                    )
+                    .select("u", "v")
+                )
+                picked = winners.select("u", "v", F.lit(rnd).alias("round"))
+                matched = (
+                    picked if matched is None else matched.unionByName(picked)
+                )
+                if max_rounds is not None and rnd >= max_rounds:
+                    break  # before the shrink: its frames would never be read
+                gone = (
+                    winners.select(F.col("u").alias("x"))
+                    .unionByName(winners.select(F.col("v").alias("x")))
+                    .distinct()
+                )
+                e = checkpoint_reset_stats(
+                    e.join(gone.withColumnRenamed("x", "u"), "u", "left_anti")
+                    .join(gone.withColumnRenamed("x", "v"), "v", "left_anti")
+                )
+                n_e = e.count()
         if matched is None:
             # edge-free input: empty matching with the right schema
             return e.select(

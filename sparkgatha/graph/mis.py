@@ -38,7 +38,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from sparkgatha.graph.canon import canonical_undirected
-from sparkgatha.util import checkpoint_reset_stats, md5_long, no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    checkpoint_reset_stats,
+    md5_long,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 
 def _priority(v: Column, rnd: int, seed: int) -> Column:
@@ -75,59 +81,84 @@ def maximal_independent_set(
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     spark = edges.sparkSession
     with no_aqe(spark):
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if assume_canonical:
             e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            pre = None
+            entry_p = default_p
         else:
-            e = checkpoint_reset_stats(canonical_undirected(edges))
+            # r6: one materialization of the (possibly expensive lazy)
+            # input — canonicalization and the active-vertex universe
+            # each consumed `edges`, re-running its whole upstream plan
+            pre = edges.select("src", "dst").localCheckpoint(eager=True)
+            entry_p = adaptive_shuffle_partitions(pre.count(), default_p)
+            with scoped_shuffle_partitions(spark, entry_p):
+                e = checkpoint_reset_stats(canonical_undirected(pre))
         if vertices is not None:
             active = vertices.select("x")
         else:
-            active = checkpoint_reset_stats(
-                edges.select(F.col("src").alias("x"))
-                .unionByName(edges.select(F.col("dst").alias("x")))
-                .distinct()
-            )
+            src = pre if pre is not None else edges
+            with scoped_shuffle_partitions(spark, entry_p):
+                active = checkpoint_reset_stats(
+                    src.select(F.col("src").alias("x"))
+                    .unionByName(src.select(F.col("dst").alias("x")))
+                    .distinct()
+                )
         mis = None
         rnd = 0
-        while active.limit(1).count() > 0:
+        # r6: full cached counts instead of limit probes — they double
+        # as the emptiness test and size each round's exchanges to the
+        # CURRENT (geometrically shrinking) frontier; md5 priorities
+        # and anti/semi joins are partitioning-independent, so the MIS
+        # is bit-identical at any partition count
+        n_active = active.count()
+        n_e = e.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        while n_active > 0:
             rnd += 1
-            pu, pv = _priority(F.col("u"), rnd, seed), _priority(
-                F.col("v"), rnd, seed
-            )
-            u_loses = (pu > pv) | ((pu == pv) & (F.col("u") > F.col("v")))
-            # the larger-priority endpoint of every active edge cannot
-            # win this round — a pure projection, no join
-            blocked = e.select(
-                F.when(u_loses, F.col("u")).otherwise(F.col("v")).alias("x")
-            ).distinct()
-            winners = checkpoint_reset_stats(
-                active.join(blocked, "x", "left_anti")
-            )
-            picked = winners.select("x", F.lit(rnd).alias("round"))
-            mis = picked if mis is None else mis.unionByName(picked)
-            if max_rounds is not None and rnd >= max_rounds:
-                break  # before the shrink: its frames would never be read
-            # winners + their neighbors deactivate
-            removed = (
-                winners.unionByName(
-                    e.join(
-                        winners.withColumnRenamed("x", "u"), "u", "left_semi"
-                    ).select(F.col("v").alias("x"))
+            with scoped_shuffle_partitions(
+                spark,
+                adaptive_shuffle_partitions(max(n_e, n_active), default_p),
+            ):
+                pu, pv = _priority(F.col("u"), rnd, seed), _priority(
+                    F.col("v"), rnd, seed
                 )
-                .unionByName(
-                    e.join(
-                        winners.withColumnRenamed("x", "v"), "v", "left_semi"
-                    ).select(F.col("u").alias("x"))
+                u_loses = (pu > pv) | ((pu == pv) & (F.col("u") > F.col("v")))
+                # the larger-priority endpoint of every active edge cannot
+                # win this round — a pure projection, no join
+                blocked = e.select(
+                    F.when(u_loses, F.col("u")).otherwise(F.col("v")).alias("x")
+                ).distinct()
+                winners = checkpoint_reset_stats(
+                    active.join(blocked, "x", "left_anti")
                 )
-                .distinct()
-            )
-            active = checkpoint_reset_stats(
-                active.join(removed, "x", "left_anti")
-            )
-            e = checkpoint_reset_stats(
-                e.join(active.withColumnRenamed("x", "u"), "u", "left_semi")
-                .join(active.withColumnRenamed("x", "v"), "v", "left_semi")
-            )
+                picked = winners.select("x", F.lit(rnd).alias("round"))
+                mis = picked if mis is None else mis.unionByName(picked)
+                if max_rounds is not None and rnd >= max_rounds:
+                    break  # before the shrink: its frames would never be read
+                # winners + their neighbors deactivate
+                removed = (
+                    winners.unionByName(
+                        e.join(
+                            winners.withColumnRenamed("x", "u"), "u", "left_semi"
+                        ).select(F.col("v").alias("x"))
+                    )
+                    .unionByName(
+                        e.join(
+                            winners.withColumnRenamed("x", "v"), "v", "left_semi"
+                        ).select(F.col("u").alias("x"))
+                    )
+                    .distinct()
+                )
+                active = checkpoint_reset_stats(
+                    active.join(removed, "x", "left_anti")
+                )
+                n_active = active.count()
+                e = checkpoint_reset_stats(
+                    e.join(active.withColumnRenamed("x", "u"), "u", "left_semi")
+                    .join(active.withColumnRenamed("x", "v"), "v", "left_semi")
+                )
+                n_e = e.count()
         if mis is None:
             return active.select(
                 F.col("x").alias("vertex"), F.lit(0).alias("round")
@@ -166,15 +197,30 @@ def luby_coloring(
         raise ValueError(f"max_colors must be >= 1, got {max_colors}")
     spark = edges.sparkSession
     with no_aqe(spark):
-        e = checkpoint_reset_stats(canonical_undirected(edges))
-        remaining = checkpoint_reset_stats(
-            edges.select(F.col("src").alias("x"))
-            .unionByName(edges.select(F.col("dst").alias("x")))
-            .distinct()
+        # r6: one materialization of the lazy input (see
+        # maximal_independent_set — same double-consumption), entry
+        # exchanges sized to the materialized input
+        pre = edges.select("src", "dst").localCheckpoint(eager=True)
+        entry_p = adaptive_shuffle_partitions(
+            pre.count(),
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
         )
+        with scoped_shuffle_partitions(spark, entry_p):
+            e = checkpoint_reset_stats(canonical_undirected(pre))
+            remaining = checkpoint_reset_stats(
+                pre.select(F.col("src").alias("x"))
+                .unionByName(pre.select(F.col("dst").alias("x")))
+                .distinct()
+            )
         colored = None
         c = 0
-        while remaining.limit(1).count() > 0:
+        # r6: cached full counts replace the limit probes and size the
+        # per-class exchanges to the shrinking uncolored subgraph (see
+        # maximal_independent_set — same exactness argument)
+        n_remaining = remaining.count()
+        n_e = e.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        while n_remaining > 0:
             c += 1
             if max_colors is None and c > _COLOR_RAIL:
                 raise RuntimeError(
@@ -182,39 +228,47 @@ def luby_coloring(
                     "uncolored subgraph is not shrinking (shrink-step "
                     "bug), not a legitimately dense graph"
                 )
-            # endpoint universe of the surviving edge set, built ONCE
-            # per class and shared with the MIS call
-            eps = checkpoint_reset_stats(
-                e.select(F.col("u").alias("x"))
-                .unionByName(e.select(F.col("v").alias("x")))
-                .distinct()
-            )
-            mis = maximal_independent_set(
-                e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-                seed=seed + c,
-                assume_canonical=True,
-                vertices=eps,
-            ).select("vertex")
-            # isolated uncolored vertices never appear in e — they are
-            # trivially independent, so the whole remainder joins this
-            # class alongside the MIS of the edged part
-            isolated = remaining.join(eps, "x", "left_anti")
-            cls = checkpoint_reset_stats(
-                mis.withColumnRenamed("vertex", "x").unionByName(isolated)
-            )
-            picked = cls.select("x", F.lit(c).alias("color"))
-            colored = (
-                picked if colored is None else colored.unionByName(picked)
-            )
-            if max_colors is not None and c >= max_colors:
-                break  # before the shrink: its frames would never be read
-            remaining = checkpoint_reset_stats(
-                remaining.join(cls, "x", "left_anti")
-            )
-            e = checkpoint_reset_stats(
-                e.join(remaining.withColumnRenamed("x", "u"), "u", "left_semi")
-                .join(remaining.withColumnRenamed("x", "v"), "v", "left_semi")
-            )
+            with scoped_shuffle_partitions(
+                spark,
+                adaptive_shuffle_partitions(
+                    max(n_e, n_remaining), default_p
+                ),
+            ):
+                # endpoint universe of the surviving edge set, built ONCE
+                # per class and shared with the MIS call
+                eps = checkpoint_reset_stats(
+                    e.select(F.col("u").alias("x"))
+                    .unionByName(e.select(F.col("v").alias("x")))
+                    .distinct()
+                )
+                mis = maximal_independent_set(
+                    e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    seed=seed + c,
+                    assume_canonical=True,
+                    vertices=eps,
+                ).select("vertex")
+                # isolated uncolored vertices never appear in e — they are
+                # trivially independent, so the whole remainder joins this
+                # class alongside the MIS of the edged part
+                isolated = remaining.join(eps, "x", "left_anti")
+                cls = checkpoint_reset_stats(
+                    mis.withColumnRenamed("vertex", "x").unionByName(isolated)
+                )
+                picked = cls.select("x", F.lit(c).alias("color"))
+                colored = (
+                    picked if colored is None else colored.unionByName(picked)
+                )
+                if max_colors is not None and c >= max_colors:
+                    break  # before the shrink: its frames would never be read
+                remaining = checkpoint_reset_stats(
+                    remaining.join(cls, "x", "left_anti")
+                )
+                n_remaining = remaining.count()
+                e = checkpoint_reset_stats(
+                    e.join(remaining.withColumnRenamed("x", "u"), "u", "left_semi")
+                    .join(remaining.withColumnRenamed("x", "v"), "v", "left_semi")
+                )
+                n_e = e.count()
         if colored is None:
             return remaining.select(
                 F.col("x").alias("vertex"), F.lit(0).alias("color")

@@ -33,7 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from sparkgatha.util import no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 
 def strongly_connected_components(
@@ -54,21 +58,28 @@ def strongly_connected_components(
         )
     spark = edges.sparkSession
     with no_aqe(spark):
-        e = (
-            edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # vertex universe from the RAW endpoints, BEFORE the self-loop
-        # filter: a vertex whose only edge is a self-loop is a singleton
-        # SCC (networkx semantics), not an absent row
-        verts = (
-            edges.select(F.col("src").alias("v"))
-            .unionByName(edges.select(F.col("dst").alias("v")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        # r6: one materialization of the lazy input — the edge distinct
+        # and the vertex universe each consumed `edges`, re-running its
+        # whole upstream plan; exchanges sized to the materialized rows
+        pre = edges.select("src", "dst").localCheckpoint(eager=True)
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        entry_p = adaptive_shuffle_partitions(pre.count(), default_p)
+        with scoped_shuffle_partitions(spark, entry_p):
+            e = (
+                pre.filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # vertex universe from the RAW endpoints, BEFORE the
+            # self-loop filter: a vertex whose only edge is a self-loop
+            # is a singleton SCC (networkx semantics), not an absent row
+            verts = (
+                pre.select(F.col("src").alias("v"))
+                .unionByName(pre.select(F.col("dst").alias("v")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        n_e = e.count()
         assigned = None  # union of (vertex, scc_id) across rounds
         # Job-count discipline: every per-iteration frame is a LAZY
         # localCheckpoint whose materialization rides on the one FULL
@@ -77,83 +88,100 @@ def strongly_connected_components(
         # scans on purpose: a limit() probe would materialize only some
         # partitions of the lazy checkpoint).
         for _ in range(max_rounds):
-            if verts.count() == 0:
+            n_verts = verts.count()
+            if n_verts == 0:
                 break
-            # ---- 1. forward max-color fixpoint --------------------------
-            color = verts.select("v", F.col("v").alias("c")).localCheckpoint(
-                eager=True
-            )
-            for _ in range(max_color_iter):
-                incoming = (
-                    e.join(color, e.src == color.v)
-                    .groupBy(F.col("dst").alias("v"))
-                    .agg(F.max("c").alias("ic"))
-                )
-                nxt = (
-                    color.join(incoming, "v", "left")
-                    .select(
-                        "v",
-                        F.col("c").alias("old"),
-                        # greatest() skips NULLs, so a no-incoming vertex
-                        # keeps its own color
-                        F.greatest("c", "ic").alias("c"),
+            # r6: size this peel round's exchanges to the surviving
+            # subgraph (all ops are exact integer min/max/anti-joins —
+            # partitioning-independent results)
+            with scoped_shuffle_partitions(
+                spark,
+                adaptive_shuffle_partitions(max(n_e, n_verts), default_p),
+            ):
+                # ---- 1. forward max-color fixpoint ----------------------
+                color = verts.select(
+                    "v", F.col("v").alias("c")
+                ).localCheckpoint(eager=True)
+                for _ in range(max_color_iter):
+                    incoming = (
+                        e.join(color, e.src == color.v)
+                        .groupBy(F.col("dst").alias("v"))
+                        .agg(F.max("c").alias("ic"))
                     )
+                    nxt = (
+                        color.join(incoming, "v", "left")
+                        .select(
+                            "v",
+                            F.col("c").alias("old"),
+                            # greatest() skips NULLs, so a no-incoming
+                            # vertex keeps its own color
+                            F.greatest("c", "ic").alias("c"),
+                        )
+                        .localCheckpoint(eager=False)
+                    )
+                    changed = nxt.filter(F.col("c") != F.col("old")).count()
+                    color = nxt.select("v", "c")
+                    if changed == 0:
+                        break
+                else:
+                    # convergence on the LAST allowed iteration is
+                    # success — only a still-changing coloring overruns
+                    if changed != 0:
+                        raise RuntimeError(
+                            "SCC coloring exceeded "
+                            f"max_color_iter={max_color_iter}"
+                        )
+                # ---- 2. backward BFS from roots per color class ---------
+                # members(v, c): v known to be in SCC(root of color c)
+                members = color.filter(F.col("v") == F.col("c"))
+                while True:
+                    # reversed step: (u → w) with w already a member and
+                    # color(u) == the member's color → u joins that SCC
+                    step = (
+                        e.join(members, e.dst == members.v)
+                        .select(F.col("src").alias("v"), "c")
+                        .join(color.withColumnRenamed("c", "uc"), "v")
+                        .filter(F.col("c") == F.col("uc"))
+                        .select("v", "c")
+                        .join(members, ["v", "c"], "left_anti")
+                        .distinct()
+                        .localCheckpoint(eager=False)
+                    )
+                    if step.count() == 0:
+                        break
+                    members = members.unionByName(step).localCheckpoint(
+                        eager=False
+                    )
+                # ---- 3. canonical id + peel -----------------------------
+                comp = members.groupBy("c").agg(F.min("v").alias("scc_id"))
+                found = (
+                    members.join(comp, "c")
+                    .select(F.col("v").alias("vertex"), "scc_id")
                     .localCheckpoint(eager=False)
                 )
-                changed = nxt.filter(F.col("c") != F.col("old")).count()
-                color = nxt.select("v", "c")
-                if changed == 0:
-                    break
-            else:
-                # convergence on the LAST allowed iteration is success —
-                # only a still-changing coloring is an overrun
-                if changed != 0:
-                    raise RuntimeError(
-                        "SCC coloring exceeded "
-                        f"max_color_iter={max_color_iter}"
+                assigned = (
+                    found
+                    if assigned is None
+                    else assigned.unionByName(found).localCheckpoint(
+                        eager=False
                     )
-            # ---- 2. backward BFS from roots within each color class -----
-            # members(v, c): v known to be in SCC(root of color c)
-            members = color.filter(F.col("v") == F.col("c"))
-            while True:
-                # reversed step: (u → w) with w already a member and
-                # color(u) == the member's color → u joins that SCC
-                step = (
-                    e.join(members, e.dst == members.v)
-                    .select(F.col("src").alias("v"), "c")
-                    .join(color.withColumnRenamed("c", "uc"), "v")
-                    .filter(F.col("c") == F.col("uc"))
-                    .select("v", "c")
-                    .join(members, ["v", "c"], "left_anti")
-                    .distinct()
-                    .localCheckpoint(eager=False)
                 )
-                if step.count() == 0:
-                    break
-                members = members.unionByName(step).localCheckpoint(
+                done = found.select(F.col("vertex").alias("v"))
+                verts = verts.join(done, "v", "left_anti").localCheckpoint(
                     eager=False
                 )
-            # ---- 3. canonical id + peel ---------------------------------
-            comp = members.groupBy("c").agg(F.min("v").alias("scc_id"))
-            found = (
-                members.join(comp, "c")
-                .select(F.col("v").alias("vertex"), "scc_id")
-                .localCheckpoint(eager=False)
-            )
-            assigned = (
-                found
-                if assigned is None
-                else assigned.unionByName(found).localCheckpoint(eager=False)
-            )
-            done = found.select(F.col("vertex").alias("v"))
-            verts = verts.join(done, "v", "left_anti").localCheckpoint(
-                eager=False
-            )
-            e = (
-                e.join(done.withColumnRenamed("v", "src"), "src", "left_anti")
-                .join(done.withColumnRenamed("v", "dst"), "dst", "left_anti")
-                .localCheckpoint(eager=False)
-            )
+                e = (
+                    e.join(
+                        done.withColumnRenamed("v", "src"), "src", "left_anti"
+                    )
+                    .join(
+                        done.withColumnRenamed("v", "dst"), "dst", "left_anti"
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                # materialize + count: sizes the next round's exchanges
+                # (e only shrinks, so the count doubles as its action)
+                n_e = e.count()
         else:
             # a graph needing EXACTLY max_rounds peels is fully labeled —
             # raise only if vertices genuinely remain
@@ -244,9 +272,17 @@ def condensation_layers(
         ce = _cross_component_edges(labels, edges).localCheckpoint(
             eager=True
         )
-        state = comps.select("scc_id", F.lit(0).alias("layer"))
-        state = checkpoint_reset_stats(state)
         n_comps = comps.count()
+        # r6: the relaxation runs on the condensation (≤ #components
+        # rows, usually tiny) — size its exchanges accordingly; exact
+        # integer max/plus arithmetic, partitioning-independent
+        layer_p = adaptive_shuffle_partitions(
+            max(n_comps, ce.count()),
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        with scoped_shuffle_partitions(spark, layer_p):
+            state = comps.select("scc_id", F.lit(0).alias("layer"))
+            state = checkpoint_reset_stats(state)
         rail = max_rounds if max_rounds is not None else max(n_comps, 1)
         prev_sum = 0  # the all-zero start state's layer total
         for r in range(rail + 1):
@@ -264,7 +300,8 @@ def condensation_layers(
                     ).alias("layer"),
                 )
             )
-            nxt = checkpoint_reset_stats(nxt)  # eager: round runs here
+            with scoped_shuffle_partitions(spark, layer_p):
+                nxt = checkpoint_reset_stats(nxt)  # eager: round runs here
             # layers only ever grow, so an unchanged total IS the
             # fixpoint — a bounded 1-row fetch over the already-cached
             # checkpoint blocks (it re-runs nothing)
