@@ -128,14 +128,22 @@ def eigenvector_centrality(
             it += 1
             prev = x
             want_delta = tol > 0.0 or it == max_iter
-            do_ckpt = want_delta or it % checkpoint_every == 0
-            x = _normalized(
+            # r6: materialize the GATHER once per round — _normalized
+            # reads its input twice (total agg + crossJoin), so the
+            # un-materialized gather was recomputed per branch (the
+            # hits.py finding); the normalized state is then a flat
+            # projection over the cached gather, bit-identical values
+            gx = (
                 es.join(x.withColumnRenamed("vertex", "src"), "src")
                 .groupBy(F.col("dst").alias("vertex"))
-                .agg(F.sum(F.col("weight") * F.col("score")).alias("score")),
-                "score",
+                .agg(F.sum(F.col("weight") * F.col("score")).alias("score"))
+                .localCheckpoint(eager=True)
             )
-            if do_ckpt:
+            x = _normalized(gx, "score")
+            if want_delta:
+                # materialize the division so the delta job reads cached
+                # rows and the RETURNED plan stays free of the 1-row
+                # crossJoin (the hygiene sweep bans BNLJ nodes)
                 x = x.localCheckpoint(eager=True)
             if want_delta:
                 d = (

@@ -130,24 +130,35 @@ def hits(
             # whenever a delta job is about to read it (tol-driven
             # rounds and the final round).
             want_delta = tol > 0.0 or it == max_iter
-            do_ckpt = want_delta or it % checkpoint_every == 0
-            # authority half-step: gather hub mass along edges into dst
-            auth = _normalized(
+            # r6: materialize each half-step's GATHER (the real work)
+            # once — _normalized reads its input twice (total agg +
+            # crossJoin), so the un-materialized gather was recomputed
+            # per branch (measured as the 97-task broadcast-build jobs
+            # re-running the join+agg every round).  The normalized
+            # state is then a flat projection over the cached gather
+            # (division by the broadcast total, same algebra and the
+            # same aggregation partitions — values bit-identical), so
+            # it needs no checkpoint of its own and lineage stays O(1).
+            ga = (
                 e.join(hub.withColumnRenamed("vertex", "src"), "src")
                 .groupBy(F.col("dst").alias("vertex"))
-                .agg(F.sum("hub").alias("authority")),
-                "authority",
+                .agg(F.sum("hub").alias("authority"))
+                .localCheckpoint(eager=True)
             )
-            if do_ckpt:
-                auth = auth.localCheckpoint(eager=True)
+            auth = _normalized(ga, "authority")
             # hub half-step: gather the fresh authority mass back to src
-            hub = _normalized(
+            gh = (
                 e.join(auth.withColumnRenamed("vertex", "dst"), "dst")
                 .groupBy(F.col("src").alias("vertex"))
-                .agg(F.sum("authority").alias("hub")),
-                "hub",
+                .agg(F.sum("authority").alias("hub"))
+                .localCheckpoint(eager=True)
             )
-            if do_ckpt:
+            hub = _normalized(gh, "hub")
+            if want_delta:
+                # materialize the division so the delta job reads cached
+                # rows and the RETURNED plan stays free of the 1-row
+                # crossJoin (the hygiene sweep bans BNLJ nodes)
+                auth = auth.localCheckpoint(eager=True)
                 hub = hub.localCheckpoint(eager=True)
             if want_delta:
                 d = (

@@ -217,8 +217,20 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
         # persisted layouts and must not outlive the build.  The counts
         # double as the n_edges tally (norm preserves rows) so the
         # caller never re-scans the cached layouts just to count them.
-        n_cold = cold.count()
-        n_hot = hot.count() if hot is not None else 0
+        # r6: the two cache builds are independent jobs over disjoint
+        # row sets — run them concurrently so the smaller build rides
+        # in the larger one's scheduling tail (guide §2.6); the cached
+        # bytes are identical either way.
+        if hot is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_cold = pool.submit(cold.count)
+                f_hot = pool.submit(hot.count)
+                n_cold, n_hot = f_cold.result(), f_hot.result()
+        else:
+            n_cold = cold.count()
+            n_hot = 0
         out_w.unpersist()
         return cold, hot, None, n_cold + n_hot
     # shuffle mode (the beyond-broadcast |V| regime): hash(src) layout —

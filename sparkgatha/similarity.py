@@ -508,12 +508,23 @@ def ivf_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
+    # r6: the candidate id-pair rows are byte-tiny but each downstream
+    # row costs a dim-length interpreted dot product, so AQE's
+    # bytes-based coalescing collapsed the scoring stage to 2 tasks
+    # (measured 5.4 s of the 8 s wall at fixture scale).  An explicit
+    # numeric repartition pins the exchange width (AQE honors
+    # user-specified partition counts) — the distinct reuses the same
+    # hash distribution, and the value set is unchanged.
+    n_score_parts = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     cand = (
         probes.join(
             lists.select(F.col("vec_id").alias("nid"), "cid"), "cid"
         )
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid")
+        .repartition(n_score_parts, "qid", "nid")
         .distinct()
     )
     q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
@@ -1144,8 +1155,13 @@ def pq_train_encode(
     ev = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
-    codebooks = []
-    for j in range(m):
+
+    # r6: the m subspace trainings are fully independent (separate
+    # slices, separate codebooks) and their cost is dominated by
+    # driver-side planning of the literal-heavy assignment expressions
+    # — run them concurrently so analysis/collect rounds overlap
+    # (guide §2.6); each training's numbers are untouched.
+    def _train(j: int):
         sub = ev.select(
             "vec_id", F.slice("v", j * dsub + 1, dsub).alias("embedding")
         )
@@ -1153,7 +1169,15 @@ def pq_train_encode(
             sub, k=n_centroids, rounds=rounds,
             materialize_assignments=False,
         )
-        codebooks.append(cents)
+        return cents
+
+    if m > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            codebooks = list(pool.map(_train, range(m)))
+    else:
+        codebooks = [_train(0)]
     code = F.array(
         *[
             _kmeans_assign_expr(
@@ -1413,14 +1437,23 @@ def ivfpq_topk(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v")
     )
     # inverted lists: full-dim kmeans cells (assignment is map-only vs
-    # the returned centroid literals — kmeans_lloyd's contract)
-    cells, cell_cents = kmeans_lloyd(
-        embeddings, k=n_cells, rounds=rounds, vec_col=vec_col, id_col=id_col
-    )
-    codes, codebooks = pq_train_encode(
-        embeddings, m=m, n_centroids=n_centroids, rounds=rounds,
-        dim=dim, vec_col=vec_col, id_col=id_col,
-    )
+    # the returned centroid literals — kmeans_lloyd's contract).
+    # r6: the coarse quantizer and the PQ codebooks are trained on the
+    # RAW vectors (by_residual=False), so the two trainings are
+    # independent — overlap them (guide §2.6); values unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_cells = _pool.submit(
+            kmeans_lloyd, embeddings, k=n_cells, rounds=rounds,
+            vec_col=vec_col, id_col=id_col,
+        )
+        _f_pq = _pool.submit(
+            pq_train_encode, embeddings, m=m, n_centroids=n_centroids,
+            rounds=rounds, dim=dim, vec_col=vec_col, id_col=id_col,
+        )
+        cells, cell_cents = _f_cells.result()
+        codes, codebooks = _f_pq.result()
     # the stored index: (vec_id, cell, code) — slim, no doubles;
     # over-cap cells thinned (no-op at fixture scale, see docstring)
     index = (
