@@ -24,6 +24,29 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from sparkgatha.relational import _t, register
 from sparkgatha.util import md5_long as _md5_long, ws_tokens  # shared hash/tokenize conventions
 
+def _widen(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Narrow scans must not serialize the shingle/md5 stage (r6 — the
+    extract.py discipline applied to the dedup roots): the fixture
+    corpus is ONE parquet row group, so every downstream per-row hash
+    ran in a single task (measured 4-6 s single-task broadcast builds
+    in the sf0.1 dedup queries).  Inputs below the target width are
+    round-robin repartitioned — deterministic (sort-before-repartition
+    stays on) and value-free (every dedup quantity is md5/integer/exact
+    arithmetic); at 100 TB the scan's own splits already provide the
+    width and the branch is a no-op.  The width peek is the
+    ``rdd.getNumPartitions()`` metadata read under no-AQE that
+    extract.py documents (no data through the RDD API)."""
+    from sparkgatha.util import no_aqe
+
+    spark = docs.sparkSession
+    target = num_partitions or spark.sparkContext.defaultParallelism
+    with no_aqe(spark):
+        width = docs.rdd.getNumPartitions()
+    if width < target:
+        docs = docs.repartition(target)
+    return docs
+
+
 N_SHINGLE = 3          # word-shingle width
 N_HASHES = 16          # minhash signature length
 N_BANDS = 4            # LSH bands (rows-per-band = N_HASHES / N_BANDS)
@@ -118,7 +141,7 @@ def q_dedup_minhash(spark, sf_dir):
     fully JVM-side (explode → groupBy); the two hashes are projected
     per shingle BEFORE the lane fan-out so md5 runs 2× per shingle,
     not 2×N_HASHES."""
-    d = _t(spark, sf_dir, "documents")
+    d = _widen(_t(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
         F.explode(_shingles()).alias("shingle"),
@@ -174,6 +197,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``_shingles`` never yields an empty array (short docs fold to one
     joined-token shingle), so the MAX sentinel never survives (lanes
     are < 2^58 < _SIG_INIT)."""
+    docs = _widen(docs)
     hs = F.transform(
         _shingles(text_col),
         lambda s: F.struct(
@@ -291,9 +315,9 @@ def verified_near_dup_pairs(
     Jaccard computed only on the candidate pairs (never all-pairs)."""
     # materialize the (possibly expensive) upstream lineage once — the
     # LSH path, the shingle explode, and the size agg all hang off it
-    d = docs.select("doc_id", F.col(text_col).alias("text")).localCheckpoint(
-        eager=False
-    )
+    d = _widen(
+        docs.select("doc_id", F.col(text_col).alias("text"))
+    ).localCheckpoint(eager=False)
     cand = lsh_candidates(d, "text", bucket_cap)
     # the shingle table feeds three consumers (sizes, join side a, join
     # side b) — shingle once, not 3x
@@ -614,8 +638,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     candidates only and never hits the guard."""
     from sparkgatha.util import guard_input_rows
 
-    d = guard_input_rows(
-        _t(spark, sf_dir, "documents"), "q_dedup_ngram_jaccard"
+    d = _widen(
+        guard_input_rows(
+            _t(spark, sf_dir, "documents"), "q_dedup_ngram_jaccard"
+        )
     )
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -673,16 +699,23 @@ def sorted_neighborhood_pairs(
         F.substring(F.lower(F.trim(F.col(text_col))), 1, key_len).alias(
             "key"
         ),
-        _shingles(text_col).alias("_sh"),
+        F.col(text_col).alias("_text"),
     )
     p = num_partitions or d.sparkSession.sparkContext.defaultParallelism
     # materialize the range layout ONCE: the offsets collect and the
     # ranking window must read the SAME boundary placement — the range
     # sampler is not stable across re-evaluations, and offsets from one
-    # placement applied to ranks from another corrupt the global rank
+    # placement applied to ranks from another corrupt the global rank.
+    # r6: the shingle arrays are computed AFTER the range exchange —
+    # in the old shape they rode the pre-exchange projection, so the
+    # (one-row-group fixture) scan computed every shingle in a single
+    # task twice (range-sampling pass + exchange map side); rows and
+    # ranks are unchanged, only where the per-row work runs.
     rp = (
         d.repartitionByRange(p, "key", "doc_id")
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_sh", _shingles("_text"))
+        .drop("_text")
         .localCheckpoint(eager=True)
     )
     counts = rp.groupBy("_pid").agg(F.count("*").alias("c")).collect()
@@ -801,7 +834,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash bigint) — per-bit majority vote over md5-hashed
     shingles (the oracle-checkable explode+groupBy form)."""
     spark = docs.sparkSession
-    sh = docs.select(
+    sh = _widen(docs).select(
         "doc_id", F.explode(_shingles(text_col)).alias("shingle")
     ).withColumn("h", _md5_long(F.col("shingle")))
     bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
@@ -1016,8 +1049,8 @@ def window_hashes(
     idx = F.when(
         n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
-                    idx.alias("_idx"))
+    d = _widen(docs).select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+                            idx.alias("_idx"))
     wins = F.transform(
         F.col("_idx"),
         lambda i: _md5_long(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))),

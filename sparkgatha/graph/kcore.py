@@ -45,7 +45,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from sparkgatha.graph.canon import canonical_undirected
-from sparkgatha.util import no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 # Fixpoint-mode runaway bound: synchronous peeling removes >= 1 vertex
 # per non-final round, so this only trips on graphs with >1e6 peel
@@ -62,24 +66,31 @@ def _peel(e: DataFrame, k: int, max_iter: int | None) -> DataFrame:
     strict = max_iter is None
     bound = _FIXPOINT_ROUND_CAP if strict else max_iter
     n_prev = e.count()
+    spark = e.sparkSession
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     converged = n_prev == 0
     for _ in range(bound):
         if converged:
             break
-        deg = (
-            e.select(F.col("u").alias("x"))
-            .unionByName(e.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("x")
-        e = (
-            e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        n = e.count()
+        # r6: size each peel round's exchanges to the surviving edge
+        # set (integer degrees + semi-joins, partitioning-independent)
+        with scoped_shuffle_partitions(
+            spark, adaptive_shuffle_partitions(n_prev, default_p)
+        ):
+            deg = (
+                e.select(F.col("u").alias("x"))
+                .unionByName(e.select(F.col("v").alias("x")))
+                .groupBy("x")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("x")
+            e = (
+                e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            n = e.count()
         converged = n == n_prev
         n_prev = n
     if strict and not converged:

@@ -140,7 +140,7 @@ def _vertices(edges: DataFrame) -> DataFrame:
 
 
 def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
-             hot_threshold: int | None = None):
+             hot_threshold: int | None = None, n_edges: int | None = None):
     """Static per-run tables.  Edge tables are laid out ONCE (G11) and
     never re-shuffle inside the loop.
 
@@ -160,7 +160,8 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
     """
     spark = edges.sparkSession
     if strategy == "broadcast":
-        n_edges = edges.count()
+        if n_edges is None:
+            n_edges = edges.count()
         if hot_threshold is None:
             hot_threshold = max(n_edges // num_partitions // 4, 16384)
         # one (src) shuffle, reused by BOTH norm branches below — a bare
@@ -290,14 +291,24 @@ def prepare_pagerank(
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         with no_aqe(edges.sparkSession):
+            # r6: the vertex-table build and the raw edge count are
+            # independent scans of the cached input — overlap them
+            # (guide §2.6); strategy choice only needs n, which both
+            # paths wait on
+            from concurrent.futures import ThreadPoolExecutor
+
             vertices = _vertices(edges)
-            n = vertices.count()
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_n = pool.submit(vertices.count)
+                f_ne = pool.submit(edges.count)
+                n, pre_n_edges = f_n.result(), f_ne.result()
             if strategy == "auto":
                 strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "shuffle"
             # _prepare materializes the layouts (while the input is
             # still cached) and returns their row count — no re-scan
             cold, hot, hot_srcs, n_edges = _prepare(
-                edges, num_partitions, strategy, hot_threshold
+                edges, num_partitions, strategy, hot_threshold,
+                n_edges=pre_n_edges,
             )
     finally:
         if owned_input:

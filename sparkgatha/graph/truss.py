@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from sparkgatha.graph.canon import canonical_undirected
 from sparkgatha.graph.triangles import _degrees, _orient, _triangles
-from sparkgatha.util import checkpoint_reset_stats, no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    checkpoint_reset_stats,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 #: runaway rail for fixpoint mode — each round drops ≥1 edge, so this
 #: only trips on a pathological peel chain (document, don't truncate)
@@ -83,18 +88,26 @@ def k_truss(
         # the planner by round ~12 (see the helper's docstring)
         und = checkpoint_reset_stats(canonical_undirected(edges))
         n_edges = und.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         fixpoint = max_iter is None
         rounds = FIXPOINT_MAX_ROUNDS if fixpoint else max_iter
         for _ in range(rounds):
             if n_edges == 0:
                 break
-            sup = _edge_support(und)
-            kept = checkpoint_reset_stats(
-                und.join(sup, ["u", "v"], "left")
-                .filter(F.coalesce("support", F.lit(0)) >= need)
-                .select("u", "v")
-            )
-            n_kept = kept.count()
+            # r6: size this round's exchanges to the surviving edge set
+            # (integer supports + anti/left joins — results are
+            # partitioning-independent; see util.adaptive_shuffle_
+            # partitions)
+            with scoped_shuffle_partitions(
+                spark, adaptive_shuffle_partitions(n_edges, default_p)
+            ):
+                sup = _edge_support(und)
+                kept = checkpoint_reset_stats(
+                    und.join(sup, ["u", "v"], "left")
+                    .filter(F.coalesce("support", F.lit(0)) >= need)
+                    .select("u", "v")
+                )
+                n_kept = kept.count()
             if n_kept == n_edges:
                 und = kept
                 break
@@ -106,6 +119,12 @@ def k_truss(
                     "without converging — raise FIXPOINT_MAX_ROUNDS or "
                     "pass an explicit max_iter"
                 )
-        return und.join(_edge_support(und), ["u", "v"], "left").select(
-            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
-        )
+        with scoped_shuffle_partitions(
+            spark, adaptive_shuffle_partitions(n_edges, default_p)
+        ):
+            out = checkpoint_reset_stats(
+                und.join(_edge_support(und), ["u", "v"], "left").select(
+                    "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+                )
+            )
+        return out

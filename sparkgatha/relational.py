@@ -1350,7 +1350,11 @@ def q_g4_pagerank(spark, sf_dir):
     from sparkgatha.graph.pagerank import pagerank
 
     nodes, id_edges = _doc_graph(spark, sf_dir)
-    r = pagerank(id_edges, tol=0.0, max_iter=12)
+    # r6: fuse the 12 fixed supersteps into one Spark job — the
+    # pagerank module's check_every contract (bit-identical numerics,
+    # interior dangling mass in-plan; the bench headline runs the same
+    # fused block)
+    r = pagerank(id_edges, tol=0.0, max_iter=12, check_every=12)
     return (
         r.ranks.join(nodes, r.ranks.vertex == nodes.id)
         .select("key", F.round("rank", 8).alias("rank"))
@@ -1407,7 +1411,11 @@ def q_g4_pagerank_personalized(spark, sf_dir):
     seeds = nodes.orderBy("key").limit(2).select(
         F.col("id").alias("vertex"), F.lit(1.0).alias("weight")
     )
-    r = pagerank(id_edges, tol=0.0, max_iter=12, personalization=seeds)
+    # r6: fused supersteps — same check_every contract as q_g4_pagerank
+    r = pagerank(
+        id_edges, tol=0.0, max_iter=12, personalization=seeds,
+        check_every=12,
+    )
     return (
         r.ranks.join(nodes, r.ranks.vertex == nodes.id)
         .select("key", F.round("rank", 8).alias("rank"))
@@ -1532,7 +1540,11 @@ def q_g6_label_propagation(spark, sf_dir):
             "weight",
         )
     )
-    lp = label_propagation(id_edges, max_iter=10)
+    # r6: fuse the 10 bounded rounds into one Spark job (lpa's
+    # check_every contract — labels bit-identical; a mid-block
+    # fixpoint's extra rounds are no-ops, exactly the argument the
+    # oracle docstring already makes for round-count mismatches)
+    lp = label_propagation(id_edges, max_iter=10, check_every=10)
     return lp.join(nodes, lp.vertex == nodes.id).select("key", "label")
 
 
