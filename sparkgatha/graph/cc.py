@@ -156,22 +156,36 @@ def connected_components(
     ckpt = CheckpointManager(checkpoint_dir, run_id)
     sink = metrics_sink or MetricsSink(checkpoint_dir, run_id)
     with no_aqe(spark):
-        vertices = (
-            edges.select(F.col("src").alias("vertex"))
-            .unionByName(edges.select(F.col("dst").alias("vertex")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        n = vertices.count()
-        e = None
-        start_it = 0
-        if resume and checkpoint_dir:
-            last = ckpt.latest_complete()
-            if last is not None:
-                e = ckpt.load(spark, last)
-                start_it = last
-        if e is None:
-            e = _canonical(edges).localCheckpoint(eager=True)
+        # r6: the vertex universe and the canonical edge set are
+        # independent builds over the same input — overlap them (guide
+        # §2.6); contents are identical either way
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _build_vertices():
+            v = (
+                edges.select(F.col("src").alias("vertex"))
+                .unionByName(edges.select(F.col("dst").alias("vertex")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            return v, v.count()
+
+        def _build_edges():
+            e0, start = None, 0
+            if resume and checkpoint_dir:
+                last = ckpt.latest_complete()
+                if last is not None:
+                    e0 = ckpt.load(spark, last)
+                    start = last
+            if e0 is None:
+                e0 = _canonical(edges).localCheckpoint(eager=True)
+            return e0, start
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_v = pool.submit(_build_vertices)
+            f_e = pool.submit(_build_edges)
+            vertices, n = f_v.result()
+            e, start_it = f_e.result()
         prev_fp = _fingerprint(e)
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         it = start_it

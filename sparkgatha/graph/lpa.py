@@ -138,9 +138,12 @@ def label_propagation(
                 labels = ckpt.load(edges.sparkSession, last)
                 start_it = last
         if labels is None:
+            # r6: lazy — the start state is a projection of the cached
+            # vertex table; it materializes inside the first fused
+            # block's job instead of paying its own job up front
             labels = vertices.select(
                 "vertex", F.col("vertex").alias("label")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
 
         def step(lbl: DataFrame) -> DataFrame:
             """One synchronous superstep as a pure transform of

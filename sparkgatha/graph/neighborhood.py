@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from sparkgatha.util import no_aqe
+from sparkgatha.util import (
+    adaptive_shuffle_partitions,
+    no_aqe,
+    scoped_shuffle_partitions,
+)
 
 
 def _prep(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -67,14 +71,26 @@ def hop_neighborhood_exact(edges: DataFrame, hops: int) -> DataFrame:
         reach = verts.select(
             F.col("v").alias("s"), F.col("v")
         ).localCheckpoint(eager=True)
+        # r6: exchanges sized to the growing reach-pair table (exact
+        # integer pairs, partitioning-independent)
+        n_reach = reach.count()
+        n_e = e.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         for _ in range(hops):
-            step = (
-                reach.join(e, reach.v == e.src)
-                .select("s", F.col("dst").alias("v"))
-            )
-            reach = (
-                reach.unionByName(step).distinct().localCheckpoint(eager=True)
-            )
+            with scoped_shuffle_partitions(
+                spark,
+                adaptive_shuffle_partitions(max(n_reach, n_e), default_p),
+            ):
+                step = (
+                    reach.join(e, reach.v == e.src)
+                    .select("s", F.col("dst").alias("v"))
+                )
+                reach = (
+                    reach.unionByName(step)
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_reach = reach.count()
         return reach.groupBy(F.col("s").alias("vertex")).agg(
             F.count("*").alias("n_reach")
         )
@@ -96,19 +112,31 @@ def _min_hop_pairs(edges: DataFrame, hops: int) -> tuple[DataFrame, DataFrame]:
         F.col("v").alias("s"), F.col("v"), F.lit(0).alias("hop")
     ).localCheckpoint(eager=True)
     frontier = seen
+    # r6: exchanges sized to the growing seen-pair set (exact integer
+    # hops + anti-joins, partitioning-independent); the per-layer count
+    # already exists as the emptiness test
+    spark = edges.sparkSession
+    n_seen = seen.count()
+    n_e = e.count()
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     for h in range(1, hops + 1):
-        nxt = (
-            frontier.join(e, frontier.v == e.src)
-            .select("s", F.col("dst").alias("v"))
-            .distinct()
-            .join(seen, ["s", "v"], "left_anti")
-            .select("s", "v", F.lit(h).alias("hop"))
-            .localCheckpoint(eager=False)
-        )
-        if nxt.count() == 0:
-            break
-        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt
+        with scoped_shuffle_partitions(
+            spark, adaptive_shuffle_partitions(max(n_seen, n_e), default_p)
+        ):
+            nxt = (
+                frontier.join(e, frontier.v == e.src)
+                .select("s", F.col("dst").alias("v"))
+                .distinct()
+                .join(seen, ["s", "v"], "left_anti")
+                .select("s", "v", F.lit(h).alias("hop"))
+                .localCheckpoint(eager=False)
+            )
+            n_nxt = nxt.count()
+            if n_nxt == 0:
+                break
+            seen = seen.unionByName(nxt).localCheckpoint(eager=False)
+            n_seen += n_nxt
+            frontier = nxt
     return seen, verts
 
 
@@ -201,24 +229,34 @@ def neighborhood_function(
             .agg(F.hll_sketch_agg("v", lgk).alias("sk"))
             .localCheckpoint(eager=True)
         )
+        # r6: supersteps sized to the |V|-row sketch state — HLL merge
+        # is an elementwise register max (order-independent), so the
+        # estimates are partitioning-independent
+        n_state = state.count()
+        n_e = e.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         for _ in range(hops):
-            gathered = (
-                e.join(state, e.dst == state.v)
-                .groupBy(F.col("src").alias("v"))
-                .agg(F.hll_union_agg("sk").alias("gsk"))
-            )
-            state = (
-                state.join(gathered, "v", "left")
-                .select(
-                    "v",
-                    F.when(
-                        F.col("gsk").isNull(), F.col("sk")
-                    )
-                    .otherwise(F.hll_union("sk", "gsk"))
-                    .alias("sk"),
+            with scoped_shuffle_partitions(
+                spark,
+                adaptive_shuffle_partitions(max(n_state, n_e), default_p),
+            ):
+                gathered = (
+                    e.join(state, e.dst == state.v)
+                    .groupBy(F.col("src").alias("v"))
+                    .agg(F.hll_union_agg("sk").alias("gsk"))
                 )
-                .localCheckpoint(eager=True)
-            )
+                state = (
+                    state.join(gathered, "v", "left")
+                    .select(
+                        "v",
+                        F.when(
+                            F.col("gsk").isNull(), F.col("sk")
+                        )
+                        .otherwise(F.hll_union("sk", "gsk"))
+                        .alias("sk"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
         return state.select(
             F.col("v").alias("vertex"),
             F.hll_sketch_estimate("sk").alias("est_reach"),

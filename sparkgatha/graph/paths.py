@@ -54,48 +54,60 @@ def min_dist_from_seeds(
             .repartition(num_partitions, "src")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        layout.count()  # materialize the one-time layout
+        n_edges = layout.count()  # materialize the one-time layout
+        # r6: superstep exchanges sized to the edge set (min-relaxation
+        # is a pure per-row add + min-agg — the min is order-independent
+        # even over doubles, so results are partitioning-independent)
+        from sparkgatha.util import (
+            adaptive_shuffle_partitions,
+            scoped_shuffle_partitions,
+        )
+
+        step_p = adaptive_shuffle_partitions(
+            n_edges, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
         for _ in range(max_iter):
             if drained:
                 break
-            probe = (
-                F.broadcast(frontier)
-                if frontier_rows <= BROADCAST_FRONTIER_MAX
-                else frontier
-            )
-            cand = (
-                layout.join(probe, layout.src == probe.vertex)
-                .select(
-                    F.col("dst").alias("vertex"),
-                    (F.col("distance") + F.col("weight")).alias("distance"),
+            with scoped_shuffle_partitions(spark, step_p):
+                probe = (
+                    F.broadcast(frontier)
+                    if frontier_rows <= BROADCAST_FRONTIER_MAX
+                    else frontier
                 )
-                .groupBy("vertex")
-                .agg(F.min("distance").alias("distance"))
-            )
-            merged = (
-                dist.alias("d")
-                .join(cand.alias("c"), "vertex", "full_outer")
-                .select(
-                    "vertex",
-                    F.least(
-                        F.coalesce(F.col("d.distance"), F.lit(float("inf"))),
-                        F.coalesce(F.col("c.distance"), F.lit(float("inf"))),
-                    ).alias("distance"),
-                    (
-                        F.coalesce(F.col("c.distance"), F.lit(float("inf")))
-                        < F.coalesce(F.col("d.distance"), F.lit(float("inf")))
-                    ).alias("_improved"),
+                cand = (
+                    layout.join(probe, layout.src == probe.vertex)
+                    .select(
+                        F.col("dst").alias("vertex"),
+                        (F.col("distance") + F.col("weight")).alias("distance"),
+                    )
+                    .groupBy("vertex")
+                    .agg(F.min("distance").alias("distance"))
                 )
-                .localCheckpoint(eager=False)
-            )
-            frontier_rows = merged.filter(F.col("_improved")).count()
-            dist = merged.select("vertex", "distance")
-            if frontier_rows == 0:
-                drained = True
-                break
-            frontier = merged.filter(F.col("_improved")).select(
-                "vertex", "distance"
-            )
+                merged = (
+                    dist.alias("d")
+                    .join(cand.alias("c"), "vertex", "full_outer")
+                    .select(
+                        "vertex",
+                        F.least(
+                            F.coalesce(F.col("d.distance"), F.lit(float("inf"))),
+                            F.coalesce(F.col("c.distance"), F.lit(float("inf"))),
+                        ).alias("distance"),
+                        (
+                            F.coalesce(F.col("c.distance"), F.lit(float("inf")))
+                            < F.coalesce(F.col("d.distance"), F.lit(float("inf")))
+                        ).alias("_improved"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                frontier_rows = merged.filter(F.col("_improved")).count()
+                dist = merged.select("vertex", "distance")
+                if frontier_rows == 0:
+                    drained = True
+                    break
+                frontier = merged.filter(F.col("_improved")).select(
+                    "vertex", "distance"
+                )
         layout.unpersist()
     return dist, drained
 
