@@ -94,20 +94,35 @@ def densest_subgraph(
         best, best_rho, best_round = deg, n_e / n_v, 0
         rnd = 0
         bound = _FIXPOINT_ROUND_CAP if max_rounds is None else max_rounds
+        from sparkgatha.util import (
+            adaptive_shuffle_partitions,
+            scoped_shuffle_partitions,
+        )
+
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         while n_e > 0 and rnd < bound:
             rnd += 1
             rho = n_e / n_v
             keep = deg.filter(F.col("deg") > factor * rho).select("vertex")
-            e = (
-                e.join(keep.withColumnRenamed("vertex", "u"), "u", "left_semi")
-                .join(keep.withColumnRenamed("vertex", "v"), "v", "left_semi")
-                .localCheckpoint(eager=True)
-            )
-            n_e = e.count()
-            if n_e == 0:
-                break
-            deg = degrees(e).localCheckpoint(eager=True)
-            n_v = deg.count()
+            # r6: exchanges sized to the shrinking edge set (integer
+            # degrees + semi-joins, partitioning-independent)
+            with scoped_shuffle_partitions(
+                spark, adaptive_shuffle_partitions(n_e, default_p)
+            ):
+                e = (
+                    e.join(
+                        keep.withColumnRenamed("vertex", "u"), "u", "left_semi"
+                    )
+                    .join(
+                        keep.withColumnRenamed("vertex", "v"), "v", "left_semi"
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                n_e = e.count()
+                if n_e == 0:
+                    break
+                deg = degrees(e).localCheckpoint(eager=True)
+                n_v = deg.count()
             if n_e / n_v > best_rho:
                 best, best_rho, best_round = deg, n_e / n_v, rnd
         if max_rounds is None and n_e > 0:

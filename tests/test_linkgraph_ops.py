@@ -2309,9 +2309,14 @@ def test_ppr_mc_tracks_exact_ppr(spark):
     triples = random_graph(n=24, m=60, seed=11, weighted=False)
     edges = to_spark_edges(spark, triples, symmetric=True)
 
-    # exact: ppr_s = (1-a) * sum_{k=0..L} a^k (P^k)[s], row-stochastic P
-    # over the same distinct symmetric adjacency, plus the truncation
-    # convention (residual mass a^{L+1} stays on the L-step positions)
+    # exact: ppr_s = (1-a) * sum_{k=0..L-1} a^k (P^k)[s], row-stochastic
+    # P over the same distinct symmetric adjacency, plus the
+    # implementation's truncation convention: a walk of max_len=L stops
+    # after L steps, so the residual mass a^L stays on the L-step
+    # positions (ADVICE r5 — the earlier reference modeled one extra
+    # hop; the ~a^21 discrepancy was far below tolerance, but the
+    # convention now matches the docstring's "affected mass is
+    # alpha**max_len")
     verts = sorted({v for a, b, _ in triples for v in (a, b)})
     idx = {v: i for i, v in enumerate(verts)}
     n = len(verts)
@@ -2323,10 +2328,10 @@ def test_ppr_mc_tracks_exact_ppr(spark):
     alpha, L = 0.5, 20
     exact = np.zeros((n, n))
     walk = np.eye(n)
-    for k in range(L + 1):
+    for k in range(L):
         exact += (1 - alpha) * alpha**k * walk
         walk = walk @ P
-    exact += alpha ** (L + 1) * walk  # truncated walks end in place
+    exact += alpha**L * walk  # truncated walks end in place after L steps
 
     got = ppr_monte_carlo(
         edges, alpha=alpha, walks_per_vertex=1024, max_len=L
