@@ -138,12 +138,14 @@ def label_propagation(
                 labels = ckpt.load(edges.sparkSession, last)
                 start_it = last
         if labels is None:
-            # r6: lazy — the start state is a projection of the cached
-            # vertex table; it materializes inside the first fused
-            # block's job instead of paying its own job up front
+            # eager on purpose: the start state feeds several consumers
+            # inside the first fused block (state broadcast + update
+            # join), and a lazy checkpoint's racing consumer stages
+            # re-run the projection instead of sharing it (the cc.py
+            # race note) — measured as a b_lpa regression in r6
             labels = vertices.select(
                 "vertex", F.col("vertex").alias("label")
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint(eager=True)
 
         def step(lbl: DataFrame) -> DataFrame:
             """One synchronous superstep as a pure transform of
