@@ -71,26 +71,18 @@ def hop_neighborhood_exact(edges: DataFrame, hops: int) -> DataFrame:
         reach = verts.select(
             F.col("v").alias("s"), F.col("v")
         ).localCheckpoint(eager=True)
-        # r6: exchanges sized to the growing reach-pair table (exact
-        # integer pairs, partitioning-independent)
-        n_reach = reach.count()
-        n_e = e.count()
-        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # NOTE r6: adaptive per-hop exchange sizing was tried here and
+        # REVERTED — the extra per-hop count job outweighed the
+        # smaller exchanges on this operator's sub-2 s fixture walls
+        # (bench.q_hop_neighborhood +0.5 s across three runs)
         for _ in range(hops):
-            with scoped_shuffle_partitions(
-                spark,
-                adaptive_shuffle_partitions(max(n_reach, n_e), default_p),
-            ):
-                step = (
-                    reach.join(e, reach.v == e.src)
-                    .select("s", F.col("dst").alias("v"))
-                )
-                reach = (
-                    reach.unionByName(step)
-                    .distinct()
-                    .localCheckpoint(eager=True)
-                )
-                n_reach = reach.count()
+            step = (
+                reach.join(e, reach.v == e.src)
+                .select("s", F.col("dst").alias("v"))
+            )
+            reach = (
+                reach.unionByName(step).distinct().localCheckpoint(eager=True)
+            )
         return reach.groupBy(F.col("s").alias("vertex")).agg(
             F.count("*").alias("n_reach")
         )
@@ -229,34 +221,29 @@ def neighborhood_function(
             .agg(F.hll_sketch_agg("v", lgk).alias("sk"))
             .localCheckpoint(eager=True)
         )
-        # r6: supersteps sized to the |V|-row sketch state — HLL merge
-        # is an elementwise register max (order-independent), so the
-        # estimates are partitioning-independent
-        n_state = state.count()
-        n_e = e.count()
-        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # NOTE r6: adaptive superstep sizing was tried here and
+        # REVERTED — the extra sizing counts outweighed the smaller
+        # exchanges at this operator's fixture walls (bench.q_anf_sketch
+        # +0.6 s across three runs); sketch rows are also byte-heavy,
+        # so row-count sizing underestimates their partitions anyway
         for _ in range(hops):
-            with scoped_shuffle_partitions(
-                spark,
-                adaptive_shuffle_partitions(max(n_state, n_e), default_p),
-            ):
-                gathered = (
-                    e.join(state, e.dst == state.v)
-                    .groupBy(F.col("src").alias("v"))
-                    .agg(F.hll_union_agg("sk").alias("gsk"))
-                )
-                state = (
-                    state.join(gathered, "v", "left")
-                    .select(
-                        "v",
-                        F.when(
-                            F.col("gsk").isNull(), F.col("sk")
-                        )
-                        .otherwise(F.hll_union("sk", "gsk"))
-                        .alias("sk"),
+            gathered = (
+                e.join(state, e.dst == state.v)
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.hll_union_agg("sk").alias("gsk"))
+            )
+            state = (
+                state.join(gathered, "v", "left")
+                .select(
+                    "v",
+                    F.when(
+                        F.col("gsk").isNull(), F.col("sk")
                     )
-                    .localCheckpoint(eager=True)
+                    .otherwise(F.hll_union("sk", "gsk"))
+                    .alias("sk"),
                 )
+                .localCheckpoint(eager=True)
+            )
         return state.select(
             F.col("v").alias("vertex"),
             F.hll_sketch_estimate("sk").alias("est_reach"),
