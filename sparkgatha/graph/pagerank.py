@@ -175,11 +175,21 @@ def _prepare(edges: DataFrame, num_partitions: int, strategy: str,
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         deg_in = edges.groupBy("dst").agg(F.count("*").alias("ind"))
-        hot_rows = (
-            deg_in.filter(F.col("ind") > hot_threshold)
-            .orderBy(F.col("ind").desc())
-            .select("dst").limit(HOT_MIRROR_CAP + 1).collect()
-        )
+        # r6: hot-vertex detection and the out-weight cache build are
+        # independent scans of the same cached input — overlap them so
+        # out_w is warm by the time the layouts (its only consumers)
+        # materialize (guide §2.6); cached bytes identical either way
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_hot = _pool.submit(
+                deg_in.filter(F.col("ind") > hot_threshold)
+                .orderBy(F.col("ind").desc())
+                .select("dst").limit(HOT_MIRROR_CAP + 1).collect
+            )
+            _f_ow = _pool.submit(out_w.count)
+            hot_rows = _f_hot.result()
+            _f_ow.result()
         if len(hot_rows) > HOT_MIRROR_CAP:
             hot_rows = hot_rows[:HOT_MIRROR_CAP]
             log.warning(
